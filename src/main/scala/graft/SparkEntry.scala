@@ -1,13 +1,650 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.{GraftFrame, GraftSession}
+import graft.api.GraftFrame.{asc, desc}
+import graft.dedup.Dedup
+import graft.functions.{hashfns, textfns}
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import graft.streaming.Streams
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (query keys) + §7.
+  *
+  * Oracle-parity rules (every oracle below follows them):
+  *  - computed columns aliased identically on both sides;
+  *  - a total-order ORDER BY on both sides;
+  *  - row-level float math left unrounded (identical IEEE ops on both
+  *    engines ⇒ bit-identical doubles);
+  *  - aggregated floats rounded at a precision whose grid step is far
+  *    above cross-engine summation-order error (money sums → 2dp on a
+  *    2dp-true-valued grid; means → 4dp; variances → 0dp);
+  *  - `sum(int)` cast to BIGINT in DuckDB (it widens to HUGEINT);
+  *  - timestamps compared as epoch seconds / millis (BIGINT).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def g(s: SparkSession, dir: String, name: String): GraftFrame =
+    GraftFrame(t(s, dir, name))
+
+  /** documents ∪ shifted copy — planted exact duplicates. */
+  private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ tail-padded copies of every 10th doc — planted
+    * near-duplicates (high but non-1.0 shingle Jaccard). */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val near = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"),
+        concat(col("text"), lit(" graft dedup pad tail")).as("text"))
+    d.unionByName(near)
+  }
+
+  /** Flagship query on sf=0.001 (TPC-H Q1 shape); driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    GraftSession.init(spark)
+    queries("q15_tpch_q1")(spark, "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.1 core cuplyr surface ---------------------------------------
+
+    "q01_filter" -> ((s, dir) =>
+      g(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 30, col("l_discount") <= 0.02,
+          col("l_linenumber") =!= 3, col("l_tax") > col("l_discount"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data:
+        // sort by every output column so the order is total up to
+        // identical rows (which hash the same in any order).
+        .arrange(asc("l_orderkey"), asc("l_linenumber"), asc("l_quantity"),
+          asc("l_discount"), asc("l_tax"))
+        .df),
+
+    "q02_select" -> ((s, dir) =>
+      g(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_custkey")
+        .arrange(asc("o_orderkey"))
+        .df),
+
+    "q03_mutate" -> ((s, dir) =>
+      g(s, dir, "lineitem")
+        .mutate(
+          "revenue" -> col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          "charged" -> col("revenue") * (lit(1.0) + col("l_tax")),
+          "qty_sq" -> col("l_quantity") * col("l_quantity"))
+        .select("l_orderkey", "l_linenumber", "revenue", "charged", "qty_sq")
+        .arrange(asc("l_orderkey"), asc("l_linenumber"), asc("revenue"),
+          asc("charged"), asc("qty_sq"))
+        .df),
+
+    "q04_arrange" -> ((s, dir) =>
+      g(s, dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+        .arrange(asc("l_returnflag"), desc("l_quantity"),
+          asc("l_orderkey"), asc("l_linenumber"))
+        .df),
+
+    "q05_groupby_agg" -> ((s, dir) =>
+      g(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .summarise(
+          "sum_qty" -> sum(col("l_quantity")),
+          "n" -> count(lit(1)),
+          "avg_price" -> round(avg(col("l_extendedprice")), 4),
+          "min_disc" -> min(col("l_discount")),
+          "max_disc" -> max(col("l_discount")))
+        .arrange(asc("l_returnflag"), asc("l_linestatus"))
+        .df),
+
+    "q06_summarise_stats" -> ((s, dir) =>
+      g(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .summarise(
+          "n" -> count(lit(1)),
+          "mean_bal" -> round(avg(col("c_acctbal")), 4),
+          "sd_bal" -> round(stddev_samp(col("c_acctbal")), 2),
+          "var_bal" -> round(var_samp(col("c_acctbal")), 0),
+          "min_bal" -> min(col("c_acctbal")),
+          "max_bal" -> max(col("c_acctbal")))
+        .arrange(asc("c_mktsegment"))
+        .df),
+
+    "q07_inner_join" -> ((s, dir) =>
+      g(s, dir, "orders")
+        .join(g(s, dir, "customer"), Seq("o_custkey" -> "c_custkey"), "inner")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
+        .arrange(asc("o_orderkey"))
+        .df),
+
+    "q08_left_join" -> ((s, dir) =>
+      g(s, dir, "lineitem")
+        .join(g(s, dir, "part").filter(col("p_size") > 25),
+          Seq("l_partkey" -> "p_partkey"), "left")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "p_name", "p_size")
+        .arrange(asc("l_orderkey"), asc("l_linenumber"), asc("l_partkey"))
+        .df),
+
+    "q09_right_join" -> ((s, dir) =>
+      g(s, dir, "customer")
+        .join(g(s, dir, "nation"), Seq("c_nationkey" -> "n_nationkey"), "right")
+        .select("c_nationkey", "c_name", "n_name")
+        .arrange(asc("n_name"), asc("c_name"))
+        .df),
+
+    "q10_full_join" -> ((s, dir) => {
+      val demand = g(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .summarise("demand" -> sum(col("l_quantity")))
+        .filter(col("demand") > 100)
+      val smallParts = g(s, dir, "part").filter(col("p_size") <= 10)
+        .select("p_partkey", "p_name")
+      demand.join(smallParts, Seq("l_partkey" -> "p_partkey"), "full")
+        .arrange(asc("l_partkey"))
+        .df
+    }),
+
+    "q11_bind_rows" -> ((s, dir) => {
+      val f = g(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val o = g(s, dir, "orders").filter(col("o_orderstatus") === "O")
+        .select("o_orderkey", "o_totalprice")
+      f.bindRows(o).arrange(asc("o_orderkey")).df
+    }),
+
+    "q12_bind_cols" -> ((s, dir) => {
+      val a = g(s, dir, "nation").arrange(asc("n_nationkey"))
+        .select("n_nationkey", "n_name")
+      val b = g(s, dir, "nation").arrange(desc("n_nationkey"))
+        .selectExpr2("rk" -> col("n_regionkey"))
+      a.bindCols(b).arrange(asc("n_nationkey")).df
+    }),
+
+    "q13_head" -> ((s, dir) =>
+      g(s, dir, "orders")
+        .arrange(desc("o_totalprice"), asc("o_orderkey"))
+        .headN(10)
+        .select("o_orderkey", "o_totalprice")
+        .df),
+
+    "q14_distinct" -> ((s, dir) =>
+      g(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct_()
+        .arrange(asc("l_returnflag"), asc("l_linestatus"))
+        .df),
+
+    // ---- §2.2 composite analytics ---------------------------------------
+
+    "q15_tpch_q1" -> ((s, dir) =>
+      g(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .mutate(
+          "disc_price" -> col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          "charge" -> col("disc_price") * (lit(1.0) + col("l_tax")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .summarise(
+          "sum_qty" -> sum(col("l_quantity")),
+          "sum_base_price" -> round(sum(col("l_extendedprice")), 2),
+          "sum_disc_price" -> round(sum(col("disc_price")), 2),
+          "sum_charge" -> round(sum(col("charge")), 2),
+          "avg_qty" -> round(avg(col("l_quantity")), 4),
+          "avg_price" -> round(avg(col("l_extendedprice")), 4),
+          "avg_disc" -> round(avg(col("l_discount")), 4),
+          "count_order" -> count(lit(1)))
+        .arrange(asc("l_returnflag"), asc("l_linestatus"))
+        .df),
+
+    "q16_tpch_q3" -> ((s, dir) => {
+      val cust = g(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = g(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1995-03-15")))
+      val li = g(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1995-03-15")))
+        .mutate("rev" -> col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      li.join(ord, Seq("l_orderkey" -> "o_orderkey"), "inner")
+        .join(cust, Seq("o_custkey" -> "c_custkey"), "inner")
+        .mutate("o_orderdate_ms" -> unix_millis(col("o_orderdate").cast("timestamp")))
+        .groupBy("l_orderkey", "o_orderdate_ms", "o_orderpriority")
+        .summarise("revenue" -> round(sum(col("rev")), 2))
+        .arrange(desc("revenue"), asc("l_orderkey"))
+        .headN(10)
+        .df
+    }),
+
+    "q17_tpch_q5" -> ((s, dir) => {
+      // 6-way star join; dimensions broadcast (region/nation tiny).
+      val li = g(s, dir, "lineitem")
+        .mutate("rev" -> col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      val joined = li
+        .join(g(s, dir, "orders"), Seq("l_orderkey" -> "o_orderkey"), "inner")
+        .join(g(s, dir, "customer"), Seq("o_custkey" -> "c_custkey"), "inner")
+        .join(g(s, dir, "supplier"), Seq("l_suppkey" -> "s_suppkey"), "inner")
+        .filter(col("s_nationkey") === col("c_nationkey"))
+        .join(GraftFrame(broadcast(t(s, dir, "nation"))),
+          Seq("c_nationkey" -> "n_nationkey"), "inner")
+        .join(GraftFrame(broadcast(t(s, dir, "region"))),
+          Seq("n_regionkey" -> "r_regionkey"), "inner")
+      joined
+        .groupBy("r_name", "n_name")
+        .summarise("revenue" -> round(sum(col("rev")), 2), "n_items" -> count(lit(1)))
+        .arrange(asc("r_name"), asc("n_name"))
+        .df
+    }),
+
+    "q18_window" -> ((s, dir) =>
+      GraftFrame(Streams.runningTotals(t(s, dir, "events")))
+        .select("user_id", "event_id", "ts_ms", "rn", "running_value")
+        .arrange(asc("user_id"), asc("rn"))
+        .df),
+
+    "q19_semi_anti" -> ((s, dir) => {
+      val bigOrders = g(s, dir, "orders").filter(col("o_totalprice") > 3000.0)
+      val cust = g(s, dir, "customer")
+      val has = cust.semiJoin(bigOrders.selectExpr2("c_custkey" -> col("o_custkey")), Seq("c_custkey"))
+        .mutate("tag" -> lit("has"))
+      val none = cust.antiJoin(bigOrders.selectExpr2("c_custkey" -> col("o_custkey")), Seq("c_custkey"))
+        .mutate("tag" -> lit("none"))
+      has.bindRows(none).select("c_custkey", "c_name", "tag")
+        .arrange(asc("c_custkey")).df
+    }),
+
+    // ---- §2.3 LLM-data-pipeline operators -------------------------------
+
+    "dd1_exact" -> ((s, dir) =>
+      Dedup.exact(docsWithExactDups(s, dir), "text", "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id").asc)),
+
+    "dd2_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairs(docsWithNearDups(s, dir), "doc_id", "text",
+          shingleN = 3, k = 128, bands = 32, threshold = 0.5)
+        .orderBy(col("id_a").asc, col("id_b").asc)),
+
+    "dd3_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(docsWithNearDups(s, dir), "doc_id", "text",
+          shingleN = 3, maxHamming = 3)
+        .orderBy(col("id_a").asc, col("id_b").asc)),
+
+    "dd4_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
+          shingleN = 5, threshold = 0.5)
+        .orderBy(col("id_a").asc, col("id_b").asc)),
+
+    "dd5_embed_dup" -> ((s, dir) =>
+      Dedup.embeddingDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, threshold = 0.9, nBits = 10, tables = 2)
+        .orderBy(col("id_a").asc, col("id_b").asc)),
+
+    "ann1_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.bruteForceTopKSql(emb, emb.filter(col("vec_id") < 20), k = 10)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+
+    "ann2_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 10, dim = 64,
+          nBits = 8, tables = 4)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+
+    "txt1_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_utf"),
+        textfns.wsTokenCount(col("text")).as("n_ws_tokens"),
+        textfns.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))
+        .orderBy(col("doc_id").asc)),
+
+    "txt2_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        textfns.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id").asc)),
+
+    "txt3_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        textfns.wsTokenCount(col("text")).as("n_words"),
+        textfns.stopwordRatio(col("text")).as("stop_ratio"),
+        textfns.punctRatio(col("text")).as("punct_ratio"),
+        textfns.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id").asc)),
+
+    "txt4_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        textfns.contentFingerprint(col("text")).as("fp_md5"))
+        .orderBy(col("doc_id").asc)),
+
+    "mm1_binary_meta" -> ((s, dir) =>
+      Multimodal.metadataFeatures(Multimodal.asMediaTable(t(s, dir, "documents")))
+        .orderBy(col("doc_id").asc)),
+
+    "ev1_tumbling" -> ((s, dir) =>
+      Streams.tumblingAgg(t(s, dir, "events"), "1 hour")
+        .orderBy(col("window_start").asc, col("event_type").asc)),
+
+    "ev2_sessionize" -> ((s, dir) =>
+      Streams.sessionize(t(s, dir, "events"), gapMinutes = 30)
+        .orderBy(col("user_id").asc, col("session_seq").asc))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for the hash/LSH-seeded ops
+    * (dd2, dd3, dd5, ann2) → driver records a rows-only check; their
+    * correctness is pinned by planted-duplicate ScalaTest specs instead.
+    */
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+         FROM lineitem
+         WHERE l_quantity >= 30 AND l_discount <= 0.02 AND l_linenumber <> 3
+           AND l_tax > l_discount
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_tax""",
+
+    "q02_select" ->
+      "SELECT o_orderkey, o_totalprice, o_custkey FROM orders ORDER BY o_orderkey",
+
+    "q03_mutate" ->
+      """SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1.0 - l_discount) AS revenue,
+           (l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS charged,
+           l_quantity * l_quantity AS qty_sq
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, charged, qty_sq""",
+
+    "q04_arrange" ->
+      """SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber
+         FROM lineitem
+         ORDER BY l_returnflag ASC, l_quantity DESC, l_orderkey, l_linenumber""",
+
+    "q05_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           count(*) AS n,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           min(l_discount) AS min_disc,
+           max(l_discount) AS max_disc
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q06_summarise_stats" ->
+      """SELECT c_mktsegment,
+           count(*) AS n,
+           round(avg(c_acctbal), 4) AS mean_bal,
+           round(stddev_samp(c_acctbal), 2) AS sd_bal,
+           round(var_samp(c_acctbal), 0) AS var_bal,
+           min(c_acctbal) AS min_bal,
+           max(c_acctbal) AS max_bal
+         FROM customer GROUP BY 1 ORDER BY 1""",
+
+    "q07_inner_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+
+    "q08_left_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, p_name, p_size
+         FROM lineitem LEFT JOIN (SELECT * FROM part WHERE p_size > 25) p
+           ON l_partkey = p_partkey
+         ORDER BY l_orderkey, l_linenumber, l_partkey""",
+
+    "q09_right_join" ->
+      """SELECT c_nationkey, c_name, n_name
+         FROM (SELECT n_nationkey AS c_nationkey, n_name FROM nation) n
+         LEFT JOIN customer USING (c_nationkey)
+         ORDER BY n_name ASC, c_name ASC NULLS LAST""",
+
+    "q10_full_join" ->
+      """WITH demand AS (
+           SELECT l_partkey, sum(l_quantity) AS demand
+           FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 100),
+         sp AS (SELECT p_partkey, p_name FROM part WHERE p_size <= 10)
+         SELECT coalesce(l_partkey, p_partkey) AS l_partkey, demand, p_name
+         FROM demand FULL JOIN sp ON l_partkey = p_partkey
+         ORDER BY 1 ASC NULLS LAST""",
+
+    "q11_bind_rows" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+         FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, NULL
+         FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_orderkey""",
+
+    "q12_bind_cols" ->
+      """SELECT a.n_nationkey, a.n_name, b.rk
+         FROM (SELECT n_nationkey, n_name,
+                 row_number() OVER (ORDER BY n_nationkey ASC) AS rn FROM nation) a
+         JOIN (SELECT n_regionkey AS rk,
+                 row_number() OVER (ORDER BY n_nationkey DESC) AS rn FROM nation) b
+           USING (rn)
+         ORDER BY a.n_nationkey""",
+
+    "q13_head" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "q14_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2""",
+
+    "q15_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+           round(sum((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q16_tpch_q3" ->
+      """SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderpriority,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1995-03-15'
+           AND l_shipdate > TIMESTAMP '1995-03-15'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q17_tpch_q5" ->
+      """SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q18_window" ->
+      """SELECT user_id, event_id, ts_ms,
+           CAST(row_number() OVER w AS INT) AS rn,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+             ROWS UNBOUNDED PRECEDING), 4) AS running_value
+         FROM (SELECT user_id, event_id, value,
+                 epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+         ORDER BY user_id, rn""",
+
+    "q19_semi_anti" ->
+      """SELECT c_custkey, c_name, 'has' AS tag FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 3000.0)
+         UNION ALL
+         SELECT c_custkey, c_name, 'none' AS tag FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 3000.0)
+         ORDER BY c_custkey""",
+
+    "dd1_exact" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents)
+         SELECT min(doc_id) AS doc_id FROM all_docs
+         GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+         ORDER BY doc_id""",
+
+    "dd4_ngram_jaccard" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text || ' graft dedup pad tail'
+           FROM documents WHERE doc_id % 10 = 0),
+         words AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM all_docs),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+                 FROM words WHERE len(w) >= 5)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+         ORDER BY id_a, id_b""",
+
+    "ann1_topk" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qq
+           FROM embeddings WHERE vec_id < 20),
+         c AS (
+           SELECT vec_id AS neighbor_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+           FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+             CAST(list_dot_product(qv, qq) AS DOUBLE) AS d,
+             CAST(list_dot_product(qv, qv) AS DOUBLE) AS na,
+             CAST(list_dot_product(qq, qq) AS DOUBLE) AS nb
+           FROM c, q WHERE neighbor_id <> query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+             CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                  ELSE sign(d) * d * d / (na * nb) END AS score
+           FROM scored),
+         top AS (
+           SELECT query_id, neighbor_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+           FROM ranked)
+         SELECT query_id, rank, neighbor_id, score FROM top
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "txt1_tokens" ->
+      """SELECT doc_id,
+           length(text) AS n_chars_utf,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "txt2_langid" ->
+      """WITH s AS (
+           SELECT doc_id,
+             len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\b(le|les|une|et|est)\b')) AS s_fr,
+             len(regexp_extract_all(lower(text), '\b(el|los|las|una|es)\b')) AS s_es,
+             len(regexp_extract_all(text, '的')) + len(regexp_extract_all(text, '是'))
+               + len(regexp_extract_all(text, '了')) + len(regexp_extract_all(text, '在'))
+               + len(regexp_extract_all(text, '和')) AS s_zh
+           FROM documents)
+         SELECT doc_id,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh AND s_en > 0 THEN 'en'
+             WHEN s_de >= s_en AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh AND s_de > 0 THEN 'de'
+             WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+             WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh AND s_es > 0 THEN 'es'
+             WHEN s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_fr AND s_zh >= s_es AND s_zh > 0 THEN 'zh'
+             ELSE 'und' END AS lang_pred
+         FROM s ORDER BY doc_id""",
+
+    "txt3_quality" ->
+      """WITH base AS (
+           SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+             len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS stop_hits,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS punct_hits,
+             length(text) AS n_chars
+           FROM documents),
+         ratios AS (
+           SELECT doc_id, n_words,
+             CAST(stop_hits AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS stop_ratio,
+             CAST(punct_hits AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio
+           FROM base)
+         SELECT doc_id, n_words, stop_ratio, punct_ratio,
+           least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+             + least(stop_ratio * 5.0, 1.0) * 0.3
+             + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 AS quality
+         FROM ratios ORDER BY doc_id""",
+
+    "txt4_fingerprint" ->
+      """SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5
+         FROM documents ORDER BY doc_id""",
+
+    "mm1_binary_meta" ->
+      """SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           CAST(64 + (strlen(text) % 577) AS INT) AS fake_width
+         FROM documents ORDER BY doc_id""",
+
+    "ev1_tumbling" ->
+      """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "ev2_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value,
+             epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events),
+         m AS (
+           SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ms
+           FROM e),
+         s AS (
+           SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+                          THEN 1 ELSE 0 END AS new_session
+           FROM m),
+         x AS (
+           SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+             ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM s)
+         SELECT user_id, session_seq,
+           count(*) AS n_events,
+           min(ts_ms) AS session_start_ms,
+           max(ts_ms) AS session_end_ms,
+           round(sum(value), 4) AS sum_value
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2"""
+  )
 }

@@ -1,0 +1,279 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Fluent dplyr-verb layer over Spark DataFrames — the graft analogue of
+  * cuplyr's `tbl_gpu` (reference: R/tbl-gpu.R).
+  *
+  * cuplyr captures dplyr verbs into a lazy AST (reference: R/ast.R),
+  * optimizes it (reference: R/optimizer.R — projection pruning, mutate
+  * fusion, dead-column pruning, filter pushdown/reorder/fusion) and
+  * lowers to cuDF kernels (reference: R/lower.R, src/ops_*.cpp).
+  * On Spark every one of those passes is a built-in Catalyst rule
+  * (`ColumnPruning`, `CollapseProject`, `PushDownPredicates`,
+  * `CombineFilters`), so `GraftFrame` stays a thin veneer: it only adds
+  * the dplyr *semantics* Spark does not default to —
+  *
+  *   - `arrange`: ascending sorts place nulls LAST, descending sorts
+  *     place nulls FIRST (reference: R/arrange.R "NA handling");
+  *     Spark's defaults are the opposite for ascending.
+  *   - `mutate`: sequential evaluation (later expressions may use
+  *     columns defined earlier in the same call) and replace-in-place
+  *     column positioning (reference: R/mutate.R).
+  *   - joins: `na_matches = "na"` — null keys compare equal
+  *     (reference: R/join.R line ~170), i.e. `<=>` not `=`.
+  *   - `summarise`: result is ungrouped (`.groups = "drop"`,
+  *     reference: R/summarise.R) and `n()`/`sd()`/`var()` map to
+  *     count/stddev_samp/var_samp (R sample statistics).
+  *
+  * Everything stays a single Catalyst plan (DataFrame-in/DataFrame-out,
+  * no RDD hops), so filter/projection pushdown reach the parquet scan
+  * and whole-stage codegen spans the verb chain.
+  */
+final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
+
+  // ---- construction / introspection -------------------------------------
+
+  /** Column names — cuplyr `names()` (reference: R/utils.R). */
+  def names: Seq[String] = df.columns.toSeq
+
+  /** (rows, cols) — cuplyr `dim()`. Row count is an action. */
+  def dims: (Long, Int) = (df.count(), df.columns.length)
+
+  /** Schema — cuplyr `infer_schema()` (reference: R/ast.R). Free here:
+    * Catalyst analysis resolves the schema without executing. */
+  def schema: StructType = df.schema
+
+  /** cuplyr `show_query()` — render the (optimized) plan. */
+  def showQuery(): Unit = df.explain("formatted")
+
+  /** cuplyr `group_vars()`. */
+  def groupVars: Seq[String] = groupCols
+
+  /** cuplyr `names<-`: rename all columns positionally. */
+  def renameAll(newNames: Seq[String]): GraftFrame = {
+    require(newNames.length == df.columns.length,
+      s"names<- expects ${df.columns.length} names, got ${newNames.length}")
+    copy(df = df.toDF(newNames: _*))
+  }
+
+  // ---- core verbs -------------------------------------------------------
+
+  /** `filter(...)` — conditions AND-combined (reference: R/filter.R).
+    * Conditions are arbitrary Column predicates; Catalyst pushes them
+    * to the source scan (the reference implements this as an explicit
+    * filter-pushdown AST pass).
+    */
+  def filter(conds: Column*): GraftFrame =
+    if (conds.isEmpty) this
+    else copy(df = df.filter(conds.reduce(_ && _)))
+
+  /** `select(...)` — selection + reordering (reference: R/select.R).
+    * Grouping columns survive only if still selected, matching cuplyr's
+    * `intersect(groups, new_schema$names)`.
+    */
+  def select(cols: String*): GraftFrame =
+    GraftFrame(df.select(cols.map(col): _*), groupCols.intersect(cols))
+
+  /** `select` with rename: `(newName -> expr)` pairs, dplyr
+    * `select(new = old)` form. */
+  def selectExpr2(cols: (String, Column)*): GraftFrame =
+    GraftFrame(df.select(cols.map { case (n, c) => c.as(n) }: _*),
+      groupCols.intersect(cols.map(_._1)))
+
+  /** `mutate(...)` — sequential, replace-in-place (reference:
+    * R/mutate.R). Later pairs can reference columns created by earlier
+    * pairs, as in dplyr. Consecutive Projects collapse in Catalyst
+    * (the reference's "mutate fusion" pass).
+    */
+  def mutate(pairs: (String, Column)*): GraftFrame =
+    copy(df = pairs.foldLeft(df) { case (d, (name, expr)) =>
+      d.withColumn(name, expr)
+    })
+
+  /** `transmute(...)` — mutate then keep only the new columns. */
+  def transmute(pairs: (String, Column)*): GraftFrame =
+    GraftFrame(mutate(pairs: _*).df.select(pairs.map(_._1).map(col): _*))
+
+  /** `arrange(...)` — dplyr NA placement: nulls last when ascending,
+    * nulls first when descending (reference: R/arrange.R). Build sort
+    * keys with [[GraftFrame.asc]] / [[GraftFrame.desc]]; bare strings
+    * mean ascending.
+    */
+  def arrange(sortKeys: Column*): GraftFrame = copy(df = df.orderBy(sortKeys: _*))
+
+  def arrangeBy(cols: String*): GraftFrame = arrange(cols.map(GraftFrame.asc): _*)
+
+  /** `group_by(...)` — accumulates grouping state like dplyr's
+    * `group_by(.add = TRUE)` keeps prior groups (reference:
+    * R/group-by.R). No execution happens; grouping only shapes the next
+    * `summarise`.
+    */
+  def groupBy(cols: String*): GraftFrame =
+    copy(groupCols = (groupCols ++ cols).distinct)
+
+  /** `ungroup()`. */
+  def ungroup: GraftFrame = copy(groupCols = Nil)
+
+  /** `summarise(...)` — named aggregations over current groups
+    * (reference: R/summarise.R, src/ops_groupby.cpp). Result drops
+    * grouping (`.groups = "drop"`). Spark plans this as partial
+    * (map-side) + final aggregate: at 100 TB the shuffle carries one
+    * row per (partition, group), not per input row.
+    */
+  def summarise(aggs: (String, Column)*): GraftFrame = {
+    require(aggs.nonEmpty, "summarise() requires at least one aggregation expression.")
+    val named = aggs.map { case (n, c) => c.as(n) }
+    val out =
+      if (groupCols.isEmpty) df.agg(named.head, named.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(named.head, named.tail: _*)
+    GraftFrame(out)
+  }
+
+  /** dplyr `count()` convenience. */
+  def count_(name: String = "n"): GraftFrame = summarise(name -> count(lit(1)))
+
+  /** `head(n)` (reference: R/ast.R ast_head) → Catalyst Limit. */
+  def headN(n: Int): GraftFrame = copy(df = df.limit(n))
+
+  /** `distinct()` over all or named columns. */
+  def distinct_(cols: String*): GraftFrame =
+    if (cols.isEmpty) copy(df = df.distinct())
+    else copy(df = df.dropDuplicates(cols))
+
+  // ---- joins ------------------------------------------------------------
+
+  /** dplyr-style join core (reference: R/join.R, src/ops_join.cpp).
+    *
+    * @param by        (leftKey, rightKey) pairs (dplyr `by = c(a = b)`)
+    * @param how       inner | left | right | full
+    * @param naMatches cuplyr supports only `na_matches = "na"`: null
+    *                  keys match, so the default condition is `<=>`.
+    * @param suffix    appended to non-key columns present on both sides
+    *                  (dplyr's `suffix = c(".x",".y")`; underscores here
+    *                  to stay Spark-identifier-safe).
+    *
+    * Key columns appear once in the output (coalesced for full joins).
+    * Catalyst picks broadcast-hash when one side is under the
+    * autoBroadcastJoinThreshold; callers can force it with
+    * `broadcast(other.df)`.
+    */
+  def join(other: GraftFrame, by: Seq[(String, String)], how: String,
+           naMatches: Boolean = true,
+           suffix: (String, String) = ("_x", "_y")): GraftFrame = {
+    val l = df.alias("l")
+    val r = other.df.alias("r")
+    val cond = by.map { case (lk, rk) =>
+      if (naMatches) l(lk) <=> r(rk) else l(lk) === r(rk)
+    }.reduce(_ && _)
+    val joined = l.join(r, cond, how)
+
+    val leftKeys = by.map(_._1)
+    val rightKeys = by.map(_._2)
+    val commonNonKey = (df.columns.toSet -- leftKeys)
+      .intersect(other.df.columns.toSet -- rightKeys)
+
+    val keyCols = by.map { case (lk, rk) =>
+      how match {
+        case "full" | "outer" | "full_outer" => coalesce(l(lk), r(rk)).as(lk)
+        case "right"                         => r(rk).as(lk)
+        case _                               => l(lk).as(lk)
+      }
+    }
+    val leftCols = df.columns.filterNot(leftKeys.contains).map { c =>
+      l(c).as(if (commonNonKey(c)) c + suffix._1 else c)
+    }
+    val rightCols = other.df.columns.filterNot(rightKeys.contains).map { c =>
+      r(c).as(if (commonNonKey(c)) c + suffix._2 else c)
+    }
+    GraftFrame(joined.select(keyCols ++ leftCols ++ rightCols: _*))
+  }
+
+  private def sameName(keys: Seq[String]) = keys.map(k => (k, k))
+
+  def innerJoin(other: GraftFrame, by: Seq[String]): GraftFrame =
+    join(other, sameName(by), "inner")
+  def leftJoin(other: GraftFrame, by: Seq[String]): GraftFrame =
+    join(other, sameName(by), "left")
+  def rightJoin(other: GraftFrame, by: Seq[String]): GraftFrame =
+    join(other, sameName(by), "right")
+  def fullJoin(other: GraftFrame, by: Seq[String]): GraftFrame =
+    join(other, sameName(by), "full")
+
+  /** dplyr `semi_join` / `anti_join` — existence joins; Spark plans
+    * these without materializing right-side columns. */
+  def semiJoin(other: GraftFrame, by: Seq[String]): GraftFrame =
+    copy(df = df.join(other.df.select(by.map(col): _*), by, "left_semi"))
+  def antiJoin(other: GraftFrame, by: Seq[String]): GraftFrame =
+    copy(df = df.join(other.df.select(by.map(col): _*), by, "left_anti"))
+
+  // ---- binds ------------------------------------------------------------
+
+  /** `bind_rows` (reference: R/bind.R, src/ops_bind.cpp) — by-name
+    * union; columns missing on one side become nulls, as in dplyr. */
+  def bindRows(others: GraftFrame*): GraftFrame =
+    GraftFrame(others.foldLeft(df)((a, b) =>
+      a.unionByName(b.df, allowMissingColumns = true)))
+
+  /** `bind_cols` — positional zip of equal-length frames (reference:
+    * R/bind.R). Row order is the frames' current order; implemented
+    * with `zipWithIndex` (deterministic, one extra pass) + join on the
+    * synthetic index. Duplicate names get dplyr-style `...n` disambig.
+    */
+  def bindCols(other: GraftFrame): GraftFrame = {
+    val leftNames = df.columns
+    val rightNames = other.df.columns.map { c =>
+      if (leftNames.contains(c)) c + "_rhs" else c
+    }
+    val l = GraftFrame.withRowIndex(df, "__graft_idx")
+    val r = GraftFrame.withRowIndex(other.df.toDF(rightNames: _*), "__graft_idx")
+    GraftFrame(l.join(r, Seq("__graft_idx"), "inner").drop("__graft_idx"))
+  }
+
+  // ---- materialization --------------------------------------------------
+
+  /** `collect()` (reference: R/collect.R) — pull to the driver. */
+  def collect(): Array[Row] = df.collect()
+
+  /** `compute()` (reference: R/compute.R) — execute and keep the result
+    * "on the engine": persist + materialize. */
+  def compute(): GraftFrame = { df.persist(); df.count(); this }
+
+  /** `collapse()` — optimization barrier (reference: R/ast.R
+    * ast_barrier, R/optimizer.R optimize_with_barriers): downstream
+    * optimization must not cross this point. Spark analogue: a lazy
+    * cache boundary — Catalyst will not push predicates through the
+    * InMemoryRelation once materialized. */
+  def collapse(): GraftFrame = { df.persist(); this }
+
+  def unpersist(): GraftFrame = { df.unpersist(); this }
+}
+
+object GraftFrame {
+
+  /** cuplyr `tbl_gpu(df)` analogue. */
+  def apply(df: DataFrame): GraftFrame = new GraftFrame(df, Nil)
+
+  /** Ascending with nulls LAST (dplyr/cuplyr arrange semantics). */
+  def asc(c: String): Column = col(c).asc_nulls_last
+  def asc(c: Column): Column = c.asc_nulls_last
+
+  /** `desc()` with nulls FIRST (reference: R/arrange.R NA handling). */
+  def desc(c: String): Column = col(c).desc_nulls_first
+  def desc(c: Column): Column = c.desc_nulls_first
+
+  /** Attach a 0-based dense row index. zipWithIndex is deterministic
+    * for a given partition layout and does one lightweight extra job to
+    * count per-partition sizes — unlike `monotonically_increasing_id`,
+    * indexes are contiguous so two equal-length frames align. */
+  private[graft] def withRowIndex(df: DataFrame, name: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(name, org.apache.spark.sql.types.LongType, nullable = false)
+    val rdd = df.rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ idx)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with scale-oriented defaults.
+  *
+  * Mirrors the role of cuplyr's GPU context bootstrap
+  * (reference: R/zzz.R, R/gpu.R) — one place that owns engine
+  * configuration — but the knobs here are the ones that matter on a
+  * multi-executor Spark cluster: AQE (runtime re-planning, skew-join
+  * splitting, partition coalescing), broadcast thresholds, and a
+  * shuffle-partition count sized to the cluster rather than the
+  * 200-partition default.
+  */
+object GraftSession {
+
+  /** Build a tuned local session. `cores` drives shuffle parallelism so
+    * local runs don't pay 200-partition overhead; on a real cluster the
+    * same builder is used with AQE coalescing partitions at runtime.
+    */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+            appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.expressions.GraftFunctions.register(spark)
+    spark
+  }
+
+  /** Register graft SQL functions on an externally built session. */
+  def init(spark: SparkSession): SparkSession = {
+    graft.expressions.GraftFunctions.register(spark)
+    spark
+  }
+
+  /** JVM/executor memory introspection — the Spark-side analogue of
+    * cuplyr's gpu_memory_usage()/gpu_details() (reference:
+    * R/gpu-memory.R). Reports driver heap and block-manager storage.
+    */
+  def memoryState(spark: SparkSession): Map[String, Long] = {
+    val rt = Runtime.getRuntime
+    val status = spark.sparkContext.getExecutorMemoryStatus
+    Map(
+      "driver_heap_used" -> (rt.totalMemory() - rt.freeMemory()),
+      "driver_heap_max" -> rt.maxMemory(),
+      "executors" -> status.size.toLong,
+      "storage_remaining" -> status.values.map(_._2).sum,
+      "storage_max" -> status.values.map(_._1).sum
+    )
+  }
+}

@@ -1,0 +1,158 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{hashfns, textfns, vecfns}
+
+/** Deduplication operators for document corpora.
+  *
+  * Scale contract (100 TB, ~1000 executors): no stage ever shuffles
+  * document text. Signatures (16–32 byte fingerprints, k×8-byte minhash
+  * signatures, 8-byte simhashes) are computed scan-side inside
+  * whole-stage codegen; shuffles move only (id, signature) pairs;
+  * text is re-joined by id strictly for candidate verification, and
+  * candidate sets are bounded per bucket (`bucketCap`) so a degenerate
+  * key (boilerplate page, empty doc) cannot produce a quadratic bucket.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per normalized-text group.
+    *
+    * Groups on the 16-byte md5 fingerprint, not the text itself, so the
+    * single shuffle carries ids + fingerprints only. One window over
+    * the fingerprint (vs groupBy + self-join: two shuffles).
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = textfns.contentFingerprint(col(textCol))
+    val w = Window.partitionBy("__graft_fp").orderBy(col(idCol).asc)
+    df.withColumn("__graft_fp", fp)
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_fp", "__graft_rn")
+  }
+
+  /** Rows that would be dropped by [[exact]] — (kept_id, dropped_id). */
+  def exactDupMap(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withFp = df.select(col(idCol),
+      textfns.contentFingerprint(col(textCol)).as("fp"))
+    val w = Window.partitionBy("fp").orderBy(col(idCol).asc)
+    withFp.withColumn("keep_id", min(col(idCol)).over(w))
+      .filter(col(idCol) =!= col("keep_id"))
+      .select(col("keep_id"), col(idCol).as("dup_id"))
+  }
+
+  private def boundedPairs(exploded: DataFrame, bucketCap: Int): DataFrame = {
+    // Cap each bucket before the self-join: a bucket of B rows yields
+    // B^2/2 pairs, so a handful of degenerate buckets would dominate
+    // the stage. The cap is a documented recall tradeoff, applied
+    // deterministically (lowest ids kept).
+    val w = Window.partitionBy("bk").orderBy(col("id").asc)
+    val capped = exploded.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= bucketCap).drop("__rn")
+    val a = capped.alias("a"); val b = capped.alias("b")
+    a.join(b, col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * shingle → k-minhash signature → `bands` band keys → bucket
+    * self-join → exact-Jaccard verification of candidates only.
+    * Collision probability for Jaccard s is 1-(1-s^r)^b (r = k/bands);
+    * defaults (k=128, b=32, r=4) put the S-curve knee near s≈0.4.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, k: Int = 128, bands: Int = 32,
+                      threshold: Double = 0.5, seed: Long = 42L,
+                      bucketCap: Int = 1000): DataFrame = {
+    val rowsPerBand = k / bands
+    val docs = df.select(col(idCol).as("id"),
+        hashfns.minHashSig(col(textCol), shingleN, k, seed).as("sig"))
+    val exploded = docs.select(col("id"),
+      explode(hashfns.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+    val candidates = boundedPairs(exploded, bucketCap)
+
+    val shingled = df.select(col(idCol).as("id"),
+      array_distinct(hashfns.wordShingles(col(textCol), shingleN)).as("sh"))
+    candidates
+      .join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", hashfns.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit signatures, pigeonhole block
+    * index (hamming <= blocks-1 guaranteed found), codegen'd popcount
+    * verification. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, maxHamming: Int = 3,
+                   bucketCap: Int = 1000): DataFrame = {
+    val blocks = maxHamming + 1
+    val docs = df.select(col(idCol).as("id"),
+      hashfns.simHashSig(col(textCol), shingleN).as("sim"))
+    val exploded = docs.select(col("id"),
+      explode(hashfns.simHashBlockKeys(col("sim"), blocks)).as("bk"))
+    val candidates = boundedPairs(exploded, bucketCap)
+    candidates
+      .join(docs.select(col("id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sim").as("sim_b")), "id_b")
+      .withColumn("hamming",
+        graft.expressions.GraftFunctions.graft_hamming64(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard pairs via exploded-shingle equi-join —
+    * hash-free, so an independent SQL engine can replay it verbatim.
+    * Quadratic only within shared-shingle groups; intended as the
+    * verification/audit path, with [[minHashLshPairs]] as the scale
+    * path.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(array_distinct(hashfns.wordShingles(col(textCol), shingleN))).as("sh"))
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = toks.alias("a"); val b = toks.alias("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Embedding near-duplicate pairs: seeded random-hyperplane (SRP)
+    * buckets restrict the candidate space; the codegen'd cosine kernel
+    * verifies. Multiple independent bucket tables (`tables`) trade
+    * compute for recall, as in classic LSH. */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                        threshold: Double = 0.95, nBits: Int = 12,
+                        tables: Int = 2, seed: Long = 42L,
+                        bucketCap: Int = 2000): DataFrame = {
+    val buckets = (0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        vecfns.srpBucket(col(vecCol), dim, nBits, seed + t * 7919L).as("h"))
+    }
+    val exploded = df.select(col(idCol).as("id"),
+      explode(array(buckets: _*)).as("bk"))
+    val candidates = boundedPairs(exploded, bucketCap)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("cosine", vecfns.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines.
+  *
+  * All are pure compositions of `org.apache.spark.sql.functions._` —
+  * codegen'd, no UDFs — so they run inside whole-stage codegen directly
+  * over the parquet scan. Every definition is deliberately replicable
+  * in portable SQL (see SparkEntry.oracleSql) so correctness can be
+  * cross-checked by an independent engine.
+  */
+object textfns {
+
+  /** Whitespace token count; 0 for empty/blank strings. */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: alphabetic runs count 1 per run, digits 1
+    * each, any other non-space symbol 1 each — the pre-tokenizer split
+    * most BPE vocabularies start from. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** Count whole-word occurrences of any of `words` (ASCII word
+    * boundaries — identical semantics in Java regex and RE2). */
+  def wordHits(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(text),
+      lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+
+  /** Language-ID stopword tables. Deliberately small, disjoint,
+    * ASCII-word-boundary-safe marker sets; zh uses raw substring counts
+    * (CJK has no \b boundary in either regex engine). */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "une", "et", "est"),
+    "es" -> Seq("el", "los", "las", "una", "es"),
+    "zh" -> Seq("的", "是", "了", "在", "和")
+  )
+
+  /** Per-language stopword-hit score. */
+  def langScore(text: Column, lang: String): Column = {
+    val words = stopwords.toMap.apply(lang)
+    if (lang == "zh")
+      words.map(w => size(regexp_extract_all(text, lit(w), lit(0))))
+        .reduce(_ + _)
+    else wordHits(text, words)
+  }
+
+  /** Heuristic language ID: the first language (in `stopwords` order)
+    * whose score is >= every other language's score. Ties resolve to
+    * the earlier entry (en first) — deterministic by construction. */
+  def langId(text: Column): Column = {
+    val scores = stopwords.map { case (l, _) => l -> langScore(text, l) }
+    val cascade = scores.zipWithIndex.foldRight(lit("und")) {
+      case (((lang, score), _), elseCol) =>
+        val geAll = scores.filter(_._1 != lang).map(score >= _._2).reduce(_ && _)
+        when(geAll && score > 0, lit(lang)).otherwise(elseCol)
+    }
+    cascade
+  }
+
+  val PunctPattern = "[.,;:!?]"
+
+  /** Punctuation character ratio over total characters. */
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit(PunctPattern), lit(0))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** English stopword density — a standard fluency proxy. */
+  def stopwordRatio(text: Column): Column =
+    wordHits(text, stopwords.toMap.apply("en")).cast("double") /
+      greatest(wsTokenCount(text), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]:
+    * 0.5·min(words/100,1) + 0.3·min(stopword_ratio·5,1) +
+    * 0.2·(1-min(punct_ratio·10,1)). The components (length, fluency,
+    * symbol noise) follow published web-corpus filtering heuristics;
+    * the exact weights are graft's own, chosen to be SQL-replicable.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(wsTokenCount(text).cast("double") / 100.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 10.0, lit(1.0))
+    // Deliberately unrounded: every term is an IEEE-exact op over
+    // integer-derived doubles, so any engine replaying the formula
+    // computes the bit-identical result (decimal rounding would
+    // reintroduce engine-specific midpoint tie rules).
+    lenScore * 0.5 + stopScore * 0.3 + punctPenalty * 0.2
+  }
+
+  /** Whitespace/case-normalized text: the canonical form fed to exact
+    * dedup and fingerprinting. */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Content fingerprint: md5 of the normalized text (hex string).
+    * Engine-independent by construction — any system can recompute it.
+    * For a cheaper 8-byte engine-local fingerprint, use
+    * [[graft.expressions.GraftFunctions.graft_fingerprint64]]. */
+  def contentFingerprint(text: Column): Column =
+    md5(encode(normalizeText(text), "UTF-8"))
+}

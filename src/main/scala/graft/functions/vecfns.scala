@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.expressions.GraftFunctions
+
+/** Vector column functions over `array<float>` embedding columns.
+  *
+  * The codegen'd expressions in [[graft.expressions]] are the hot
+  * path; `cosineHof` is the pure-built-in fallback kept for plan
+  * comparison in the bench suite (higher-order functions are
+  * interpreted per element — measurably slower at corpus scale).
+  */
+object vecfns {
+
+  def cosine(a: Column, b: Column): Column = GraftFunctions.graft_cosine(a, b)
+  def dot(a: Column, b: Column): Column = GraftFunctions.graft_dot(a, b)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** cosine via zip_with + aggregate built-ins (no custom expression). */
+  def cosineHof(a: Column, b: Column): Column = {
+    val d = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+    val na = norm(a); val nb = norm(b)
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  /** Random-hyperplane (SRP) LSH bucket key: `nBits` sign bits of dot
+    * products with seeded pseudo-random hyperplanes, packed into one
+    * long. Cosine-similar vectors collide with probability
+    * 1 - theta/pi per bit. Hyperplane coefficients derive from
+    * (seed, bit, dim) hashes — no broadcast state, reproducible on
+    * every executor. */
+  def srpBucket(vec: Column, dim: Int, nBits: Int, seed: Long): Column = {
+    val bits = (0 until nBits).map { b =>
+      val planeDot = (0 until dim).map { i =>
+        // deterministic pseudo-random coefficient in [-1, 1)
+        val h = scala.util.hashing.byteswap64(seed + b * 131071L + i * 524287L)
+        element_at(vec, i + 1).cast("double") * lit(h.toDouble / Long.MaxValue.toDouble)
+      }.reduce(_ + _)
+      when(planeDot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Model: media travels as an opaque `binary` payload column plus a
+  * typed metadata struct — the layout every large multimodal corpus
+  * format (WebDataset-in-parquet, MMC4-style tables) converges on.
+  * Spark-side responsibilities that are REAL here: schema, partition
+  * sizing (payload rows are large → `maxPartitionBytes`-bounded scans),
+  * batch-shaped decode via `mapPartitions` over a typed Dataset (the
+  * Scala analogue of `mapInPandas`: one JVM-side batch loop, no
+  * per-row closure dispatch), and pushdown-friendly metadata pruning.
+  *
+  * The codec step itself is STUBBED — this container has no image or
+  * audio libraries — behind [[StubDecoder]], a deterministic fake that
+  * parses dimensions from the payload bytes. Swap in a real decoder
+  * per modality without touching any plumbing.
+  */
+object Multimodal {
+
+  /** One media row: payload + typed metadata. */
+  case class MediaRow(doc_id: Long, modality: String, payload: Array[Byte],
+                      media_type: String, n_bytes: Long)
+
+  /** Decoded features emitted by the (stubbed) decoder. */
+  case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Long,
+                           width: Int, height: Int, n_frames: Int,
+                           sha256: String)
+
+  /** DETERMINISTIC STUB — stands in for e.g. libjpeg/ffmpeg decode.
+    * Derives fake dimensions from payload length and first bytes so
+    * tests have stable expectations. A real implementation keeps the
+    * exact same signature: bytes in, features out, one call per row
+    * inside a partition-level batch loop. */
+  object StubDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Int) = {
+      val n = payload.length
+      val lead = if (n > 0) payload(0) & 0xff else 0
+      val width = 64 + (n % 577)
+      val height = 64 + ((n * 31 + lead) % 577)
+      val frames = 1 + (lead % 8)
+      (width, height, frames)
+    }
+  }
+
+  /** Wrap a text table as fake media rows (the test corpus has no real
+    * binary payloads; `encode(text)` provides deterministic bytes with
+    * realistic skew in size). */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      lit("image").as("modality"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("image/fake").as("media_type"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+
+  /** Batch decode: typed Dataset → mapPartitions → features.
+    * Per-partition loop = one decoder instance per task, amortized
+    * setup, sequential byte access — the shape that matters when the
+    * decode step is a native library call. */
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { r =>
+        val (w, h, f) = StubDecoder.decode(r.payload)
+        digest.reset()
+        val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
+        MediaFeatures(r.doc_id, r.modality, r.n_bytes, w, h, f, sha)
+      }
+    }
+  }
+
+  /** Declarative metadata-only feature extraction (no payload decode):
+    * stays in whole-stage codegen, and column pruning means the scan
+    * skips payload pages entirely when only metadata is referenced. */
+  def metadataFeatures(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"),
+      col("n_bytes"),
+      sha2(col("payload"), 256).as("sha256"),
+      (lit(64) + pmod(col("n_bytes"), lit(577))).cast("int").as("fake_width"))
+
+  /** Deterministic frame sampling plan for video-like payloads: every
+    * `stride`-th frame index up to `maxFrames` — pure metadata,
+    * expressible without decoding. */
+  def frameSamplePlan(media: DataFrame, fps: Int = 30, stride: Int = 10,
+                      maxFrames: Int = 8): DataFrame =
+    media.withColumn("n_frames_est",
+        greatest(lit(1), (col("n_bytes") / 1024).cast("int")))
+      .withColumn("sampled_frames",
+        slice(sequence(lit(0), col("n_frames_est") - 1, lit(stride)), 1, maxFrames))
+}

@@ -1,0 +1,140 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.vecfns
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Three tiers:
+  *   1. [[bruteForceTopK]] — exact, scalable: queries broadcast to every
+  *      partition, per-partition bounded heaps, then a final top-k over
+  *      parts × Q × k candidate rows. Never materializes or sorts the
+  *      N×Q score matrix.
+  *   2. [[bruteForceTopKSql]] — exact, declarative (window rank). Used
+  *      as the oracle-matched baseline; the full score set shuffles, so
+  *      it is the sf-small correctness twin of (1), not the scale path.
+  *   3. [[lshTopK]] — approximate: SRP-LSH buckets restrict candidates
+  *      before exact scoring (the 100 TB path when Q is large too).
+  */
+object Ann {
+
+  /** Exact top-k neighbors per query by cosine.
+    *
+    * `queries` is collected to the driver (it must be the small side —
+    * the same contract as a broadcast join) and shipped once per
+    * executor via a broadcast variable; the corpus is streamed
+    * partition-by-partition through per-query bounded heaps. Output:
+    * (query_id, neighbor_id, score, rank).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val qRows: Array[(Long, Array[Float])] = queries
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bc = spark.sparkContext.broadcast(qRows)
+
+    val candidates = corpus.select(col(idCol).cast("long"), col(vecCol)).rdd
+      .mapPartitions { it =>
+        val qs = bc.value
+        // per-query bounded worst-first ordering: (score asc, id desc)
+        // so the head is the entry to evict
+        val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+          Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }))
+        it.foreach { r =>
+          val id = r.getLong(0)
+          val vec = r.getSeq[Float](1).toArray
+          var qi = 0
+          while (qi < qs.length) {
+            val q = qs(qi)._2
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            while (i < vec.length) {
+              val x = vec(i).toDouble; val y = q(i).toDouble
+              dot += x * y; na += x * x; nb += y * y; i += 1
+            }
+            val s = if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((s, id))
+            else {
+              val (ws, wid) = h.head
+              if (s > ws || (s == ws && id < wid)) { h.dequeue(); h.enqueue((s, id)) }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (s, id) => Row(qs(qi)._1, id, s) }
+        }
+      }
+    val schema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    val candDf = spark.createDataFrame(candidates, schema)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    candDf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Exact top-k, fully declarative: broadcast-nested-loop score +
+    * window rank. Scores are computed on integer-quantized vectors
+    * (x→round(1000x)) so the ranking key sign(d)·d²/(|a|²|b|²) is an
+    * exact-integer-derived double — bit-identical in any IEEE engine,
+    * which makes the result independently verifiable by SQL oracle.
+    */
+  def bruteForceTopKSql(corpus: DataFrame, queries: DataFrame, k: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def quant(c: org.apache.spark.sql.Column) =
+      transform(c, x => round(x.cast("double") * 1000.0, 0).cast("long"))
+    def idot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), quant(col(vecCol)).as("qv"))
+    val q = queries.select(col(idCol).as("query_id"), quant(col(vecCol)).as("qq"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("d", idot(col("qv"), col("qq")).cast("double"))
+      .withColumn("na", idot(col("qv"), col("qv")).cast("double"))
+      .withColumn("nb", idot(col("qq"), col("qq")).cast("double"))
+      .withColumn("score",
+        when(col("na") === 0 || col("nb") === 0, lit(0.0))
+          .otherwise(signum(col("d")) * col("d") * col("d") / (col("na") * col("nb"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
+  /** Approximate top-k: SRP-LSH bucket join (multi-table for recall)
+    * restricts candidates, then exact cosine + rank within candidates.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nBits: Int = 8, tables: Int = 4, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def bucketed(df: DataFrame, idAs: String, vecAs: String) = {
+      val buckets = (0 until tables).map { t =>
+        struct(lit(t).as("t"),
+          vecfns.srpBucket(col(vecCol), dim, nBits, seed + t * 7919L).as("h"))
+      }
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+        explode(array(buckets: _*)).as("bk"))
+    }
+    val c = bucketed(corpus, "neighbor_id", "cv")
+    val q = bucketed(queries, "query_id", "qv")
+    val cand = c.join(broadcast(q), Seq("bk"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "cv", "qv")
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("score", vecfns.cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time analytics over the `events` table, batch + streaming.
+  *
+  * The batch forms are the oracle-checkable definitions; the streaming
+  * forms are the same logical transforms lifted onto `readStream` with
+  * watermarks bounding state — per Structured Streaming's contract the
+  * two produce the same results for the same input data.
+  */
+object Streams {
+
+  import org.apache.spark.sql.types.{LongType, TimestampType}
+
+  /** Event-time column as a proper TIMESTAMP regardless of how the
+    * source stored it. Raw-nanos longs (parquet TIMESTAMP(NANOS) read
+    * under `nanosAsLong`) are floor-divided with INTEGER arithmetic —
+    * epoch-nanos exceed 2^53, so any route through double would lose
+    * precision. NTZ casts are instant-preserving under the UTC session.
+    */
+  private def eventTs(events: DataFrame, tsCol: String): Column =
+    events.schema(tsCol).dataType match {
+      case LongType => timestamp_micros(expr(s"$tsCol div 1000"))
+      case TimestampType => col(tsCol)
+      case _ => col(tsCol).cast("timestamp")
+    }
+
+  /** Event-time as epoch millis (BIGINT, engine-neutral). */
+  private def eventTsMs(events: DataFrame, tsCol: String): Column =
+    events.schema(tsCol).dataType match {
+      case LongType => expr(s"$tsCol div 1000000")
+      case _ => unix_millis(eventTs(events, tsCol))
+    }
+
+  /** Tumbling event-time window aggregate (batch form).
+    * Output key is the window start as epoch seconds — engine-neutral.
+    */
+  def tumblingAgg(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(eventTs(events, "ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization (batch form): a new session starts when a
+    * user is idle longer than `gapMinutes`. One shuffle (by user), then
+    * two windows over the same partitioning — Spark reuses the sort.
+    * All time arithmetic in epoch millis (integer, engine-neutral).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapMs = gapMinutes * 60L * 1000L
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms").asc, col("event_id").asc)
+    events
+      .withColumn("ts_ms", eventTsMs(events, "ts"))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("session_start_ms"),
+        max(col("ts_ms")).as("session_end_ms"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  /** Streaming twin of [[tumblingAgg]]: watermark bounds the window
+    * state store; late data beyond the watermark is dropped. Returns
+    * the streaming DataFrame — callers attach a sink. */
+  def tumblingAggStream(spark: SparkSession, sourceDir: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        windowLen: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** Rolling per-user running totals (batch window-function form used
+    * by the q18_window oracle query). */
+  def runningTotals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms").asc, col("event_id").asc)
+    events.withColumn("ts_ms", eventTsMs(events, "ts"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_value",
+        round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+  }
+}

@@ -1,0 +1,22 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.{ClassicConversions, ColumnConversions, ExpressionColumnNode}
+
+/** Column ⇄ Expression bridge.
+  *
+  * Spark 4's Connect-compatible `Column` hides its Catalyst expression
+  * behind `private[sql]` converters, so libraries that define native
+  * Catalyst expressions host a small adapter inside an
+  * `org.apache.spark.sql` subpackage — the sanctioned pattern for
+  * extension libraries building on the classic execution engine.
+  */
+object Bridge {
+  def column(e: Expression): Column = new Column(ExpressionColumnNode(e))
+
+  def expression(c: Column): Expression = ColumnConversions.expression(c)
+
+  def sessionState(spark: SparkSession) =
+    ClassicConversions.castToImpl(spark).sessionState
+}
