@@ -279,10 +279,17 @@ object SparkEntry {
           shingleN = 5, threshold = 0.5)
         .orderBy(col("id_a").asc, col("id_b").asc)),
 
-    "dd5_embed_dup" -> ((s, dir) =>
-      Dedup.embeddingDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-          dim = 64, threshold = 0.9, nBits = 10, tables = 2)
-        .orderBy(col("id_a").asc, col("id_b").asc)),
+    "dd5_embed_dup" -> ((s, dir) => {
+      // the synthetic embeddings have no natural pairs above 0.9 cosine
+      // (measured max 0.48), so plant identical twins like dd1/dd4 do —
+      // the operator must recover exactly those.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val twins = emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+      Dedup.embeddingDupPairs(emb.unionByName(twins), "vec_id", "embedding",
+          dim = 64, threshold = 0.99, nBits = 10, tables = 2)
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    }),
 
     "ann1_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

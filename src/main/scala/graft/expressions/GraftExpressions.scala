@@ -111,6 +111,23 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** srp_bucket(array<float>) → bigint — packed LSH sign bits. */
+case class SrpBucket(child: Expression, nBits: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_srp_bucket"
+
+  override def nullSafeEval(a: Any): Any =
+    Kernels.srpBucket(a.asInstanceOf[ArrayData], nBits, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.Kernels.srpBucket($a, $nBits, ${seed}L);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** fingerprint64(string) → bigint — polynomial rolling hash. */
 case class PolyFingerprint(child: Expression, base: Long = 257L)
     extends UnaryExpression {
@@ -137,6 +154,8 @@ object GraftFunctions {
   def graft_minhash(hashes: Column, k: Int, seed: Long): Column =
     Bridge.column(MinHashSignature(Bridge.expression(hashes), k, seed))
   def graft_simhash64(hashes: Column): Column = Bridge.column(SimHash64(Bridge.expression(hashes)))
+  def graft_srp_bucket(vec: Column, nBits: Int, seed: Long): Column =
+    Bridge.column(SrpBucket(Bridge.expression(vec), nBits, seed))
   def graft_fingerprint64(text: Column, base: Long = 257L): Column =
     Bridge.column(PolyFingerprint(Bridge.expression(text), base))
 

@@ -103,6 +103,33 @@ object Kernels {
     out
   }
 
+  /** Signed-random-projection (SRP) LSH bucket of a float vector:
+    * `nBits` sign bits of dot products with pseudo-random hyperplanes,
+    * packed into one long. Hyperplane coefficient (b, i) derives from
+    * byteswap-mixing (seed, b, i) — reproducible on every executor with
+    * zero broadcast state. One fused O(nBits·dim) loop; replaces a
+    * composed per-element expression tree that overflowed janino's
+    * method-size limit and fell back to interpretation.
+    */
+  def srpBucket(vec: ArrayData, nBits: Int, seed: Long): Long = {
+    val n = vec.numElements()
+    var out = 0L
+    var b = 0
+    while (b < nBits) {
+      val base = seed + b.toLong * 131071L
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val h = java.lang.Long.reverseBytes((base + i.toLong * 524287L) * 0x9e3779b97f4a7c15L)
+        dot += vec.getFloat(i).toDouble * (h.toDouble / Long.MaxValue.toDouble)
+        i += 1
+      }
+      if (dot >= 0.0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** Polynomial rolling-hash fingerprint of a UTF-8 string:
     * h = sum(byte_i * base^i) mod (2^61-1). Order-sensitive (unlike a
     * bag-of-bytes hash) and incremental — the building block for

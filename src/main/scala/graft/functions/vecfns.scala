@@ -32,16 +32,11 @@ object vecfns {
     * long. Cosine-similar vectors collide with probability
     * 1 - theta/pi per bit. Hyperplane coefficients derive from
     * (seed, bit, dim) hashes — no broadcast state, reproducible on
-    * every executor. */
-  def srpBucket(vec: Column, dim: Int, nBits: Int, seed: Long): Column = {
-    val bits = (0 until nBits).map { b =>
-      val planeDot = (0 until dim).map { i =>
-        // deterministic pseudo-random coefficient in [-1, 1)
-        val h = scala.util.hashing.byteswap64(seed + b * 131071L + i * 524287L)
-        element_at(vec, i + 1).cast("double") * lit(h.toDouble / Long.MaxValue.toDouble)
-      }.reduce(_ + _)
-      when(planeDot >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+    * every executor. Codegen'd single-kernel expression: a composed
+    * per-element Column tree at dim=64 × nBits=12 is ~800 nodes, which
+    * overflows janino and drops the whole stage to interpreted eval.
+    * (`dim` retained for API stability; the kernel reads the array
+    * length.) */
+  def srpBucket(vec: Column, dim: Int, nBits: Int, seed: Long): Column =
+    GraftFunctions.graft_srp_bucket(vec, nBits, seed)
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.vecfns
+import graft.similarity.Ann
+
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = SparkT.spark
+
+  private def emb = SparkT.table("embeddings")
+  private def queries = emb.filter(col("vec_id") < 5)
+
+  /** Naive reference: full cross join + global window sort. */
+  private def naiveTopK(k: Int) = {
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    c.crossJoin(q)
+      .withColumn("score", vecfns.cosine(col("cv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  test("bruteForceTopK (partition heaps) matches the naive full sort") {
+    val got = Ann.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id", "rank")
+    val want = naiveTopK(10)
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
+
+  test("bruteForceTopKSql ranking agrees with cosine ranking") {
+    // quantized-integer scoring must induce (near-)identical rank order;
+    // demand ≥9/10 overlap per query to absorb quantization ties
+    val sqlTop = Ann.bruteForceTopKSql(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+    val cosTop = naiveTopK(11).filter(col("rank") > 1) // naive includes self at rank 1
+      .select("query_id", "neighbor_id")
+    val overlap = sqlTop.intersect(cosTop).groupBy("query_id").count()
+      .collect().map(_.getLong(1))
+    assert(overlap.length == 5 && overlap.forall(_ >= 9))
+  }
+
+  test("lshTopK finds planted identical twins as top-1") {
+    val twins = queries.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(twins)
+    val top1 = Ann.lshTopK(corpus, queries, k = 3, dim = 64, nBits = 8, tables = 4)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    (0L until 5L).foreach { q =>
+      assert(top1(q) == q + 10000L, s"query $q top-1 should be its twin")
+    }
+  }
+
+  test("lshTopK output is well-formed: ≤k rows per query, scores descending") {
+    val out = Ann.lshTopK(emb, queries, k = 10, dim = 64).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      assert(rows.length <= 10)
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}

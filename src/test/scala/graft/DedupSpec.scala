@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+
+/** Planted-duplicate recall specs — the correctness pin for the
+  * hash-seeded operators the DuckDB oracle can't replay. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkT.spark
+
+  private def docs: DataFrame =
+    SparkT.table("documents").select(col("doc_id"), col("text"))
+
+  /** originals ∪ exact copies at doc_id+10000 */
+  private def withExact = docs.unionByName(
+    docs.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+
+  /** originals ∪ tail-padded near-copies of every 10th doc */
+  private def withNear = docs.unionByName(
+    docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"),
+        concat(col("text"), lit(" graft dedup pad tail")).as("text")))
+
+  private def plantedPairs(result: DataFrame): Long =
+    result.filter(col("id_b") === col("id_a") + 10000L).count()
+
+  private val nPlanted = docs.filter(col("doc_id") % 10 === 0).count()
+
+  test("exact dedup keeps exactly one survivor per text, lowest id") {
+    val kept = Dedup.exact(withExact, "text", "doc_id")
+    assert(kept.count() == docs.count())
+    assert(kept.agg(max(col("doc_id"))).collect()(0).getLong(0) < 10000L)
+  }
+
+  test("exactDupMap maps every duplicate to its lowest-id survivor") {
+    val m = Dedup.exactDupMap(withExact, "text", "doc_id")
+    assert(m.count() == docs.count())
+    assert(m.filter(col("dup_id") =!= col("keep_id") + 10000L).count() == 0)
+  }
+
+  test("minhash LSH finds every planted near-duplicate pair") {
+    val pairs = Dedup.minHashLshPairs(withNear, "doc_id", "text",
+      shingleN = 3, k = 128, bands = 32, threshold = 0.5)
+    assert(plantedPairs(pairs) == nPlanted)
+    // and verification keeps jaccard honest: no pair below threshold
+    assert(pairs.filter(col("jaccard") < 0.5).count() == 0)
+  }
+
+  test("simhash: exact copies at hamming 0 are all found; bound respected") {
+    // identical shingle sets → identical simhash → pigeonhole blocks
+    // guarantee discovery; that's the hard recall contract
+    val pairs = Dedup.simHashPairs(withExact, "doc_id", "text",
+      shingleN = 3, maxHamming = 3)
+    assert(plantedPairs(pairs) == docs.count())
+    assert(pairs.filter(col("hamming") > 3).count() == 0)
+  }
+
+  test("simhash near-duplicates: some planted pairs within hamming 3") {
+    // tail-padding shifts ~bits proportionally to the edit, so hamming<=3
+    // is intentionally conservative — a lossier signal than minhash.
+    val pairs = Dedup.simHashPairs(withNear, "doc_id", "text",
+      shingleN = 3, maxHamming = 3)
+    assert(plantedPairs(pairs) > 0)
+  }
+
+  test("ngram jaccard (hash-free audit path) finds every planted pair") {
+    val pairs = Dedup.ngramJaccardPairs(withNear, "doc_id", "text",
+      shingleN = 5, threshold = 0.5)
+    assert(plantedPairs(pairs) == nPlanted)
+  }
+
+  test("embedding dedup finds planted identical vectors") {
+    val emb = SparkT.table("embeddings").select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(planted)
+    val pairs = Dedup.embeddingDupPairs(corpus, "vec_id", "embedding",
+      dim = 64, threshold = 0.999, nBits = 10, tables = 2)
+    // identical vectors share every SRP bucket → all 50 pairs found
+    assert(pairs.filter(col("id_b") === col("id_a") + 10000L).count() == 50)
+  }
+}

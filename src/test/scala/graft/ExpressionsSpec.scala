@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.GraftFunctions._
+import graft.functions.{hashfns, vecfns}
+
+class ExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkT.spark
+  import spark.implicits._
+
+  test("graft_cosine: identity, orthogonality, and HOF agreement") {
+    val d = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 2f), Array(2f, 4f))
+    ).toDF("a", "b")
+    val r = d.select(graft_cosine(col("a"), col("b")).as("c")).collect().map(_.getDouble(0))
+    assert(math.abs(r(0) - 1.0) < 1e-12)
+    assert(math.abs(r(1)) < 1e-12)
+    assert(math.abs(r(2) - 1.0) < 1e-12)
+
+    // kernel vs pure-built-in fallback on real embeddings
+    val emb = SparkT.table("embeddings").limit(50)
+    val both = emb.crossJoin(emb.select(col("embedding").as("e2")).limit(3))
+      .select(graft_cosine(col("embedding"), col("e2")).as("k"),
+        vecfns.cosineHof(col("embedding"), col("e2")).as("h"))
+      .collect()
+    both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("graft_cosine returns 0.0 on length mismatch or zero norm") {
+    val d = Seq(
+      (Array(1f, 2f), Array(1f, 2f, 3f)),
+      (Array(0f, 0f), Array(1f, 2f))
+    ).toDF("a", "b")
+    val r = d.select(graft_cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(r.toSeq == Seq(0.0, 0.0))
+  }
+
+  test("graft_hamming64 is popcount of xor") {
+    val d = Seq((0L, 0L), (0L, -1L), (5L, 6L)).toDF("a", "b")
+    val r = d.select(graft_hamming64(col("a"), col("b"))).collect().map(_.getInt(0))
+    assert(r.toSeq == Seq(0, 64, 2))
+  }
+
+  test("minhash signatures: deterministic, k-length, similarity-preserving") {
+    val d = Seq(
+      Tuple1("the quick brown fox jumps over the lazy dog again and again today"),
+      Tuple1("the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      Tuple1("completely different words nothing shared at all here whatsoever truly")
+    ).toDF("text")
+    val sigs = d.select(hashfns.minHashSig(col("text"), 3, 64, 42L).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs.forall(_.length == 64))
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(agree(sigs(0), sigs(1)) > agree(sigs(0), sigs(2)))
+    // determinism across evaluations
+    val again = d.select(hashfns.minHashSig(col("text"), 3, 64, 42L).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs.zip(again).forall { case (a, b) => a == b })
+  }
+
+  test("simhash: identical texts → identical hash; near → small hamming") {
+    val d = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog again and again today ok"),
+      ("b", "the quick brown fox jumps over the lazy dog again and again today ok"),
+      ("c", "the quick brown fox jumps over the lazy dog again and again today no")
+    ).toDF("id", "text")
+    val h = d.select(col("id"), hashfns.simHashSig(col("text"), 3).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(h("a") == h("b"))
+    assert(java.lang.Long.bitCount(h("a") ^ h("c")) < 16)
+  }
+
+  test("srp bucket: equal vectors always collide; deterministic") {
+    val d = Seq(
+      (Array(0.5f, -1f, 2f), Array(0.5f, -1f, 2f)),
+      (Array(1f, 1f, 1f), Array(-1f, -1f, -1f))
+    ).toDF("a", "b")
+    val r = d.select(graft_srp_bucket(col("a"), 16, 7L).as("ha"),
+      graft_srp_bucket(col("b"), 16, 7L).as("hb")).collect()
+    assert(r(0).getLong(0) == r(0).getLong(1))
+    // opposite vectors flip every sign bit
+    assert((r(1).getLong(0) ^ r(1).getLong(1)) == 0xffffL)
+  }
+
+  test("fingerprint64 is order-sensitive and deterministic") {
+    val d = Seq(("ab", "ba"), ("ab", "ab")).toDF("x", "y")
+    val r = d.select(graft_fingerprint64(col("x")).as("fx"),
+      graft_fingerprint64(col("y")).as("fy")).collect()
+    assert(r(0).getLong(0) != r(0).getLong(1))
+    assert(r(1).getLong(0) == r(1).getLong(1))
+  }
+
+  test("SQL registration exposes the native functions") {
+    val one = spark.sql("SELECT graft_hamming64(1L, 3L) AS h").collect()(0).getInt(0)
+    assert(one == 1)
+    val c = spark.sql(
+      "SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c"
+    ).collect()(0).getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("shingles: correct n-grams, empty below n words") {
+    val d = Seq(Tuple1("a b c d"), Tuple1("a b")).toDF("t")
+    val r = d.select(hashfns.wordShingles(col("t"), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(r(0) == Seq("a b c", "b c d"))
+    assert(r(1).isEmpty)
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.GraftFrame
+import graft.api.GraftFrame.{asc, desc}
+
+/** dplyr-semantic fidelity of the verb layer (reference behaviors:
+  * R/mutate.R sequential+in-place, R/arrange.R NA placement,
+  * R/join.R na_matches="na", R/bind.R, R/summarise.R drop-groups). */
+class GraftFrameSpec extends AnyFunSuite {
+  lazy val spark = SparkT.spark
+  import spark.implicits._
+
+  private def df3 = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+    .toDF("id", "name", "v")
+
+  test("mutate is sequential and replaces in place") {
+    val out = GraftFrame(df3)
+      .mutate("v" -> (col("v") * 2), "w" -> (col("v") + 1))
+      .df
+    // replaced column keeps its position; new column appended
+    assert(out.columns.toSeq == Seq("id", "name", "v", "w"))
+    val r = out.orderBy("id").collect()
+    assert(r(0).getDouble(2) == 20.0)  // v replaced
+    assert(r(0).getDouble(3) == 21.0)  // w sees the NEW v (sequential)
+  }
+
+  test("arrange: nulls last ascending, nulls first descending") {
+    val d = Seq(Some(2.0), None, Some(1.0)).toDF("x")
+    val ascOrder = GraftFrame(d).arrange(asc("x")).df.collect().map(r =>
+      if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(ascOrder.toSeq == Seq(1.0, 2.0, null))
+    val descOrder = GraftFrame(d).arrange(desc("x")).df.collect().map(r =>
+      if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(descOrder.toSeq == Seq(null, 2.0, 1.0))
+  }
+
+  test("joins match null keys (na_matches = na)") {
+    val l = Seq((Some(1), "l1"), (None, "l2")).toDF("k", "lv")
+    val r = Seq((Some(1), "r1"), (None, "r2")).toDF("k", "rv")
+    val j = GraftFrame(l).innerJoin(GraftFrame(r), Seq("k"))
+    assert(j.df.count() == 2) // null key matched null key
+    val nullRow = j.df.filter(col("k").isNull).collect()
+    assert(nullRow.length == 1 && nullRow(0).getString(1) == "l2"
+      && nullRow(0).getString(2) == "r2")
+  }
+
+  test("full join coalesces key, keeps both sides") {
+    val l = Seq((1, "a"), (2, "b")).toDF("k", "lv")
+    val r = Seq((2, "x"), (3, "y")).toDF("k", "rv")
+    val j = GraftFrame(l).fullJoin(GraftFrame(r), Seq("k"))
+      .arrange(asc("k")).df.collect()
+    assert(j.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+  }
+
+  test("join suffixes duplicate non-key columns") {
+    val l = Seq((1, "a")).toDF("k", "v")
+    val r = Seq((1, "b")).toDF("k", "v")
+    val j = GraftFrame(l).innerJoin(GraftFrame(r), Seq("k"))
+    assert(j.names == Seq("k", "v_x", "v_y"))
+  }
+
+  test("bindRows fills missing columns with null") {
+    val a = Seq((1, "a")).toDF("id", "name")
+    val b = Seq(Tuple1(2)).toDF("id")
+    val u = GraftFrame(a).bindRows(GraftFrame(b)).arrangeBy("id").df.collect()
+    assert(u.length == 2 && u(1).isNullAt(1))
+  }
+
+  test("bindCols zips positionally") {
+    val a = Seq(1, 2, 3).toDF("x")
+    val b = Seq("a", "b", "c").toDF("y")
+    val z = GraftFrame(a).bindCols(GraftFrame(b)).df
+      .orderBy("x").collect()
+    assert(z.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("bindCols disambiguates duplicate names") {
+    val a = Seq(1).toDF("x")
+    val b = Seq(2).toDF("x")
+    assert(GraftFrame(a).bindCols(GraftFrame(b)).names == Seq("x", "x_rhs"))
+  }
+
+  test("summarise computes R sample statistics and drops groups") {
+    val d = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0)).toDF("k", "v")
+    val out = GraftFrame(d).groupBy("k")
+      .summarise("sd" -> stddev_samp(col("v")), "vr" -> var_samp(col("v")),
+        "n" -> count(lit(1)))
+    assert(out.groupVars.isEmpty)
+    val r = out.df.collect()(0)
+    assert(math.abs(r.getAs[Double]("sd") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("vr") - 1.0) < 1e-12)
+    assert(r.getAs[Long]("n") == 3L)
+  }
+
+  test("group_by accumulates like dplyr .add and select prunes groups") {
+    val f = GraftFrame(df3).groupBy("id").groupBy("name")
+    assert(f.groupVars == Seq("id", "name"))
+    assert(f.select("name", "v").groupVars == Seq("name"))
+    assert(f.ungroup.groupVars.isEmpty)
+  }
+
+  test("headN limits, distinct_ dedups, renameAll renames") {
+    val d = Seq(1, 1, 2, 2, 3).toDF("x")
+    assert(GraftFrame(d).distinct_().df.count() == 3)
+    assert(GraftFrame(d).headN(2).df.count() == 2)
+    assert(GraftFrame(d).renameAll(Seq("y")).names == Seq("y"))
+  }
+
+  test("semi and anti joins partition the left side") {
+    val cust = GraftFrame(SparkT.table("customer"))
+    val ords = GraftFrame(SparkT.table("orders"))
+      .selectExpr2("c_custkey" -> col("o_custkey"))
+    val s = cust.semiJoin(ords, Seq("c_custkey")).df.count()
+    val a = cust.antiJoin(ords, Seq("c_custkey")).df.count()
+    assert(s + a == cust.df.count())
+    assert(s > 0)
+  }
+
+  test("compute persists; collapse is lazy; collect pulls rows") {
+    val f = GraftFrame(df3).collapse()
+    assert(f.df.storageLevel.useMemory) // marked, not yet materialized
+    val c = f.compute()
+    assert(c.collect().length == 3)
+    c.unpersist()
+  }
+
+  test("dims and schema report without mutation") {
+    val f = GraftFrame(df3)
+    assert(f.dims == (3L, 3))
+    assert(f.schema.fieldNames.toSeq == Seq("id", "name", "v"))
+  }
+}

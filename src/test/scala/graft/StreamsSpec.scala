@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+
+class StreamsSpec extends AnyFunSuite {
+  lazy val spark = SparkT.spark
+
+  test("sessionize: gap splits sessions, epochs bound them") {
+    import spark.implicits._
+    val base = 1700000000000L // ms
+    val rows = Seq(
+      (1L, 1L, base),
+      (2L, 1L, base + 60000L),          // same session (1 min later)
+      (3L, 1L, base + 60000L + 31 * 60000L), // new session (31 min gap)
+      (4L, 2L, base)                     // other user
+    ).toDF("event_id", "user_id", "ts_ms_in")
+      .withColumn("ts", timestamp_millis(col("ts_ms_in")))
+      .withColumn("value", lit(1.0))
+      .drop("ts_ms_in")
+    val s = Streams.sessionize(rows, gapMinutes = 30)
+      .orderBy("user_id", "session_seq").collect()
+    assert(s.length == 3)
+    assert(s(0).getAs[Long]("n_events") == 2)
+    assert(s(1).getAs[Long]("n_events") == 1)
+    assert(s(2).getAs[Long]("user_id") == 2L)
+  }
+
+  test("streaming tumbling agg equals the batch form on the same data") {
+    // materialize events with a proper timestamp column, then replay it
+    // through readStream — Structured Streaming's batch-equivalence
+    // contract makes the two paths comparable row-for-row.
+    val ev = SparkT.table("events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("ts", "event_type", "value")
+    val dir = Files.createTempDirectory("graft_stream").toString
+    ev.write.mode("overwrite").parquet(dir)
+
+    val batch = Streams.tumblingAgg(spark.read.parquet(dir), "1 hour")
+
+    val stream = Streams.tumblingAggStream(spark, dir,
+      spark.read.parquet(dir).schema, "1 hour", "2 hours")
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_tumbling_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_tumbling_test")
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("event_type"), col("n_events"),
+          round(col("sum_value"), 4).as("sum_value"))
+      assert(got.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(got).count() == 0)
+    } finally q.stop()
+  }
+}

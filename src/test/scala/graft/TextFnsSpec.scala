@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.textfns
+
+class TextFnsSpec extends AnyFunSuite {
+  lazy val spark = SparkT.spark
+  import spark.implicits._
+
+  test("wsTokenCount handles blanks, runs of whitespace") {
+    val d = Seq("", "   ", "one", "a  b\tc").toDF("t")
+    val r = d.select(textfns.wsTokenCount(col("t"))).collect().map(_.getInt(0))
+    assert(r.toSeq == Seq(0, 0, 1, 3))
+  }
+
+  test("bpeish tokens: letter runs 1, digits each, symbols each") {
+    val d = Seq(Tuple1("hello world 42!?")).toDF("t")
+    val r = d.select(textfns.bpeishTokenCount(col("t"))).collect()(0).getInt(0)
+    assert(r == 6) // hello, world, 4, 2, !, ?
+  }
+
+  test("langId picks the dominant stopword language, und when none") {
+    val d = Seq(
+      "the cat sat on the mat and looked to the door of it",
+      "der hund und die katze das ist gut",
+      "le chat et les oiseaux est une chose",
+      "el gato y los pajaros es una cosa",
+      "xyzzy plugh qwerty"
+    ).toDF("t")
+    val r = d.select(textfns.langId(col("t"))).collect().map(_.getString(0))
+    assert(r.toSeq == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("quality score stays in [0,1] and rewards fluent length") {
+    val d = Seq(
+      "the cat and the dog of the house went to the park in the morning and the evening",
+      "!!! ??? ... ;;; :::"
+    ).toDF("t")
+    val r = d.select(textfns.qualityScore(col("t"))).collect().map(_.getDouble(0))
+    assert(r.forall(x => x >= 0.0 && x <= 1.0))
+    assert(r(0) > r(1))
+  }
+
+  test("contentFingerprint is whitespace/case-insensitive md5") {
+    val d = Seq(("Hello   World", "hello world")).toDF("a", "b")
+    val r = d.select(textfns.contentFingerprint(col("a")).as("fa"),
+      textfns.contentFingerprint(col("b")).as("fb")).collect()(0)
+    assert(r.getString(0) == r.getString(1))
+    assert(r.getString(0) == "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+  }
+}
