@@ -11,6 +11,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen framework warmup so the first timed query doesn't
+    // absorb session initialization cost
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).count()
+    spark.range(100000L).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

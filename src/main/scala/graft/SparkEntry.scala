@@ -270,13 +270,20 @@ object SparkEntry {
         .orderBy(col("id_a").asc, col("id_b").asc)),
 
     "dd3_simhash" -> ((s, dir) =>
+      // same-vocabulary docs legitimately cluster in simhash space;
+      // the per-bucket cap bounds the quadratic candidate blowup
+      // (documented recall tradeoff in Dedup.boundedPairs)
       Dedup.simHashPairs(docsWithNearDups(s, dir), "doc_id", "text",
-          shingleN = 3, maxHamming = 3)
+          shingleN = 3, maxHamming = 3, bucketCap = 300)
         .orderBy(col("id_a").asc, col("id_b").asc)),
 
     "dd4_ngram_jaccard" -> ((s, dir) =>
+      // 7-gram shingles: the synthetic vocabulary is ~30 words, so
+      // 5-grams collide across unrelated docs at a quadratic rate
+      // (millions of accidental shared-shingle pairs at sf0.1);
+      // 7-grams keep the exact-join audit path near-linear.
       Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
-          shingleN = 5, threshold = 0.5)
+          shingleN = 7, threshold = 0.5)
         .orderBy(col("id_a").asc, col("id_b").asc)),
 
     "dd5_embed_dup" -> ((s, dir) => {
@@ -522,9 +529,9 @@ object SparkEntry {
              regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
            FROM all_docs),
          sh AS (
-           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
-           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
-                 FROM words WHERE len(w) >= 5)),
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+6], ' ') AS s
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 5)) AS i
+                 FROM words WHERE len(w) >= 7)),
          sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
          inter AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter

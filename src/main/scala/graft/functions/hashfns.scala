@@ -34,11 +34,19 @@ object hashfns {
       .otherwise(transform(sequence(lit(1), k), i => substring(s, i, lit(n))))
   }
 
+  /** Distinct word n-gram shingle strings via the one-pass codegen
+    * kernel — semantically `array_distinct(wordShingles(text, n))`
+    * (set-equal; element order differs, which set consumers ignore). */
+  def distinctWordShingles(text: Column, n: Int): Column =
+    GraftFunctions.graft_word_shingles(text, n)
+
   /** Distinct 64-bit hashes of the shingle set — the input every
-    * signature (minhash/simhash) consumes. xxhash64 is Spark-native
-    * and codegen'd. */
+    * signature (minhash/simhash) consumes. Single codegen kernel
+    * (normalize→split→window-hash→dedup in one pass); the composed
+    * transform/array_distinct/xxhash64 chain evaluates interpreted
+    * lambdas per shingle and is ~100× slower. */
   def shingleHashes(text: Column, n: Int): Column =
-    transform(array_distinct(wordShingles(text, n)), s => xxhash64(s))
+    GraftFunctions.graft_shingle_hashes(text, n)
 
   /** k-element MinHash signature (custom codegen expression). */
   def minHashSig(text: Column, n: Int, k: Int, seed: Long): Column =
