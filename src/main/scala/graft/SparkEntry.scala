@@ -258,6 +258,98 @@ object SparkEntry {
         .arrange(asc("c_custkey")).df
     }),
 
+    "q20_quantiles" -> ((s, dir) =>
+      g(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .summarise(
+          "p25" -> expr("percentile(l_quantity, 0.25)"),
+          "p50" -> expr("percentile(l_quantity, 0.5)"),
+          "p75" -> expr("percentile(l_quantity, 0.75)"))
+        .arrange(asc("l_returnflag"))
+        .df),
+
+    "q21_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)),
+
+    "q22_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("y", year(col("o_orderdate").cast("timestamp")))
+        .groupBy("y")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .orderBy(col("y").asc)),
+
+    "q23_strings" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_pfx"),
+        regexp_replace(col("p_name"), "a", "@").as("name_sub"),
+        instr(col("p_name"), "gizmo").as("gizmo_at"),
+        levenshtein(col("p_brand"), lit("brand#1")).as("brand_dist"))
+        .orderBy(col("p_partkey").asc)),
+
+    "q24_dates" -> ((s, dir) => {
+      val od = col("o_orderdate").cast("date")
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(od).as("y"),
+        month(od).as("m"),
+        dayofmonth(od).as("d"),
+        quarter(od).as("q"),
+        dayofweek(od).as("dow_sun1"),
+        datediff(od, lit("1970-01-01").cast("date")).as("epoch_days"),
+        month(date_add(od, 30)).as("month_plus30"))
+        .orderBy(col("o_orderkey").asc)
+    }),
+
+    "q25_case" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 1000, "low")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high").as("tier"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg2"),
+        (col("c_acctbal") > 0 && col("c_nationkey") < 10).as("flag"))
+        .orderBy(col("c_custkey").asc)),
+
+    "q26_setops" -> ((s, dir) => {
+      val managed = t(s, dir, "nation").select(col("n_regionkey").as("k"))
+      val regions = t(s, dir, "region").select(col("r_regionkey").as("k"))
+      val both = managed.intersect(regions).withColumn("op", lit("both"))
+      val extra = regions.exceptAll(managed.distinct()).withColumn("op", lit("region_only"))
+      both.unionByName(extra).orderBy(col("op").asc, col("k").asc)
+    }),
+
+    "q27_asof" -> ((s, dir) => {
+      val ev = GraftFrame(Streams.runningTotals(t(s, dir, "events")))
+        .select("event_id", "user_id", "ts_ms", "event_type").df
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_ms")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts_ms")
+      graft.operators.AsofJoin.asofBackward(purchases, clicks,
+          keyCol = "user_id", leftTime = "ts_ms", rightTime = "ts_ms",
+          valueCols = Seq("ts_ms" -> "last_click_ms"))
+        .orderBy(col("event_id").asc)
+    }),
+
+    // sketch aggregates for 100 TB profiling — rows-only (HLL/KLL
+    // estimates are engine-specific by construction)
+    "q28_approx" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(100)).as("p99_price"))
+        .orderBy(col("l_returnflag").asc)),
+
     // ---- §2.3 LLM-data-pipeline operators -------------------------------
 
     "dd1_exact" -> ((s, dir) =>
@@ -508,6 +600,76 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey AND o_totalprice > 3000.0)
          ORDER BY c_custkey""",
+
+    "q20_quantiles" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q21_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP(1, 2)
+         ORDER BY 1 NULLS LAST, 2 NULLS LAST""",
+
+    "q22_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q23_strings" ->
+      """SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len,
+           substr(p_name, 1, 5) AS name_pfx,
+           regexp_replace(p_name, 'a', '@', 'g') AS name_sub,
+           CAST(instr(p_name, 'gizmo') AS INT) AS gizmo_at,
+           CAST(levenshtein(p_brand, 'brand#1') AS INT) AS brand_dist
+         FROM part ORDER BY p_partkey""",
+
+    "q24_dates" ->
+      """SELECT o_orderkey,
+           CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS y,
+           CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS m,
+           CAST(day(CAST(o_orderdate AS DATE)) AS INT) AS d,
+           CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS q,
+           CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow_sun1,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS epoch_days,
+           CAST(month(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY) AS INT) AS month_plus30
+         FROM orders ORDER BY o_orderkey""",
+
+    "q25_case" ->
+      """SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 1000 THEN 'low'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS tier,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg2,
+           (c_acctbal > 0 AND c_nationkey < 10) AS flag
+         FROM customer ORDER BY c_custkey""",
+
+    "q26_setops" ->
+      """SELECT k, 'both' AS op FROM
+           (SELECT n_regionkey AS k FROM nation INTERSECT SELECT r_regionkey FROM region)
+         UNION ALL
+         SELECT k, 'region_only' AS op FROM
+           (SELECT r_regionkey AS k FROM region
+            EXCEPT ALL SELECT DISTINCT n_regionkey FROM nation)
+         ORDER BY op, k""",
+
+    "q27_asof" ->
+      """WITH e AS (
+           SELECT event_id, user_id, event_type,
+             epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events)
+         SELECT p.event_id, p.user_id, p.ts_ms, c.ts_ms AS last_click_ms
+         FROM (SELECT event_id, user_id, ts_ms FROM e WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT user_id, ts_ms FROM e WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
+         ORDER BY p.event_id""",
 
     "dd1_exact" ->
       """WITH all_docs AS (

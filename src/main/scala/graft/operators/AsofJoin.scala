@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-prior) join — the time-series operator relational
+  * engines bolt on specially (DuckDB `ASOF JOIN`, kdb `aj`).
+  *
+  * Composed from built-ins per the Spark-first preference order
+  * (compose > custom plan): tag and union both sides, sort within the
+  * key partition by (time, side), and carry the right side's latest
+  * values forward with `last(ignoreNulls)` over an unbounded-preceding
+  * window. One shuffle on the key, one sort — the same cost profile as
+  * a sort-merge join, with no per-row probing.
+  *
+  * Scale: left (N) and right (M) shuffle once each on `keyCol`;
+  * window state is O(1) per row (only the carried columns). Skewed
+  * keys behave like any window partition — AQE skew handling applies
+  * to the exchange, and a hot key costs one task its sort.
+  */
+object AsofJoin {
+
+  /** For each left row, attach the most recent right row with
+    * `rightTime <= leftTime` on the same key (strictly "prior or
+    * equal"; ties resolve to the right row, matching DuckDB ASOF).
+    *
+    * @param valueCols right-side columns to carry (renamed as given)
+    */
+  def asofBackward(left: DataFrame, right: DataFrame,
+                   keyCol: String, leftTime: String, rightTime: String,
+                   valueCols: Seq[(String, String)]): DataFrame = {
+    val leftCols = left.columns
+    // side 0 = right (sorts before left on time ties → ties match)
+    val taggedRight = right.select(
+      Seq(col(keyCol).as("__k"), col(rightTime).cast("long").as("__t"),
+        lit(0).as("__side")) ++
+        valueCols.map { case (from, to) => col(from).as(s"__v_$to") }: _*)
+    val taggedLeft = left.select(
+      Seq(col(keyCol).as("__k"), col(leftTime).cast("long").as("__t"),
+        lit(1).as("__side")) ++ leftCols.map(c => col(c)): _*)
+
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = valueCols.foldLeft(unioned) { case (d, (_, to)) =>
+      d.withColumn(s"__c_$to", last(col(s"__v_$to"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ valueCols.map { case (_, to) =>
+        col(s"__c_$to").as(to)
+      }: _*)
+  }
+}
