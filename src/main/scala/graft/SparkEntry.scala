@@ -378,6 +378,12 @@ object SparkEntry {
           shingleN = 7, threshold = 0.5)
         .orderBy(col("id_a").asc, col("id_b").asc)),
 
+    "dd6_components" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+          Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
+            shingleN = 7, threshold = 0.5))
+        .orderBy(col("id").asc)),
+
     "dd5_embed_dup" -> ((s, dir) => {
       // the synthetic embeddings have no natural pairs above 0.9 cosine
       // (measured max 0.48), so plant identical twins like dd1/dd4 do —
@@ -400,6 +406,13 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 10, dim = 64,
           nBits = 8, tables = 4)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+
+    "ann3_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
+          nCells = 16, nProbe = 4)
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
 
@@ -706,6 +719,37 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
          ORDER BY id_a, id_b""",
+
+    "dd6_components" ->
+      """WITH RECURSIVE all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text || ' graft dedup pad tail'
+           FROM documents WHERE doc_id % 10 = 0),
+         words AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM all_docs),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+6], ' ') AS s
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 5)) AS i
+                 FROM words WHERE len(w) >= 7)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
+         SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
 
     "ann1_topk" ->
       """WITH q AS (

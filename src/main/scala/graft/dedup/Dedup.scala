@@ -148,6 +148,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-duplicate pair graph →
+    * (id, cluster_id = min id in the component).
+    *
+    * Min-label propagation, driver-coordinated iterations over
+    * distributed joins (the standard Spark shape for iterative graph
+    * algorithms; each step is one shuffle join + aggregate). Converges
+    * in O(diameter) rounds — near-dup graphs are shallow (chains of
+    * transitively-similar docs), so the bound is small; `maxIter` and
+    * the convergence count guard the pathological case. Each round
+    * persists its labels and unpersists the previous round so lineage
+    * doesn't grow unboundedly at scale.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding near-duplicate pairs: seeded random-hyperplane (SRP)
     * buckets restrict the candidate space; the codegen'd cosine kernel
     * verifies. Multiple independent bucket tables (`tables`) trade

@@ -110,6 +110,71 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
   }
 
+  /** IVF (inverted-file) top-k: a seeded KMeans coarse quantizer
+    * partitions the corpus into `nCells` cells; each query probes only
+    * its `nProbe` nearest cells, then exact cosine + rank within those
+    * candidates. The classic trade: recall grows with nProbe, compute
+    * shrinks by ~nCells/nProbe versus brute force.
+    *
+    * Scale: training samples the corpus (KMeans on the full 100 TB is
+    * pointless — centroids converge on a sample); assignment is one
+    * scan with a broadcast centroid array; the search side shuffles
+    * only (query, cell) candidates. Identical vectors always share a
+    * cell, so exact-duplicate recall is 1.0 by construction.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              trainFraction: Double = 1.0,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+
+    val train = (if (trainFraction < 1.0)
+        corpus.sample(withReplacement = false, trainFraction, seed)
+      else corpus)
+      .select(array_to_vector(col(vecCol).cast("array<float>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
+      .fit(train)
+    val centers = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val bc = spark.sparkContext.broadcast(centers)
+
+    val cellOf = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        val cv = cs(c)
+        while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val probesOf = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      cs.indices.map { c =>
+        var d = 0.0; var i = 0
+        val cv = cs(c)
+        while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        (d, c)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    }
+
+    val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell", cellOf(col("cv")))
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(probesOf(col("qv"))))
+    val cand = cells.join(broadcast(probed), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", vecfns.cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
   /** Approximate top-k: SRP-LSH bucket join (multi-table for recall)
     * restricts candidates, then exact cosine + rank within candidates.
     */

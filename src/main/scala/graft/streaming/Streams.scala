@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object Streams {
 
+  case class SessionEvent(user_id: Long, event_id: Long, ts_ms: Long, value: Double)
+  case class OpenSession(start_ms: Long, last_ms: Long, n: Long, sum: Double)
+  case class ClosedSession(user_id: Long, session_start_ms: Long,
+                           session_end_ms: Long, n_events: Long, sum_value: Double)
+
   import org.apache.spark.sql.types.{LongType, TimestampType}
 
   /** Event-time column as a proper TIMESTAMP regardless of how the
@@ -79,6 +84,51 @@ object Streams {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** Custom streaming state: gap-based sessionization via
+    * `flatMapGroupsWithState` — the arbitrary-state path for semantics
+    * windowed aggregates can't express (cuplyr has no streaming story;
+    * this is the Spark-native answer for continuous pipelines).
+    *
+    * Emits CLOSED sessions only (append mode); the open tail session
+    * per user stays in the state store. State is O(1) per user (one
+    * open-session record), so a 100 TB stream's state is bounded by
+    * cardinality of active users, not event volume. Events inside a
+    * micro-batch arrive unsorted — the group handler sorts its batch
+    * slice; cross-batch ordering is the caller's watermark contract.
+    */
+  def sessionizeStateful(spark: SparkSession, sourceDir: String,
+                         schema: org.apache.spark.sql.types.StructType,
+                         gapMinutes: Int = 30): org.apache.spark.sql.Dataset[Streams.ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def handle(userId: Long, events: Iterator[SessionEvent],
+               state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      val sorted = events.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+      var open = state.getOption
+      val closed = scala.collection.mutable.ListBuffer[ClosedSession]()
+      sorted.foreach { e =>
+        open = open match {
+          case Some(s) if e.ts_ms - s.last_ms <= gapMs =>
+            Some(s.copy(last_ms = e.ts_ms, n = s.n + 1, sum = s.sum + e.value))
+          case Some(s) =>
+            closed += ClosedSession(userId, s.start_ms, s.last_ms, s.n, s.sum)
+            Some(OpenSession(e.ts_ms, e.ts_ms, 1L, e.value))
+          case None =>
+            Some(OpenSession(e.ts_ms, e.ts_ms, 1L, e.value))
+        }
+      }
+      open.foreach(state.update)
+      closed.iterator
+    }
+
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .selectExpr("user_id", "event_id", "ts_ms", "value").as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(handle)
+  }
 
   /** Rolling per-user running totals (batch window-function form used
     * by the q18_window oracle query). */

@@ -55,6 +55,25 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK finds planted identical twins as top-1") {
+    val twins = queries.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(twins)
+    val top1 = Ann.ivfTopK(corpus, queries, k = 3, nCells = 8, nProbe = 2)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    (0L until 5L).foreach { q =>
+      assert(top1(q) == q + 10000L, s"query $q top-1 should be its twin")
+    }
+  }
+
+  test("ivfTopK recall vs brute force is high at nProbe=4/16") {
+    val ivf = Ann.ivfTopK(emb, queries, k = 10, nCells = 16, nProbe = 4)
+      .select("query_id", "neighbor_id")
+    val brute = naiveTopK(11).filter(col("rank") > 1).select("query_id", "neighbor_id")
+    val recall = ivf.intersect(brute).count().toDouble / brute.count().toDouble
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("lshTopK output is well-formed: ≤k rows per query, scores descending") {
     val out = Ann.lshTopK(emb, queries, k = 10, dim = 64).collect()
     val byQ = out.groupBy(_.getLong(0))

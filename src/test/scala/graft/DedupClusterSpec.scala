@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+
+class DedupClusterSpec extends AnyFunSuite {
+  lazy val spark = SparkT.spark
+  import spark.implicits._
+
+  test("duplicateClusters: chains collapse to min-id components") {
+    // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (20L, 22L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("duplicateClusters on planted near-dups: every twin joins its original") {
+    val docs = SparkT.table("documents").select(col("doc_id"), col("text"))
+    val near = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"),
+        concat(col("text"), lit(" graft dedup pad tail")).as("text"))
+    val pairs = Dedup.ngramJaccardPairs(docs.unionByName(near), "doc_id", "text",
+      shingleN = 7, threshold = 0.5)
+    val clusters = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.filter(col("doc_id") % 10 === 0).collect().map(_.getLong(0)).foreach { id =>
+      assert(clusters.get(id + 10000L).contains(clusters(id)),
+        s"twin of $id should share its cluster")
+    }
+  }
+}

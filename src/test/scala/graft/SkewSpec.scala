@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Skew
+
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = SparkT.spark
+
+  test("saltedSummarise equals direct aggregation") {
+    val li = SparkT.table("lineitem")
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity")).as("sq"), count(col("l_quantity")).as("n"),
+        min(col("l_discount")).as("mn"), max(col("l_discount")).as("mx"))
+    val salted = Skew.saltedSummarise(li, Seq("l_returnflag"), salts = 8,
+      ("sq", "l_quantity", "sum"), ("n", "l_quantity", "count"),
+      ("mn", "l_discount", "min"), ("mx", "l_discount", "max"))
+    assert(salted.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(salted).count() == 0)
+  }
+
+  test("saltedSummarise rejects non-algebraic ops") {
+    val li = SparkT.table("lineitem")
+    intercept[IllegalArgumentException] {
+      Skew.saltedSummarise(li, Seq("l_returnflag"), 4, ("a", "l_quantity", "avg"))
+        .collect()
+    }
+  }
+
+  test("skewAwareJoin returns the same rows as a plain join") {
+    val li = SparkT.table("lineitem").select("l_orderkey", "l_quantity")
+    val o = SparkT.table("orders").select(col("o_orderkey").as("l_orderkey"),
+      col("o_totalprice"))
+    val plain = li.join(o, Seq("l_orderkey"), "inner")
+    val skewed = Skew.skewAwareJoin(li, o, "l_orderkey", hotThreshold = 3)
+    assert(skewed.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(skewed).count() == 0)
+  }
+}

@@ -28,6 +28,37 @@ class StreamsSpec extends AnyFunSuite {
     assert(s(2).getAs[Long]("user_id") == 2L)
   }
 
+  test("stateful streaming sessionize emits exactly the closed sessions") {
+    import org.apache.spark.sql.expressions.Window
+    // materialize (user_id, event_id, ts_ms, value) and replay as a stream
+    val ev = graft.streaming.Streams.runningTotals(SparkT.table("events"))
+      .select("user_id", "event_id", "ts_ms", "value")
+    val dir = Files.createTempDirectory("graft_sessions").toString
+    ev.write.mode("overwrite").parquet(dir)
+
+    val stream = Streams.sessionizeStateful(spark, dir,
+      spark.read.parquet(dir).schema, gapMinutes = 30)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("graft_sessions_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_sessions_test")
+        .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+      // expected: batch sessions minus each user's last (still-open) one
+      val batch = Streams.sessionize(spark.read.parquet(dir)
+          .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms"), 30)
+      val wmax = Window.partitionBy("user_id")
+      val closedBatch = batch
+        .withColumn("max_seq", max(col("session_seq")).over(wmax))
+        .filter(col("session_seq") < col("max_seq"))
+        .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
+          col("n_events"), col("sum_value"))
+      assert(got.exceptAll(closedBatch).count() == 0)
+      assert(closedBatch.exceptAll(got).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming tumbling agg equals the batch form on the same data") {
     // materialize events with a proper timestamp column, then replay it
     // through readStream — Structured Streaming's batch-equivalence
