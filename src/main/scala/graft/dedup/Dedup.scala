@@ -177,8 +177,12 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+      // round 0 always changes labels (every non-minimal node adopts a
+      // neighbor's smaller id) — skip its convergence action
+      val changed =
+        if (i == 0) 1L
+        else next.join(labels.withColumnRenamed("label", "old"), "id")
+          .filter(col("label") =!= col("old")).count()
       labels.unpersist()
       labels = next
       done = changed == 0
