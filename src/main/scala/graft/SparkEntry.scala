@@ -339,6 +339,19 @@ object SparkEntry {
         .orderBy(col("event_id").asc)
     }),
 
+    "q29_range_join" -> ((s, dir) => {
+      val points = GraftFrame(Streams.runningTotals(t(s, dir, "events")))
+        .select("event_id", "value").df
+      val intervals = t(s, dir, "part").filter(col("p_partkey") < 100)
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("lo"),
+          (col("p_size").cast("double") + 2.5).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(points, intervals,
+          "value", "lo", "hi", bucketWidth = 2.5)
+        .select("event_id", "p_partkey", "value", "lo", "hi")
+        .orderBy(col("event_id").asc, col("p_partkey").asc)
+    }),
+
     // sketch aggregates for 100 TB profiling — rows-only (HLL/KLL
     // estimates are engine-specific by construction)
     "q28_approx" -> ((s, dir) =>
@@ -719,6 +732,15 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
          ORDER BY id_a, id_b""",
+
+    "q29_range_join" ->
+      """WITH iv AS (
+           SELECT p_partkey, CAST(p_size AS DOUBLE) AS lo,
+             CAST(p_size AS DOUBLE) + 2.5 AS hi
+           FROM part WHERE p_partkey < 100)
+         SELECT event_id, p_partkey, value, lo, hi
+         FROM events JOIN iv ON value >= lo AND value <= hi
+         ORDER BY event_id, p_partkey""",
 
     "dd6_components" ->
       """WITH RECURSIVE all_docs AS (

@@ -23,6 +23,7 @@ object GraftSession {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -36,9 +37,14 @@ object GraftSession {
     spark
   }
 
-  /** Register graft SQL functions on an externally built session. */
+  /** Register graft SQL functions + optimizer rules on an externally
+    * built session (extensions can't be injected post-creation, but
+    * `experimental.extraOptimizations` can). */
   def init(spark: SparkSession): SparkSession = {
     graft.expressions.GraftFunctions.register(spark)
+    val exp = org.apache.spark.sql.graftbridge.Bridge.experimental(spark)
+    if (!exp.extraOptimizations.contains(graft.plans.SimplifyGraftExpressions))
+      exp.extraOptimizations ++= Seq(graft.plans.SimplifyGraftExpressions)
     spark
   }
 

@@ -19,4 +19,7 @@ object Bridge {
 
   def sessionState(spark: SparkSession) =
     ClassicConversions.castToImpl(spark).sessionState
+
+  def experimental(spark: SparkSession) =
+    ClassicConversions.castToImpl(spark).experimental
 }
