@@ -339,6 +339,17 @@ object SparkEntry {
         .orderBy(col("event_id").asc)
     }),
 
+    "q30_slice_max" -> ((s, dir) =>
+      // top-3 orders per market segment by total price — grouped
+      // slice_max (one shuffle on the group key, windowed rank)
+      g(s, dir, "orders")
+        .join(g(s, dir, "customer"), Seq("o_custkey" -> "c_custkey"), "inner")
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .groupBy("c_mktsegment")
+        .sliceMax(col("o_totalprice"), 3, col("o_orderkey"))
+        .arrange(asc("c_mktsegment"), desc("o_totalprice"), asc("o_orderkey"))
+        .df),
+
     "q29_range_join" -> ((s, dir) => {
       val points = GraftFrame(Streams.runningTotals(t(s, dir, "events")))
         .select("event_id", "value").df
@@ -732,6 +743,15 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
          ORDER BY id_a, id_b""",
+
+    "q30_slice_max" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+           SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders JOIN customer ON o_custkey = c_custkey)
+         WHERE rn <= 3
+         ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey""",
 
     "q29_range_join" ->
       """WITH iv AS (

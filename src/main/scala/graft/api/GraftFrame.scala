@@ -135,6 +135,47 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
   /** dplyr `count()` convenience. */
   def count_(name: String = "n"): GraftFrame = summarise(name -> count(lit(1)))
 
+  /** dplyr `slice_max(order_by, n)` — top-n rows per current group
+    * (whole frame when ungrouped) by `orderBy` descending, ties broken
+    * by `tieBreak` ascending for determinism. One shuffle on the group
+    * keys; rank computed windowed, never a global sort. */
+  def sliceMax(orderBy: Column, n: Int, tieBreak: Column*): GraftFrame = {
+    val spec0 =
+      if (groupCols.isEmpty)
+        org.apache.spark.sql.expressions.Window.partitionBy()
+      else
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*)
+    val spec = spec0.orderBy(orderBy.desc_nulls_last +: tieBreak.map(_.asc_nulls_last): _*)
+    copy(df = df.withColumn("__graft_rank", row_number().over(spec))
+      .filter(col("__graft_rank") <= n).drop("__graft_rank"))
+  }
+
+  /** dplyr `slice_min(order_by, n)`. */
+  def sliceMin(orderBy: Column, n: Int, tieBreak: Column*): GraftFrame = {
+    val spec0 =
+      if (groupCols.isEmpty)
+        org.apache.spark.sql.expressions.Window.partitionBy()
+      else
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*)
+    val spec = spec0.orderBy(orderBy.asc_nulls_last +: tieBreak.map(_.asc_nulls_last): _*)
+    copy(df = df.withColumn("__graft_rank", row_number().over(spec))
+      .filter(col("__graft_rank") <= n).drop("__graft_rank"))
+  }
+
+  /** dplyr `rename(new = old)` — rename a subset, keep positions. */
+  def rename(pairs: (String, String)*): GraftFrame = {
+    val m = pairs.map { case (nw, old) => old -> nw }.toMap
+    copy(df = df.toDF(df.columns.map(c => m.getOrElse(c, c)): _*),
+      groupCols = groupCols.map(c => m.getOrElse(c, c)))
+  }
+
+  /** dplyr `relocate(cols, .before everything())` — move columns to
+    * the front, preserving relative order of the rest. */
+  def relocate(cols: String*): GraftFrame = {
+    val rest = df.columns.filterNot(cols.contains)
+    copy(df = df.select((cols ++ rest).map(col): _*))
+  }
+
   /** `head(n)` (reference: R/ast.R ast_head) → Catalyst Limit. */
   def headN(n: Int): GraftFrame = copy(df = df.limit(n))
 

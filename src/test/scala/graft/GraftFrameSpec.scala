@@ -128,6 +128,22 @@ class GraftFrameSpec extends AnyFunSuite {
     c.unpersist()
   }
 
+  test("sliceMax respects group context; sliceMin mirrors it") {
+    val d = Seq(("a", 1), ("a", 3), ("a", 2), ("b", 9), ("b", 8)).toDF("g", "v")
+    val top = GraftFrame(d).groupBy("g").sliceMax(col("v"), 2, col("v"))
+      .arrangeBy("g", "v").df.collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(top.toSeq == Seq(("a", 2), ("a", 3), ("b", 8), ("b", 9)))
+    val bottom = GraftFrame(d).sliceMin(col("v"), 1).df.collect()
+    assert(bottom.length == 1 && bottom(0).getInt(1) == 1) // ungrouped: global min
+  }
+
+  test("rename keeps positions and remaps groups; relocate reorders") {
+    val f = GraftFrame(df3).groupBy("id").rename("ident" -> "id")
+    assert(f.names == Seq("ident", "name", "v"))
+    assert(f.groupVars == Seq("ident"))
+    assert(GraftFrame(df3).relocate("v").names == Seq("v", "id", "name"))
+  }
+
   test("dims and schema report without mutation") {
     val f = GraftFrame(df3)
     assert(f.dims == (3L, 3))
