@@ -824,7 +824,8 @@ object SparkEntry {
     "txt1_tokens" ->
       """SELECT doc_id,
            length(text) AS n_chars_utf,
-           len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish_tokens
          FROM documents ORDER BY doc_id""",
 
@@ -852,7 +853,8 @@ object SparkEntry {
     "txt3_quality" ->
       """WITH base AS (
            SELECT doc_id,
-             len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
              len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS stop_hits,
              len(regexp_extract_all(text, '[.,;:!?]')) AS punct_hits,
              length(text) AS n_chars

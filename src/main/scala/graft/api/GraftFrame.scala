@@ -135,31 +135,30 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
   /** dplyr `count()` convenience. */
   def count_(name: String = "n"): GraftFrame = summarise(name -> count(lit(1)))
 
-  /** dplyr `slice_max(order_by, n)` — top-n rows per current group
-    * (whole frame when ungrouped) by `orderBy` descending, ties broken
-    * by `tieBreak` ascending for determinism. One shuffle on the group
-    * keys; rank computed windowed, never a global sort. */
-  def sliceMax(orderBy: Column, n: Int, tieBreak: Column*): GraftFrame = {
-    val spec0 =
-      if (groupCols.isEmpty)
-        org.apache.spark.sql.expressions.Window.partitionBy()
-      else
-        org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*)
-    val spec = spec0.orderBy(orderBy.desc_nulls_last +: tieBreak.map(_.asc_nulls_last): _*)
-    copy(df = df.withColumn("__graft_rank", row_number().over(spec))
-      .filter(col("__graft_rank") <= n).drop("__graft_rank"))
-  }
+  /** dplyr `slice_max(order_by, n)` — top-n rows per current group by
+    * `orderBy` descending, ties broken by `tieBreak` ascending for
+    * determinism. Grouped: one shuffle on the group keys, windowed
+    * rank. Ungrouped: lowers to sort+limit, which Spark executes as
+    * TakeOrderedAndProject (per-partition top-n then merge) — an empty
+    * window partition spec would instead funnel EVERY row through one
+    * task. */
+  def sliceMax(orderBy: Column, n: Int, tieBreak: Column*): GraftFrame =
+    sliceBy(orderBy.desc_nulls_last, n, tieBreak)
 
   /** dplyr `slice_min(order_by, n)`. */
-  def sliceMin(orderBy: Column, n: Int, tieBreak: Column*): GraftFrame = {
-    val spec0 =
-      if (groupCols.isEmpty)
-        org.apache.spark.sql.expressions.Window.partitionBy()
-      else
-        org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*)
-    val spec = spec0.orderBy(orderBy.asc_nulls_last +: tieBreak.map(_.asc_nulls_last): _*)
-    copy(df = df.withColumn("__graft_rank", row_number().over(spec))
-      .filter(col("__graft_rank") <= n).drop("__graft_rank"))
+  def sliceMin(orderBy: Column, n: Int, tieBreak: Column*): GraftFrame =
+    sliceBy(orderBy.asc_nulls_last, n, tieBreak)
+
+  private def sliceBy(primary: Column, n: Int, tieBreak: Seq[Column]): GraftFrame = {
+    val order = primary +: tieBreak.map(_.asc_nulls_last)
+    if (groupCols.isEmpty)
+      copy(df = df.orderBy(order: _*).limit(n))
+    else {
+      val spec = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+      copy(df = df.withColumn("__graft_rank", row_number().over(spec))
+        .filter(col("__graft_rank") <= n).drop("__graft_rank"))
+    }
   }
 
   /** dplyr `rename(new = old)` — rename a subset, keep positions. */
@@ -204,30 +203,45 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
   def join(other: GraftFrame, by: Seq[(String, String)], how: String,
            naMatches: Boolean = true,
            suffix: (String, String) = ("_x", "_y")): GraftFrame = {
+    // normalize Spark's join-type spellings so the key-column selection
+    // below can't silently mis-handle "right_outer"/"fullouter"/etc.
+    val howNorm = how.toLowerCase.replace("_", "") match {
+      case "right" | "rightouter" => "right"
+      case "full" | "outer" | "fullouter" => "full"
+      case "left" | "leftouter" => "left"
+      case "inner" => "inner"
+      case other0 => throw new IllegalArgumentException(
+        s"join type '$other0' — use inner/left/right/full (semi/anti have dedicated verbs)")
+    }
     val l = df.alias("l")
     val r = other.df.alias("r")
     val cond = by.map { case (lk, rk) =>
       if (naMatches) l(lk) <=> r(rk) else l(lk) === r(rk)
     }.reduce(_ && _)
-    val joined = l.join(r, cond, how)
+    val joined = l.join(r, cond, howNorm)
 
     val leftKeys = by.map(_._1)
     val rightKeys = by.map(_._2)
-    val commonNonKey = (df.columns.toSet -- leftKeys)
-      .intersect(other.df.columns.toSet -- rightKeys)
+    val leftNonKey = df.columns.filterNot(leftKeys.contains)
+    val rightNonKey = other.df.columns.filterNot(rightKeys.contains)
+    // a left non-key column collides with a right non-key column of the
+    // same name; a right non-key column ALSO collides with an output key
+    // name (output keys are named after the left keys)
+    val leftClash = leftNonKey.toSet.intersect(rightNonKey.toSet)
+    val rightClash = rightNonKey.toSet.intersect(leftNonKey.toSet ++ leftKeys)
 
     val keyCols = by.map { case (lk, rk) =>
-      how match {
-        case "full" | "outer" | "full_outer" => coalesce(l(lk), r(rk)).as(lk)
-        case "right"                         => r(rk).as(lk)
-        case _                               => l(lk).as(lk)
+      howNorm match {
+        case "full"  => coalesce(l(lk), r(rk)).as(lk)
+        case "right" => r(rk).as(lk)
+        case _       => l(lk).as(lk)
       }
     }
-    val leftCols = df.columns.filterNot(leftKeys.contains).map { c =>
-      l(c).as(if (commonNonKey(c)) c + suffix._1 else c)
+    val leftCols = leftNonKey.map { c =>
+      l(c).as(if (leftClash(c)) c + suffix._1 else c)
     }
-    val rightCols = other.df.columns.filterNot(rightKeys.contains).map { c =>
-      r(c).as(if (commonNonKey(c)) c + suffix._2 else c)
+    val rightCols = rightNonKey.map { c =>
+      r(c).as(if (rightClash(c)) c + suffix._2 else c)
     }
     GraftFrame(joined.select(keyCols ++ leftCols ++ rightCols: _*))
   }

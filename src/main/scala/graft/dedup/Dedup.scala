@@ -70,11 +70,12 @@ object Dedup {
                       threshold: Double = 0.5, seed: Long = 42L,
                       bucketCap: Int = 1000): DataFrame = {
     val rowsPerBand = k / bands
+    // signatures feed band keys and the estimate prefilter; the kernel
+    // recomputes rather than persist — a cache here would outlive the
+    // returned (lazy) DataFrame with no release point, leaking executor
+    // storage across calls. The signature kernel is one scan-side pass.
     val docs = df.select(col(idCol).as("id"),
-        hashfns.minHashSig(col(textCol), shingleN, k, seed).as("sig"))
-      // signatures feed band keys, the estimate prefilter, and (for
-      // survivors) nothing else — one computation, reused via cache
-      .persist()
+      hashfns.minHashSig(col(textCol), shingleN, k, seed).as("sig"))
     val exploded = docs.select(col("id"),
       explode(hashfns.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
     val candidates = boundedPairs(exploded, bucketCap)
@@ -160,7 +161,7 @@ object Dedup {
     * persists its labels and unpersists the previous round so lineage
     * doesn't grow unboundedly at scale.
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
@@ -173,9 +174,19 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer jumping (shortcutting): adopt the label OF the label.
+      // Plain one-hop propagation needs O(diameter) rounds — a chain of
+      // d incrementally-edited near-dups needs d rounds and silently
+      // mislabels past maxIter; with shortcutting convergence is
+      // O(log diameter), so maxIter=15 covers diameters past 32k.
+      val next = propagated.alias("p")
+        .join(propagated.select(col("id").as("label"),
+          col("label").as("label2")).alias("g"), Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("label2"), col("label"))).as("label"))
         .persist()
       // round 0 always changes labels (every non-minimal node adopts a
       // neighbor's smaller id) — skip its convergence action
@@ -188,9 +199,16 @@ object Dedup {
       done = changed == 0
       i += 1
     }
+    if (!done) log.warn(
+      s"duplicateClusters hit maxIter=$maxIter before convergence — " +
+        "labels may split components; raise maxIter")
     edges.unpersist()
+    // NOTE: the returned frame is persisted (it is the loop's fixpoint);
+    // callers that keep it long-term own the unpersist.
     labels.select(col("id"), col("label").as("cluster_id"))
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Embedding near-duplicate pairs: seeded random-hyperplane (SRP)
     * buckets restrict the candidate space; the codegen'd cosine kernel

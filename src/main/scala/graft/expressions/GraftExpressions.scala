@@ -200,14 +200,22 @@ case class PolyFingerprint(child: Expression, base: Long = 257L)
 /** Column-level API + SQL registration for the native expressions. */
 object GraftFunctions {
 
-  def graft_cosine(a: Column, b: Column): Column = Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
-  def graft_dot(a: Column, b: Column): Column = Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  // Column builders cast array inputs to the kernel element type: the
+  // expressions skip analysis-time type checks (AbstractDataType is
+  // private[sql]), and an array<double> read via getFloat would return
+  // garbage silently rather than fail.
+  private def asFloatArr(c: Column) = c.cast("array<float>")
+
+  def graft_cosine(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(asFloatArr(a)), Bridge.expression(asFloatArr(b))))
+  def graft_dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(asFloatArr(a)), Bridge.expression(asFloatArr(b))))
   def graft_hamming64(a: Column, b: Column): Column = Bridge.column(HammingDistance64(Bridge.expression(a), Bridge.expression(b)))
   def graft_minhash(hashes: Column, k: Int, seed: Long): Column =
-    Bridge.column(MinHashSignature(Bridge.expression(hashes), k, seed))
+    Bridge.column(MinHashSignature(Bridge.expression(hashes.cast("array<bigint>")), k, seed))
   def graft_simhash64(hashes: Column): Column = Bridge.column(SimHash64(Bridge.expression(hashes)))
   def graft_srp_bucket(vec: Column, nBits: Int, seed: Long): Column =
-    Bridge.column(SrpBucket(Bridge.expression(vec), nBits, seed))
+    Bridge.column(SrpBucket(Bridge.expression(asFloatArr(vec)), nBits, seed))
   def graft_minhash_agreement(a: Column, b: Column): Column =
     Bridge.column(MinHashAgreement(Bridge.expression(a), Bridge.expression(b)))
   def graft_shingle_hashes(text: Column, n: Int): Column =

@@ -49,6 +49,23 @@ object Kernels {
 
   private final val MersennePrime = (1L << 61) - 1
 
+  /** Reduce x (any non-negative 64-bit value) mod 2^61-1. */
+  @inline private def mod61(x: Long): Long = {
+    val r = (x & MersennePrime) + (x >>> 61)
+    if (r >= MersennePrime) r - MersennePrime else r
+  }
+
+  /** (a * b) mod 2^61-1 without overflow, for 0 <= a, b < 2^61.
+    * Uses the 128-bit product (multiplyHigh) and the Mersenne identity
+    * 2^64 ≡ 8 (mod 2^61-1): hi·2^64 + lo ≡ hi·8 + lo. A plain `a * b`
+    * wraps at 2^63 and silently breaks the universal-hash property the
+    * minhash permutation family depends on. */
+  @inline private def mulmod61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    mod61(((hi << 3) | (lo >>> 61)) + (lo & MersennePrime))
+  }
+
   /** Distinct 64-bit hashes of the word n-gram shingle set of a
     * document, in one pass: lowercase → whitespace-split → per-word
     * FNV-1a 64 → windowed mix over n consecutive word hashes →
@@ -60,7 +77,10 @@ object Kernels {
     * hottest loop of corpus dedup at 100 TB.
     */
   def shingleHashes(s: UTF8String, n: Int): ArrayData = {
-    val text = s.toString.toLowerCase
+    // Locale.ROOT: default-locale lowercasing is machine-dependent
+    // (tr_TR dotless-i) and must match wordShingleStrings exactly —
+    // the two are the estimate/verify halves of the same pipeline
+    val text = s.toString.toLowerCase(java.util.Locale.ROOT)
     // split on whitespace runs without regex
     val len = text.length
     var wordCount = 0
@@ -127,11 +147,10 @@ object Kernels {
     val n = hashes.numElements()
     var i = 0
     while (i < n) {
-      val h = hashes.getLong(i) & Long.MaxValue
+      val h = mod61(hashes.getLong(i) & Long.MaxValue)
       j = 0
       while (j < k) {
-        // (a*h + b) mod p via unsigned 128-free reduction: split h
-        val v = ((as(j) * (h % MersennePrime)) % MersennePrime + bs(j)) % MersennePrime
+        val v = mod61(mulmod61(as(j), h) + bs(j))
         if (v < sig(j)) sig(j) = v
         j += 1
       }
@@ -244,8 +263,8 @@ object Kernels {
     var h = 0L; var pow = 1L; var i = 0
     while (i < bytes.length) {
       val b = (bytes(i) & 0xffL) + 1L
-      h = (h + (b % MersennePrime) * pow % MersennePrime) % MersennePrime
-      pow = (pow * base) % MersennePrime
+      h = mod61(h + mulmod61(b, pow))
+      pow = mulmod61(pow, base)
       i += 1
     }
     h

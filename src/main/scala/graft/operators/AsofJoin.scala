@@ -27,17 +27,30 @@ object AsofJoin {
     *
     * @param valueCols right-side columns to carry (renamed as given)
     */
+  /** Sort key for a time column without precision loss: timestamps go
+    * through `unix_micros` (a bare cast("long") truncates to SECONDS,
+    * which can match a left row to a right row sub-second in its
+    * future); integral columns pass through. */
+  private def timeKey(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(c).cast("timestamp"))
+      case _: org.apache.spark.sql.types.DateType => unix_date(col(c)).cast("long")
+      case _ => col(c).cast("long")
+    }
+
   def asofBackward(left: DataFrame, right: DataFrame,
                    keyCol: String, leftTime: String, rightTime: String,
                    valueCols: Seq[(String, String)]): DataFrame = {
     val leftCols = left.columns
     // side 0 = right (sorts before left on time ties → ties match)
     val taggedRight = right.select(
-      Seq(col(keyCol).as("__k"), col(rightTime).cast("long").as("__t"),
+      Seq(col(keyCol).as("__k"), timeKey(right, rightTime).as("__t"),
         lit(0).as("__side")) ++
         valueCols.map { case (from, to) => col(from).as(s"__v_$to") }: _*)
     val taggedLeft = left.select(
-      Seq(col(keyCol).as("__k"), col(leftTime).cast("long").as("__t"),
+      Seq(col(keyCol).as("__k"), timeKey(left, leftTime).as("__t"),
         lit(1).as("__side")) ++ leftCols.map(c => col(c)): _*)
 
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)

@@ -27,7 +27,12 @@ object Skew {
   def saltedSummarise(df: DataFrame, keys: Seq[String], salts: Int,
                       aggs: (String, String, String)*): DataFrame = {
     // aggs: (outputName, inputCol, op) with op in sum|count|min|max
-    val salt = pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts))
+    // Salt = hash(partition_id, row) — the partition id spreads fully
+    // identical rows (the common log-duplication case a row-only hash
+    // would send to ONE reducer), while staying deterministic under
+    // task retry (a retried task recomputes the same partition).
+    val salt = pmod(
+      xxhash64(spark_partition_id() +: df.columns.map(col): _*), lit(salts))
     def partial(op: String, c: String): Column = op match {
       case "sum" => sum(col(c))
       case "count" => count(col(c))

@@ -50,18 +50,22 @@ object Ann {
           val vec = r.getSeq[Float](1).toArray
           var qi = 0
           while (qi < qs.length) {
-            val q = qs(qi)._2
-            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-            while (i < vec.length) {
-              val x = vec(i).toDouble; val y = q(i).toDouble
-              dot += x * y; na += x * x; nb += y * y; i += 1
-            }
-            val s = if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-            val h = heaps(qi)
-            if (h.size < k) h.enqueue((s, id))
-            else {
-              val (ws, wid) = h.head
-              if (s > ws || (s == ws && id < wid)) { h.dequeue(); h.enqueue((s, id)) }
+            // exclude self-matches — every other tier (SQL/LSH/IVF) does,
+            // and the exact twins must return identical neighbor sets
+            if (qs(qi)._1 != id) {
+              val q = qs(qi)._2
+              var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+              while (i < vec.length) {
+                val x = vec(i).toDouble; val y = q(i).toDouble
+                dot += x * y; na += x * x; nb += y * y; i += 1
+              }
+              val s = if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((s, id))
+              else {
+                val (ws, wid) = h.head
+                if (s > ws || (s == ws && id < wid)) { h.dequeue(); h.enqueue((s, id)) }
+              }
             }
             qi += 1
           }

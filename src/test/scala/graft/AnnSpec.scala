@@ -12,12 +12,14 @@ class AnnSpec extends AnyFunSuite {
   private def emb = SparkT.table("embeddings")
   private def queries = emb.filter(col("vec_id") < 5)
 
-  /** Naive reference: full cross join + global window sort. */
+  /** Naive reference: full cross join + global window sort (self
+    * excluded, like every Ann tier). */
   private def naiveTopK(k: Int) = {
     val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
     c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", vecfns.cosine(col("cv"), col("qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -37,8 +39,7 @@ class AnnSpec extends AnyFunSuite {
     // demand ≥9/10 overlap per query to absorb quantization ties
     val sqlTop = Ann.bruteForceTopKSql(emb, queries, k = 10)
       .select("query_id", "neighbor_id")
-    val cosTop = naiveTopK(11).filter(col("rank") > 1) // naive includes self at rank 1
-      .select("query_id", "neighbor_id")
+    val cosTop = naiveTopK(10).select("query_id", "neighbor_id")
     val overlap = sqlTop.intersect(cosTop).groupBy("query_id").count()
       .collect().map(_.getLong(1))
     assert(overlap.length == 5 && overlap.forall(_ >= 9))
@@ -69,7 +70,7 @@ class AnnSpec extends AnyFunSuite {
   test("ivfTopK recall vs brute force is high at nProbe=4/16") {
     val ivf = Ann.ivfTopK(emb, queries, k = 10, nCells = 16, nProbe = 4)
       .select("query_id", "neighbor_id")
-    val brute = naiveTopK(11).filter(col("rank") > 1).select("query_id", "neighbor_id")
+    val brute = naiveTopK(10).select("query_id", "neighbor_id")
     val recall = ivf.intersect(brute).count().toDouble / brute.count().toDouble
     assert(recall >= 0.5, s"recall $recall")
   }

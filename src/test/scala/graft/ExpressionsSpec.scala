@@ -85,6 +85,38 @@ class ExpressionsSpec extends AnyFunSuite {
     assert((r(1).getLong(0) ^ r(1).getLong(1)) == 0xffffL)
   }
 
+  test("fingerprint64 matches the documented formula (BigInteger reference)") {
+    import java.math.BigInteger
+    val p = BigInteger.TWO.pow(61).subtract(BigInteger.ONE)
+    def ref(s: String, base: Long): Long = {
+      val bytes = s.getBytes("UTF-8")
+      var h = BigInteger.ZERO
+      var pow = BigInteger.ONE
+      val b = BigInteger.valueOf(base)
+      bytes.foreach { by =>
+        h = h.add(BigInteger.valueOf((by & 0xff) + 1L).multiply(pow)).mod(p)
+        pow = pow.multiply(b).mod(p)
+      }
+      h.longValueExact()
+    }
+    val samples = Seq("hello world this is a longer string to push pow past 2^55",
+      "a", "", "key agg row scan slow fast table value part hash")
+    val d = samples.map(Tuple1(_)).toDF("t")
+    val got = d.select(graft_fingerprint64(col("t")).as("f")).collect().map(_.getLong(0))
+    samples.zip(got).foreach { case (s, g) =>
+      assert(g == ref(s, 257L), s"fingerprint mismatch for '${s.take(20)}'")
+      assert(g >= 0L && g < (1L << 61))
+    }
+  }
+
+  test("minhash values stay within [0, 2^61): no overflow artifacts") {
+    val d = SparkT.table("documents").limit(100)
+    val bad = d.select(hashfns.minHashSig(col("text"), 3, 128, 42L).as("s"))
+      .selectExpr("size(filter(s, x -> x < 0 OR x >= 2305843009213693951)) AS bad")
+      .agg(sum(col("bad"))).collect()(0).getLong(0)
+    assert(bad == 0L)
+  }
+
   test("fingerprint64 is order-sensitive and deterministic") {
     val d = Seq(("ab", "ba"), ("ab", "ab")).toDF("x", "y")
     val r = d.select(graft_fingerprint64(col("x")).as("fx"),
