@@ -20,6 +20,19 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     allTables.foreach(t => load(spark, sfDir, t).createOrReplaceTempView(t))
 
+  /** Write a table bucketed+sorted by join key. Two tables bucketed the
+    * same way on their join keys co-locate: Spark plans their join with
+    * NO exchange on either side (sort-merge over pre-bucketed files) —
+    * at 100 TB this converts every recurring fact-fact join on the
+    * bucket key from a full shuffle into a local merge. Requires a
+    * catalog table (`saveAsTable`), not a bare path. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   def csv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
     spark.read.option("header", header.toString).option("inferSchema", "true").csv(path)
 

@@ -28,6 +28,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.select("r_name").exceptAll(region.select("r_name")).count() == 0)
   }
 
+  test("bucketed tables join without any exchange") {
+    // a managed table's location survives the (in-memory) catalog across
+    // JVMs — drop both the entry and any stale directory first
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Tables.writeBucketed(SparkT.table("orders"), "orders_b", "o_orderkey", 8)
+    Tables.writeBucketed(
+      SparkT.table("lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey", 8)
+    // broadcast would hide the exchange question entirely (and Spark
+    // disables bucketed scans under it) — force the sort-merge path
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("lineitem_b").join(spark.table("orders_b"), "o_orderkey")
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(1200))
+      assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
+      // AQE renders initial+final plans, so each side's bucketed scan
+      // can appear twice — require at least both sides once
+      assert("Bucketed: true".r.findAllIn(p).length >= 2, p.take(1200))
+      assert(j.count() == SparkT.table("lineitem").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("registerAll exposes every table to spark.sql") {
     Tables.registerAll(spark, SparkT.sfDir)
     val n = spark.sql(
