@@ -68,14 +68,26 @@ object Dedup {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 128, bands: Int = 32,
                       threshold: Double = 0.5, seed: Long = 42L,
-                      bucketCap: Int = 1000): DataFrame = {
+                      bucketCap: Int = 1000,
+                      charLevel: Boolean = false): DataFrame = {
     val rowsPerBand = k / bands
+    // charLevel: code-point n-grams for scripts without word boundaries
+    // (whitespace shingling sees CJK text as ONE word → zero shingles);
+    // verification then compares hash SETS instead of string sets —
+    // 64-bit collisions are negligible against a >= threshold test.
+    def shingleHashesOf(c: Column) =
+      if (charLevel) hashfns.charShingleHashes(c, shingleN)
+      else hashfns.shingleHashes(c, shingleN)
+    def shingleSetOf(c: Column): Column =
+      if (charLevel) hashfns.charShingleHashes(c, shingleN)
+      else hashfns.distinctWordShingles(c, shingleN)
     // signatures feed band keys and the estimate prefilter; the kernel
     // recomputes rather than persist — a cache here would outlive the
     // returned (lazy) DataFrame with no release point, leaking executor
     // storage across calls. The signature kernel is one scan-side pass.
     val docs = df.select(col(idCol).as("id"),
-      hashfns.minHashSig(col(textCol), shingleN, k, seed).as("sig"))
+      graft.expressions.GraftFunctions
+        .graft_minhash(shingleHashesOf(col(textCol)), k, seed).as("sig"))
     val exploded = docs.select(col("id"),
       explode(hashfns.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
     val candidates = boundedPairs(exploded, bucketCap)
@@ -94,7 +106,7 @@ object Dedup {
       .select("id_a", "id_b")
 
     val shingled = df.select(col(idCol).as("id"),
-      hashfns.distinctWordShingles(col(textCol), shingleN).as("sh"))
+      shingleSetOf(col(textCol)).as("sh"))
     estimated
       .join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

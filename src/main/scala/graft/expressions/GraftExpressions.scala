@@ -128,6 +128,23 @@ case class ShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** char_shingle_hashes(string) → array<bigint>: code-point n-grams. */
+case class CharShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_char_shingle_hashes"
+
+  override def nullSafeEval(a: Any): Any =
+    Kernels.charShingleHashes(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.Kernels.charShingleHashes($a, $n);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** word_shingles(string) → array<string>: distinct word-n-gram strings. */
 case class WordShingleStrings(child: Expression, n: Int)
     extends UnaryExpression {
@@ -222,6 +239,8 @@ object GraftFunctions {
     Bridge.column(ShingleHashes(Bridge.expression(text), n))
   def graft_word_shingles(text: Column, n: Int): Column =
     Bridge.column(WordShingleStrings(Bridge.expression(text), n))
+  def graft_char_shingle_hashes(text: Column, n: Int): Column =
+    Bridge.column(CharShingleHashes(Bridge.expression(text), n))
   def graft_fingerprint64(text: Column, base: Long = 257L): Column =
     Bridge.column(PolyFingerprint(Bridge.expression(text), base))
 

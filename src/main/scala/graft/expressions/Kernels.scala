@@ -160,6 +160,51 @@ object Kernels {
     new GenericArrayData(sig)
   }
 
+  /** Distinct 64-bit hashes of CHARACTER n-gram shingles — the dedup
+    * input for scripts without word boundaries (CJK, Thai) where
+    * whitespace shingling degenerates to one giant token. Operates on
+    * Unicode code points (not UTF-16 units) so astral-plane characters
+    * hash as single symbols; whitespace runs collapse to one space so
+    * formatting differences don't change the shingle set. */
+  def charShingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val raw = s.toString.toLowerCase(java.util.Locale.ROOT).trim
+    // collapse whitespace runs + convert to code points in one pass
+    val cps = new Array[Int](raw.length)
+    var m = 0
+    var i = 0
+    var lastWs = false
+    while (i < raw.length) {
+      val cp = raw.codePointAt(i)
+      if (Character.isWhitespace(cp)) {
+        if (!lastWs && m > 0) { cps(m) = ' '; m += 1 }
+        lastWs = true
+      } else {
+        cps(m) = cp; m += 1; lastWs = false
+      }
+      i += Character.charCount(cp)
+    }
+    while (m > 0 && cps(m - 1) == ' ') m -= 1
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val nSh = m - n + 1
+    val out = new Array[Long](nSh)
+    var j = 0
+    while (j < nSh) {
+      var acc = 0x9e3779b97f4a7c15L
+      var k2 = 0
+      while (k2 < n) {
+        acc = java.lang.Long.rotateLeft(acc ^ cps(j + k2).toLong, 27) * 0x100000001b3L
+        k2 += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    java.util.Arrays.sort(out)
+    var uniq = 1
+    j = 1
+    while (j < nSh) { if (out(j) != out(j - 1)) { out(uniq) = out(j); uniq += 1 }; j += 1 }
+    new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
+  }
+
   /** Distinct word n-gram shingle STRINGS (space-joined, lowercased,
     * whitespace-normalized) in one pass — the string twin of
     * [[shingleHashes]] for operators that need exact set semantics

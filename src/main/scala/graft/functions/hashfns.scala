@@ -40,6 +40,11 @@ object hashfns {
   def distinctWordShingles(text: Column, n: Int): Column =
     GraftFunctions.graft_word_shingles(text, n)
 
+  /** Distinct code-point n-gram hashes — the signature input for
+    * scripts without word boundaries (CJK/Thai), one-pass kernel. */
+  def charShingleHashes(text: Column, n: Int): Column =
+    GraftFunctions.graft_char_shingle_hashes(text, n)
+
   /** Distinct 64-bit hashes of the shingle set — the input every
     * signature (minhash/simhash) consumes. Single codegen kernel
     * (normalize→split→window-hash→dedup in one pass); the composed

@@ -71,6 +71,23 @@ class DedupSpec extends AnyFunSuite {
     assert(plantedPairs(pairs) == nPlanted)
   }
 
+  test("char-level minhash finds CJK near-dups where word-level cannot") {
+    import spark.implicits._
+    // boundary-less text: word shingling sees each doc as one token
+    val base = "深度学习模型需要大规模高质量的训练数据才能取得良好效果而数据去重是保证质量的关键步骤之一"
+    val cjk = (0L until 20L).map(i => (i, base + ("附加段落" * i.toInt))).toDF("doc_id", "text")
+    val near = cjk.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000L).as("doc_id"), concat(col("text"), lit("结尾")).as("text"))
+    val corpus = cjk.unionByName(near)
+    val charPairs = Dedup.minHashLshPairs(corpus, "doc_id", "text",
+      shingleN = 4, threshold = 0.5, charLevel = true)
+    assert(charPairs.filter(col("id_b") === col("id_a") + 1000L).count() == 4)
+    val wordPairs = Dedup.minHashLshPairs(corpus, "doc_id", "text",
+      shingleN = 3, threshold = 0.5, charLevel = false)
+    // word-level: every doc is a single "word" → < 3 shingles → nothing
+    assert(wordPairs.count() == 0)
+  }
+
   test("embedding dedup finds planted identical vectors") {
     val emb = SparkT.table("embeddings").select(col("vec_id"), col("embedding"))
     val planted = emb.filter(col("vec_id") < 50)
