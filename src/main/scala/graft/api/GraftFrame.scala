@@ -258,11 +258,20 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
     join(other, sameName(by), "full")
 
   /** dplyr `semi_join` / `anti_join` — existence joins; Spark plans
-    * these without materializing right-side columns. */
+    * these without materializing right-side columns. Conditions use
+    * `<=>` so null keys match, consistent with join()'s
+    * na_matches="na" semantics (a null-keyed left row is "present" iff
+    * the right side has a null-keyed row). */
+  private def existenceJoin(other: GraftFrame, by: Seq[String], how: String): GraftFrame = {
+    val l = df.alias("l")
+    val r = other.df.select(by.map(col): _*).alias("r")
+    val cond = by.map(k => l(k) <=> r(k)).reduce(_ && _)
+    copy(df = l.join(r, cond, how))
+  }
   def semiJoin(other: GraftFrame, by: Seq[String]): GraftFrame =
-    copy(df = df.join(other.df.select(by.map(col): _*), by, "left_semi"))
+    existenceJoin(other, by, "left_semi")
   def antiJoin(other: GraftFrame, by: Seq[String]): GraftFrame =
-    copy(df = df.join(other.df.select(by.map(col): _*), by, "left_anti"))
+    existenceJoin(other, by, "left_anti")
 
   // ---- binds ------------------------------------------------------------
 
@@ -275,7 +284,13 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
   /** `bind_cols` — positional zip of equal-length frames (reference:
     * R/bind.R). Row order is the frames' current order; implemented
     * with `zipWithIndex` (deterministic, one extra pass) + join on the
-    * synthetic index. Duplicate names get dplyr-style `...n` disambig.
+    * synthetic index. Duplicate names get dplyr-style suffix disambig.
+    *
+    * dplyr errors on unequal lengths; we match that with a full outer
+    * join on the index plus a per-row `assert_true` on presence markers
+    * — unmatched indexes on either side fail the job instead of being
+    * silently truncated, and validation stays lazy (no extra count
+    * jobs over each input, which matters when inputs are large).
     */
   def bindCols(other: GraftFrame): GraftFrame = {
     val leftNames = df.columns
@@ -283,8 +298,18 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
       if (leftNames.contains(c)) c + "_rhs" else c
     }
     val l = GraftFrame.withRowIndex(df, "__graft_idx")
+      .withColumn("__graft_l", lit(true))
     val r = GraftFrame.withRowIndex(other.df.toDF(rightNames: _*), "__graft_idx")
-    GraftFrame(l.join(r, Seq("__graft_idx"), "inner").drop("__graft_idx"))
+      .withColumn("__graft_r", lit(true))
+    val joined = l.join(r, Seq("__graft_idx"), "full_outer")
+    val bothPresent = col("__graft_l").isNotNull && col("__graft_r").isNotNull
+    // keep-all filter that throws on an unmatched index; written as
+    // when/otherwise(raise_error) — a form Catalyst cannot constant-fold
+    val checked = joined.where(
+      when(bothPresent, lit(true)).otherwise(
+        raise_error(lit("bind_cols: frames have unequal row counts"))
+          .cast("boolean")))
+    GraftFrame(checked.drop("__graft_idx", "__graft_l", "__graft_r"))
   }
 
   // ---- materialization --------------------------------------------------

@@ -246,18 +246,27 @@ object GraftFunctions {
 
   /** Register SQL names so `spark.sql("SELECT graft_cosine(a,b) ...")`
     * works — parity with the reference's goal of "write ordinary
-    * queries, engine executes them natively". */
+    * queries, engine executes them natively".
+    *
+    * Each argument is wrapped in a `Cast` to the kernel's element type,
+    * mirroring the Column builders above: the kernels read raw
+    * `ArrayData` slots (getFloat/getLong), so an uncast array<double>
+    * would decode as garbage silently instead of failing analysis.
+    */
   def register(spark: SparkSession): Unit = {
     val registry = Bridge.sessionState(spark).functionRegistry
+    val floatArr = ArrayType(FloatType)
+    val longArr = ArrayType(LongType)
+    def c(e: Expression, t: DataType): Expression = Cast(e, t)
     registry.createOrReplaceTempFunction("graft_cosine",
-      es => CosineSimilarity(es.head, es(1)), "built-in")
+      es => CosineSimilarity(c(es.head, floatArr), c(es(1), floatArr)), "built-in")
     registry.createOrReplaceTempFunction("graft_dot",
-      es => DotProduct(es.head, es(1)), "built-in")
+      es => DotProduct(c(es.head, floatArr), c(es(1), floatArr)), "built-in")
     registry.createOrReplaceTempFunction("graft_hamming64",
-      es => HammingDistance64(es.head, es(1)), "built-in")
+      es => HammingDistance64(c(es.head, LongType), c(es(1), LongType)), "built-in")
     registry.createOrReplaceTempFunction("graft_simhash64",
-      es => SimHash64(es.head), "built-in")
+      es => SimHash64(c(es.head, longArr)), "built-in")
     registry.createOrReplaceTempFunction("graft_fingerprint64",
-      es => PolyFingerprint(es.head), "built-in")
+      es => PolyFingerprint(c(es.head, StringType)), "built-in")
   }
 }

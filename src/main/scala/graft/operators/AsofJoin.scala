@@ -44,6 +44,20 @@ object AsofJoin {
                    keyCol: String, leftTime: String, rightTime: String,
                    valueCols: Seq[(String, String)]): DataFrame = {
     val leftCols = left.columns
+    // the output is leftCols ++ carried targets, so a target name equal
+    // to a left column — or a left column using one of our scratch
+    // names — would produce ambiguous output columns; fail fast
+    val reserved = Set("__k", "__t", "__side") ++
+      valueCols.flatMap { case (_, to) => Seq(s"__v_$to", s"__c_$to") }
+    val clashes = valueCols.map(_._2).filter(leftCols.contains)
+    require(clashes.isEmpty,
+      s"asof: valueCols target name(s) ${clashes.mkString(", ")} collide with left columns; rename the targets")
+    val badLeft = leftCols.filter(reserved.contains)
+    require(badLeft.isEmpty,
+      s"asof: left column(s) ${badLeft.mkString(", ")} use reserved internal names (__k/__t/__side/__v_*/__c_*)")
+    val dupTargets = valueCols.map(_._2).diff(valueCols.map(_._2).distinct)
+    require(dupTargets.isEmpty,
+      s"asof: duplicate valueCols target name(s) ${dupTargets.distinct.mkString(", ")}")
     // side 0 = right (sorts before left on time ties → ties match)
     val taggedRight = right.select(
       Seq(col(keyCol).as("__k"), timeKey(right, rightTime).as("__t"),

@@ -42,4 +42,26 @@ class AsofJoinSpec extends AnyFunSuite {
     // carried click time never exceeds the purchase time
     assert(joined.filter(col("last_click_ms") > col("ts_ms")).count() == 0)
   }
+
+  test("asofBackward rejects colliding or reserved column names") {
+    val left = Seq((1L, 10L, 20L)).toDF("id", "k", "t")
+    val right = Seq((10L, 5L, "a")).toDF("k", "t", "v")
+    // target name collides with a left column
+    val e1 = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(left, right, "k", "t", "t", Seq("v" -> "id"))
+    }
+    assert(e1.getMessage.contains("collide"))
+    // left column uses a reserved internal name
+    val badLeft = left.withColumnRenamed("id", "__side")
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(badLeft, right, "k", "t", "t", Seq("v" -> "vv"))
+    }
+    assert(e2.getMessage.contains("reserved"))
+    // duplicate targets
+    val e3 = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(left, right, "k", "t", "t",
+        Seq("v" -> "vv", "t" -> "vv"))
+    }
+    assert(e3.getMessage.contains("duplicate"))
+  }
 }

@@ -134,6 +134,21 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("SQL registry casts arguments to kernel element types") {
+    // array<double> literals: without the registry-side Cast the kernel
+    // would read doubles as floats and return garbage silently
+    val c = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 0.0D), array(0.6D, 0.8D)) AS c"
+    ).collect()(0).getDouble(0)
+    assert(math.abs(c - 0.6) < 1e-6)
+    // int args to hamming64 get cast to bigint
+    val h = spark.sql("SELECT graft_hamming64(1, 3) AS h").collect()(0).getInt(0)
+    assert(h == 1)
+    // array<int> element-hashes to simhash64 get cast to array<bigint>
+    val s = spark.sql("SELECT graft_simhash64(array(7, 7)) AS s").collect()(0)
+    assert(!s.isNullAt(0))
+  }
+
   test("shingles: correct n-grams, empty below n words") {
     val d = Seq(Tuple1("a b c d"), Tuple1("a b")).toDF("t")
     val r = d.select(hashfns.wordShingles(col("t"), 3).as("s"))

@@ -84,6 +84,29 @@ class GraftFrameSpec extends AnyFunSuite {
     assert(GraftFrame(a).bindCols(GraftFrame(b)).names == Seq("x", "x_rhs"))
   }
 
+  test("bindCols fails on unequal row counts (dplyr errors, no silent truncation)") {
+    val a = Seq(1, 2, 3).toDF("x")
+    val b = Seq("a", "b").toDF("y")
+    val e = intercept[Exception] {
+      GraftFrame(a).bindCols(GraftFrame(b)).df.collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("unequal row counts")))
+  }
+
+  test("semi/anti joins match null keys, consistent with join() na_matches") {
+    val l = Seq(Some(1), None, Some(2)).toDF("k")
+    val rWithNull = Seq(Option.empty[Int], Some(1)).toDF("k")
+    val rNoNull = Seq(Some(1)).toDF("k")
+    // right has a null key → left's null row is "present"
+    assert(GraftFrame(l).semiJoin(GraftFrame(rWithNull), Seq("k")).df.count() == 2)
+    assert(GraftFrame(l).antiJoin(GraftFrame(rWithNull), Seq("k")).df.count() == 1)
+    // right has no null key → left's null row is "absent"
+    assert(GraftFrame(l).semiJoin(GraftFrame(rNoNull), Seq("k")).df.count() == 1)
+    assert(GraftFrame(l).antiJoin(GraftFrame(rNoNull), Seq("k")).df.count() == 2)
+  }
+
   test("summarise computes R sample statistics and drops groups") {
     val d = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0)).toDF("k", "v")
     val out = GraftFrame(d).groupBy("k")
