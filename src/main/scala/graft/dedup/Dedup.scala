@@ -174,39 +174,52 @@ object Dedup {
     * doesn't grow unboundedly at scale.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    // Iterative plans must have their lineage TRUNCATED each round, not
+    // merely cached: persist() keeps the full logical plan, so round i
+    // re-analyzes a plan embedding rounds 0..i-1 and driver-side
+    // planning cost grows superlinearly (measured: 27s for an 819-edge
+    // graph — pure planning, no data). `localCheckpoint(eager)` cuts
+    // the plan to the materialized blocks; the ContextCleaner frees
+    // blocks of dropped rounds once their RDDs are GC'd.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
     var i = 0
     var done = false
     while (!done && i < maxIter) {
-      val neighborMin = edges
+      // min over {own label} ∪ {neighbors' labels}: union + one
+      // hash-aggregate (2 shuffles), instead of join-then-left-join.
+      // Checkpoint HERE (an aggregate with unique output attrs), not
+      // after the self-join below: localCheckpoint of a self-joined
+      // plan records origin constraints over deduplicated attribute
+      // ids, which InferFiltersFromConstraints later fails to resolve
+      // (NoSuchElementException) when the caller adds e.g. an orderBy.
+      val minLabels = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("label")).as("nlabel"))
-      val propagated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .select(col("src").as("id"), col("label"))
+        .unionByName(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
       // pointer jumping (shortcutting): adopt the label OF the label.
       // Plain one-hop propagation needs O(diameter) rounds — a chain of
       // d incrementally-edited near-dups needs d rounds and silently
       // mislabels past maxIter; with shortcutting convergence is
       // O(log diameter), so maxIter=15 covers diameters past 32k.
-      val next = propagated.alias("p")
-        .join(propagated.select(col("id").as("label"),
+      // Left un-checkpointed: a 1-shuffle join over the cached blocks.
+      val next = minLabels.alias("p")
+        .join(minLabels.select(col("id").as("label"),
           col("label").as("label2")).alias("g"), Seq("label"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("label2"), col("label"))).as("label"))
-        .persist()
       // round 0 always changes labels (every non-minimal node adopts a
       // neighbor's smaller id) — skip its convergence action
       val changed =
         if (i == 0) 1L
         else next.join(labels.withColumnRenamed("label", "old"), "id")
           .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       done = changed == 0
       i += 1
@@ -214,9 +227,6 @@ object Dedup {
     if (!done) log.warn(
       s"duplicateClusters hit maxIter=$maxIter before convergence — " +
         "labels may split components; raise maxIter")
-    edges.unpersist()
-    // NOTE: the returned frame is persisted (it is the loop's fixpoint);
-    // callers that keep it long-term own the unpersist.
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
