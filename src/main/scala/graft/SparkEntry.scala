@@ -350,6 +350,35 @@ object SparkEntry {
         .arrange(asc("c_mktsegment"), desc("o_totalprice"), asc("o_orderkey"))
         .df),
 
+    "q31_pivot_longer" -> ((s, dir) =>
+      // tidyr pivot_longer: Catalyst Expand — one scan, zero shuffle,
+      // rows × 3 output
+      g(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .mutate(
+          "l_quantity" -> col("l_quantity").cast("double"),
+          "l_extendedprice" -> col("l_extendedprice").cast("double"),
+          "l_discount" -> col("l_discount").cast("double"))
+        .pivotLonger(Seq("l_quantity", "l_extendedprice", "l_discount"),
+          namesTo = "metric", valuesTo = "value")
+        .arrange(asc("l_orderkey"), asc("l_linenumber"), asc("metric"),
+          asc("value"))
+        .df),
+
+    "q32_count" -> ((s, dir) =>
+      g(s, dir, "events")
+        .countBy(Seq("event_type"), sort = true)
+        .df),
+
+    "q33_separate_unite" -> ((s, dir) =>
+      g(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .separate("c_name", Seq("cust_label", "cust_num"), "#")
+        .unite("seg_label", Seq("c_mktsegment", "cust_label"), "/")
+        .arrange(asc("c_custkey"))
+        .df),
+
     "q29_range_join" -> ((s, dir) => {
       val points = GraftFrame(Streams.runningTotals(t(s, dir, "events")))
         .select("event_id", "value").df
@@ -479,7 +508,29 @@ object SparkEntry {
 
     "ev2_sessionize" -> ((s, dir) =>
       Streams.sessionize(t(s, dir, "events"), gapMinutes = 30)
-        .orderBy(col("user_id").asc, col("session_seq").asc))
+        .orderBy(col("user_id").asc, col("session_seq").asc)),
+
+    "cur1_curation" -> ((s, dir) => {
+      // end-to-end corpus curation: score → filter → exact-dedup →
+      // per-language stats. The whole pipeline is ONE Catalyst plan:
+      // scoring runs scan-side in codegen, the filter prunes before the
+      // dedup shuffle, and the dedup window + final aggregate are the
+      // only two shuffles.
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("lang", textfns.langId(col("text")))
+        .withColumn("quality", textfns.qualityScore(col("text")))
+        .withColumn("n_tokens", textfns.wsTokenCount(col("text")))
+        .filter(col("quality") >= 0.5 && col("lang") =!= "und")
+      GraftFrame(Dedup.exact(scored, "text", "doc_id"))
+        .groupBy("lang")
+        .summarise(
+          "n_docs" -> count(lit(1)),
+          "sum_tokens" -> sum(col("n_tokens")).cast("bigint"),
+          "avg_quality" -> round(avg(col("quality")), 4))
+        .arrange(asc("lang"))
+        .df
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -752,6 +803,70 @@ object SparkEntry {
            FROM orders JOIN customer ON o_custkey = c_custkey)
          WHERE rn <= 3
          ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey""",
+
+    "q31_pivot_longer" ->
+      """WITH longf AS (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+             CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+             CAST(l_extendedprice AS DOUBLE) FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_discount',
+             CAST(l_discount AS DOUBLE) FROM lineitem)
+         SELECT l_orderkey, l_linenumber, metric, value FROM longf
+         ORDER BY l_orderkey, l_linenumber, metric, value""",
+
+    "q32_count" ->
+      """SELECT event_type, count(*) AS n FROM events
+         GROUP BY event_type ORDER BY n DESC, event_type""",
+
+    "q33_separate_unite" ->
+      """SELECT c_custkey,
+           concat_ws('/', c_mktsegment, split_part(c_name, '#', 1)) AS seg_label,
+           split_part(c_name, '#', 2) AS cust_num
+         FROM customer ORDER BY c_custkey""",
+
+    "cur1_curation" ->
+      """WITH s AS (
+           SELECT doc_id, text,
+             len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\b(le|les|une|et|est)\b')) AS s_fr,
+             len(regexp_extract_all(lower(text), '\b(el|los|las|una|es)\b')) AS s_es,
+             len(regexp_extract_all(text, '的')) + len(regexp_extract_all(text, '是'))
+               + len(regexp_extract_all(text, '了')) + len(regexp_extract_all(text, '在'))
+               + len(regexp_extract_all(text, '和')) AS s_zh,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+             len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS stop_hits,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS punct_hits,
+             length(text) AS n_chars
+           FROM documents),
+         scored AS (
+           SELECT doc_id, text, n_words,
+             CASE
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh AND s_en > 0 THEN 'en'
+               WHEN s_de >= s_en AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh AND s_de > 0 THEN 'de'
+               WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+               WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh AND s_es > 0 THEN 'es'
+               WHEN s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_fr AND s_zh >= s_es AND s_zh > 0 THEN 'zh'
+               ELSE 'und' END AS lang,
+             least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+               + least(CAST(stop_hits AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) * 5.0, 1.0) * 0.3
+               + (1.0 - least(CAST(punct_hits AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0)) * 0.2 AS quality
+           FROM s),
+         f AS (SELECT * FROM scored WHERE quality >= 0.5 AND lang <> 'und'),
+         dedup AS (
+           SELECT min(doc_id) AS doc_id,
+             min_by(lang, doc_id) AS lang,
+             min_by(n_words, doc_id) AS n_words,
+             min_by(quality, doc_id) AS quality
+           FROM f GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS sum_tokens,
+           round(avg(quality), 4) AS avg_quality
+         FROM dedup GROUP BY lang ORDER BY lang""",
 
     "q29_range_join" ->
       """WITH iv AS (

@@ -175,6 +175,66 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
     copy(df = df.select((cols ++ rest).map(col): _*))
   }
 
+  /** dplyr `count(...)` — group by `cols` (added to any current
+    * groups, as dplyr does), tally, optionally sort descending by the
+    * count. */
+  def countBy(cols: Seq[String], sort: Boolean = false,
+              name: String = "n"): GraftFrame = {
+    val counted = groupBy(cols: _*).summarise(name -> count(lit(1)))
+    if (sort)
+      counted.arrange(col(name).desc_nulls_first +: cols.map(GraftFrame.asc): _*)
+    else counted
+  }
+
+  /** dplyr `pull(col)` — collect a single column to the driver. */
+  def pull(c: String): Array[Any] = df.select(c).collect().map(_.get(0))
+
+  /** dplyr `slice_sample(n)` — n uniformly-sampled rows, deterministic
+    * for a given seed. Lowers to sort-by-rand + limit, which Spark
+    * executes as TakeOrderedAndProject: per-partition top-n then a
+    * driver merge of n×parts candidates — no global sort. */
+  def sliceSample(n: Int, seed: Long = 42L): GraftFrame =
+    copy(df = df.orderBy(rand(seed)).limit(n))
+
+  /** tidyr `separate(col, into, sep)` — split a string column into
+    * fixed parts, replacing it in place (missing parts become empty
+    * strings, split_part semantics). */
+  def separate(c: String, into: Seq[String], sep: String = "-"): GraftFrame = {
+    require(df.columns.contains(c), s"separate: no column '$c'")
+    val parts = into.zipWithIndex.map { case (n2, i) =>
+      split_part(col(c), lit(sep), lit(i + 1)).as(n2)
+    }
+    val out = df.columns.toSeq.flatMap { cc =>
+      if (cc == c) parts else Seq(col(cc))
+    }
+    copy(df = df.select(out: _*))
+  }
+
+  /** tidyr `unite(newCol, cols, sep)` — concatenate string columns into
+    * one, placed at the first source's position; sources are dropped. */
+  def unite(newCol: String, cols: Seq[String], sep: String = "_"): GraftFrame = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"unite: no column(s) ${missing.mkString(", ")}")
+    val united = concat_ws(sep, cols.map(col): _*).as(newCol)
+    val first = df.columns.indexWhere(cols.contains)
+    val out = df.columns.toSeq.zipWithIndex.flatMap { case (cc, i) =>
+      if (i == first) Seq(united)
+      else if (cols.contains(cc)) Nil
+      else Seq(col(cc))
+    }
+    copy(df = df.select(out: _*))
+  }
+
+  /** tidyr `pivot_longer` — unpivot `valueCols` into (name, value)
+    * rows; all other columns become id columns. Catalyst `Expand`:
+    * one scan, no shuffle, output = rows × |valueCols|. */
+  def pivotLonger(valueCols: Seq[String], namesTo: String = "name",
+                  valuesTo: String = "value"): GraftFrame = {
+    val ids = df.columns.filterNot(valueCols.contains)
+    copy(df = df.unpivot(ids.map(col).toArray, valueCols.map(col).toArray,
+      namesTo, valuesTo))
+  }
+
   /** `head(n)` (reference: R/ast.R ast_head) → Catalyst Limit. */
   def headN(n: Int): GraftFrame = copy(df = df.limit(n))
 

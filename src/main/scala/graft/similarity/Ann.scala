@@ -128,19 +128,26 @@ object Ann {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-              trainFraction: Double = 1.0,
+              trainFraction: Double = 1.0, maxTrainRows: Int = 16384,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
 
-    val train = (if (trainFraction < 1.0)
+    // Coarse-quantizer training runs DRIVER-side on a bounded sample:
+    // a 16–256-centroid Lloyd's over ≤16k vectors is milliseconds of
+    // local compute, versus ~25 distributed jobs (k-means|| init + 20
+    // iterations) for spark.ml KMeans whose per-job overhead dwarfs
+    // the arithmetic at any scale — centroids converge on a sample
+    // regardless of corpus size. At 100 TB callers set trainFraction
+    // so the `limit` draws from a uniform sample rather than the
+    // first file-order rows.
+    val train: Array[Array[Float]] = {
+      val base = if (trainFraction < 1.0)
         corpus.sample(withReplacement = false, trainFraction, seed)
-      else corpus)
-      .select(array_to_vector(col(vecCol).cast("array<float>")).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
-      .fit(train)
-    val centers = model.clusterCenters.map(_.toArray.map(_.toFloat))
+      else corpus
+      base.select(col(vecCol).cast("array<float>")).limit(maxTrainRows)
+        .collect().map(_.getSeq[Float](0).toArray)
+    }
+    val centers = lloydKMeans(train, nCells, iters = 15, seed)
     val bc = spark.sparkContext.broadcast(centers)
 
     val cellOf = udf { (v: Seq[Float]) =>
@@ -177,6 +184,79 @@ object Ann {
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** Deterministic k-means++ seeding + Lloyd's iterations, local.
+    * Empty clusters keep their previous center. Double accumulation,
+    * float centroids (matching the stored embedding precision). */
+  private[similarity] def lloydKMeans(points: Array[Array[Float]], k: Int,
+                                      iters: Int, seed: Long): Array[Array[Float]] = {
+    require(points.nonEmpty, "ivf: empty training sample")
+    val dim = points(0).length
+    val rnd = new java.util.Random(seed)
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val t = a(i).toDouble - b(i); s += t * t; i += 1 }
+      s
+    }
+    // k-means++: first center uniform, then proportional to d² to the
+    // nearest chosen center
+    val kk = math.min(k, points.length)
+    val centers = Array.ofDim[Array[Float]](kk)
+    centers(0) = points(rnd.nextInt(points.length)).clone()
+    val minD2 = points.map(p => d2(p, centers(0)))
+    var c = 1
+    while (c < kk) {
+      val total = minD2.sum
+      var pick = points.length - 1
+      if (total > 0) {
+        var r = rnd.nextDouble() * total
+        var i = 0
+        while (i < points.length && r >= 0) { r -= minD2(i); if (r < 0) pick = i; i += 1 }
+      }
+      centers(c) = points(pick).clone()
+      var i = 0
+      while (i < points.length) {
+        val d = d2(points(i), centers(c))
+        if (d < minD2(i)) minD2(i) = d
+        i += 1
+      }
+      c += 1
+    }
+    // Lloyd's
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      var i = 0
+      while (i < points.length) {
+        val p = points(i)
+        var best = 0; var bestD = Double.MaxValue; var ci = 0
+        while (ci < kk) {
+          val d = d2(p, centers(ci))
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        counts(best) += 1
+        val s = sums(best)
+        var j = 0
+        while (j < dim) { s(j) += p(j); j += 1 }
+        i += 1
+      }
+      var ci = 0
+      while (ci < kk) {
+        if (counts(ci) > 0) {
+          val s = sums(ci); val n = counts(ci).toDouble
+          val nc = new Array[Float](dim)
+          var j = 0
+          while (j < dim) { nc(j) = (s(j) / n).toFloat; j += 1 }
+          centers(ci) = nc
+        }
+        ci += 1
+      }
+      it += 1
+    }
+    centers
   }
 
   /** Approximate top-k: SRP-LSH bucket join (multi-table for recall)

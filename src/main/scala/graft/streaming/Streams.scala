@@ -130,6 +130,22 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(handle)
   }
 
+  /** Streaming exact dedup — the continuous form of [[graft.dedup.Dedup.exact]]
+    * for at-least-once sources that redeliver records.
+    * `dropDuplicatesWithinWatermark` keeps the first arrival per key and
+    * expires dedup state once the watermark passes it, so state is
+    * bounded by keys-per-watermark-window, not stream length — the only
+    * viable contract for an unbounded 100 TB/day ingest (a plain
+    * `dropDuplicates` on a stream grows state forever).
+    */
+  def dedupStream(spark: SparkSession, sourceDir: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  keyCols: Seq[String],
+                  tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Rolling per-user running totals (batch window-function form used
     * by the q18_window oracle query). */
   def runningTotals(events: DataFrame): DataFrame = {

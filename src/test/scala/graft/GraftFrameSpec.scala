@@ -143,6 +143,42 @@ class GraftFrameSpec extends AnyFunSuite {
     assert(s > 0)
   }
 
+  test("countBy tallies and sorts; pull collects one column") {
+    val d = Seq("a", "b", "b", "c", "b", "c").toDF("k")
+    val counted = GraftFrame(d).countBy(Seq("k"), sort = true).df.collect()
+    assert(counted.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("b", 3L), ("c", 2L), ("a", 1L)))
+    val pulled = GraftFrame(d).distinct_().arrangeBy("k").pull("k")
+    assert(pulled.toSeq == Seq("a", "b", "c"))
+  }
+
+  test("sliceSample is deterministic per seed and bounded") {
+    val d = SparkT.table("customer")
+    val s1 = GraftFrame(d).sliceSample(7, seed = 5L).df
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    val s2 = GraftFrame(d).sliceSample(7, seed = 5L).df
+      .select("c_custkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(s1 == s2 && s1.length == 7 && s1.distinct.length == 7)
+  }
+
+  test("separate splits in place; unite concatenates at first position") {
+    val d = Seq(("25-989-741", 1), ("13-5-2", 2)).toDF("phone", "x")
+    val sep = GraftFrame(d).separate("phone", Seq("cc", "area"), "-")
+    assert(sep.names == Seq("cc", "area", "x"))
+    assert(sep.df.collect()(0).getString(0) == "25")
+    val un = sep.unite("code", Seq("cc", "area"), "/")
+    assert(un.names == Seq("code", "x"))
+    assert(un.arrangeBy("x").df.collect()(0).getString(0) == "25/989")
+  }
+
+  test("pivotLonger unpivots value columns against id columns") {
+    val d = Seq((1, 2.0, 3.0)).toDF("id", "a", "b")
+    val longd = GraftFrame(d).pivotLonger(Seq("a", "b")).df
+      .orderBy("name").collect()
+    assert(longd.map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1, "a", 2.0), (1, "b", 3.0)))
+  }
+
   test("compute persists; collapse is lazy; collect pulls rows") {
     val f = GraftFrame(df3).collapse()
     assert(f.df.storageLevel.useMemory) // marked, not yet materialized

@@ -59,6 +59,28 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops redelivered events, keeps state within watermark") {
+    // simulate an at-least-once source: every event delivered twice
+    val ev = SparkT.table("events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("ts", "event_id", "event_type", "value")
+    val doubled = ev.unionAll(ev)
+    val dir = Files.createTempDirectory("graft_dedup_stream").toString
+    doubled.write.mode("overwrite").parquet(dir)
+
+    val stream = Streams.dedupStream(spark, dir,
+      spark.read.parquet(dir).schema, keyCols = Seq("event_id"),
+      tsCol = "ts", watermark = "2 hours")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("graft_dedup_stream_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_dedup_stream_test")
+      assert(got.count() == ev.count())
+      assert(got.select("event_id").distinct().count() == got.count())
+    } finally q.stop()
+  }
+
   test("streaming tumbling agg equals the batch form on the same data") {
     // materialize events with a proper timestamp column, then replay it
     // through readStream — Structured Streaming's batch-equivalence
