@@ -469,6 +469,15 @@ object SparkEntry {
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
 
+    // PQ/ADC (codebook-seeded → rows-only; planted-twin recall and
+    // ranking quality are pinned by AnnSpec)
+    "ann4_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.pqTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
+          m = 8, ksub = 16)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+
     "txt1_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),

@@ -259,6 +259,133 @@ object Ann {
     centers
   }
 
+  /** Product-quantization top-k by asymmetric distance (ADC).
+    *
+    * The memory-bound scale path: the corpus is held as m sub-codes
+    * (m bytes/vector vs 4·dim — a 32× compression at dim=64/m=8), so a
+    * 100 TB float corpus becomes ~3 TB of codes that fit executor
+    * memory where raw vectors cannot. Sub-codebooks (m × ksub × dim/m)
+    * train driver-side on a bounded sample — see [[lloydKMeans]];
+    * encoding is one scan; search builds per-query lookup tables ONCE
+    * per partition (the ADC trick: m·ksub partial distances per query,
+    * amortized over every row in the partition) and streams codes
+    * through bounded per-query heaps exactly like [[bruteForceTopK]].
+    *
+    * Output: (query_id, rank, neighbor_id, approx_dist) — approximate
+    * squared L2, ascending. Identical vectors share codes, so an exact
+    * duplicate attains the minimal ADC distance (the query's own
+    * quantization residual) and ranks first.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+             trainFraction: Double = 1.0, maxTrainRows: Int = 16384,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val train: Array[Array[Float]] = {
+      val base = if (trainFraction < 1.0)
+        corpus.sample(withReplacement = false, trainFraction, seed)
+      else corpus
+      base.select(col(vecCol).cast("array<float>")).limit(maxTrainRows)
+        .collect().map(_.getSeq[Float](0).toArray)
+    }
+    require(train.nonEmpty, "pq: empty training sample")
+    val dim = train(0).length
+    require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // per-subspace codebooks over the sample's subvectors
+    val codebooks: Array[Array[Array[Float]]] = Array.tabulate(m) { j =>
+      val subVecs = train.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      lloydKMeans(subVecs, ksub, iters = 15, seed + j)
+    }
+    val bcCb = spark.sparkContext.broadcast(codebooks)
+
+    val encode = udf { (v: Seq[Float]) =>
+      val cb = bcCb.value
+      val codes = new Array[Byte](m)
+      var j = 0
+      while (j < m) {
+        val cbj = cb(j)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cbj.length) {
+          var d = 0.0; var i = 0
+          val cv = cbj(c)
+          while (i < sub) { val t = v(j * sub + i) - cv(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        codes(j) = best.toByte
+        j += 1
+      }
+      codes
+    }
+
+    val qRows: Array[(Long, Array[Float])] = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bcQ = spark.sparkContext.broadcast(qRows)
+
+    val encoded = corpus.select(col(idCol).cast("long").as("id"),
+      encode(col(vecCol).cast("array<float>")).as("codes"))
+    val candidates = encoded.rdd.mapPartitions { it =>
+      val qs = bcQ.value
+      val cb = bcCb.value
+      // ADC lookup tables: lut(q)(j*ksub + c) = ||q_sub_j - cb(j)(c)||²
+      val luts = qs.map { case (_, qv) =>
+        val lut = new Array[Double](m * ksub)
+        var j = 0
+        while (j < m) {
+          val cbj = cb(j)
+          var c = 0
+          while (c < cbj.length) {
+            var d = 0.0; var i = 0
+            val cv = cbj(c)
+            while (i < sub) { val t = qv(j * sub + i) - cv(i); d += t * t; i += 1 }
+            lut(j * ksub + c) = d
+            c += 1
+          }
+          j += 1
+        }
+        lut
+      }
+      // worst-first heaps: head = (largest dist, largest id) to evict
+      val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+        Ordering.by[(Double, Long), (Double, Long)] { case (d, id) => (d, -id) }))
+      it.foreach { r =>
+        val id = r.getLong(0)
+        val codes = r.getAs[Array[Byte]](1)
+        var qi = 0
+        while (qi < qs.length) {
+          if (qs(qi)._1 != id) {
+            val lut = luts(qi)
+            var d = 0.0; var j = 0
+            while (j < m) { d += lut(j * ksub + (codes(j) & 0xFF)); j += 1 }
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((d, id))
+            else {
+              val (wd, wid) = h.head
+              if (d < wd || (d == wd && id < wid)) { h.dequeue(); h.enqueue((d, id)) }
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (d, id) => Row(qs(qi)._1, id, d) }
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("approx_dist", DoubleType, nullable = false)))
+    val candDf = spark.createDataFrame(candidates, schema)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
+    candDf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "approx_dist")
+  }
+
   /** Approximate top-k: SRP-LSH bucket join (multi-table for recall)
     * restricts candidates, then exact cosine + rank within candidates.
     */

@@ -38,4 +38,35 @@ object Tables {
 
   def json(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
+
+  // ---- sinks --------------------------------------------------------------
+  // Every sink writes a DIRECTORY of part files (one per partition) —
+  // the only write shape that scales: N executors stream their
+  // partitions concurrently, no driver funnel. `repartition` before a
+  // sink only to control file count, never to 1 at scale.
+
+  /** Parquet sink — the default interchange format (columnar,
+    * compressed, schema'd, splittable). */
+  def writeParquet(df: DataFrame, path: String,
+                   mode: String = "overwrite"): Unit =
+    df.write.mode(mode).parquet(path)
+
+  /** CSV sink with header; nulls as empty, RFC-ish quoting. CSV is for
+    * export/interop only — it drops types and nested structure. */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+               mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", header.toString).csv(path)
+
+  /** JSON-lines sink — one object per line, splittable on read. */
+  def writeJson(df: DataFrame, path: String,
+                mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+
+  /** Partitioned parquet sink: `partitionBy` columns become directory
+    * keys (hive layout), so downstream reads with a filter on those
+    * columns prune entire directories before any I/O — the 100 TB
+    * pattern for time- or category-partitioned corpora. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: String = "overwrite"): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 }

@@ -75,6 +75,37 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("pqTopK finds planted identical twins as top-1") {
+    // ADC distance is query-to-reconstructed-code, so an identical twin
+    // attains the MINIMUM possible distance (the query's own
+    // quantization residual), not 0 — top-1 rank is the invariant.
+    val twins = queries.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(twins)
+    val top1 = Ann.pqTopK(corpus, queries, k = 3, m = 8, ksub = 16)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    (0L until 5L).foreach { q =>
+      assert(top1(q) == q + 10000L, s"query $q top-1 should be its twin")
+    }
+  }
+
+  test("pqTopK is well-formed and beats random ranking") {
+    val out = Ann.pqTopK(emb, queries, k = 10, m = 8, ksub = 16)
+    val byQ = out.collect().groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    byQ.values.foreach { rows =>
+      assert(rows.length == 10)
+      val dists = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+    }
+    // coarse quality: PQ top-10 should overlap the exact L2^... cosine
+    // top-50 far above chance (50/1000 ≈ 0.05 expected at random)
+    val brute = Ann.bruteForceTopK(emb, queries, k = 50)
+      .select("query_id", "neighbor_id")
+    val overlap = out.select("query_id", "neighbor_id").intersect(brute).count()
+    assert(overlap >= 10, s"PQ∩brute-50 overlap $overlap of 50")
+  }
+
   test("lshTopK output is well-formed: ≤k rows per query, scores descending") {
     val out = Ann.lshTopK(emb, queries, k = 10, dim = 64).collect()
     val byQ = out.groupBy(_.getLong(0))
