@@ -350,6 +350,18 @@ object SparkEntry {
         .arrange(asc("c_mktsegment"), desc("o_totalprice"), asc("o_orderkey"))
         .df),
 
+    "q34_topn_agg" -> ((s, dir) =>
+      // same result contract as q30, different physical path: the
+      // BoundedTopK partial aggregate shuffles ≤3 rows per (task,
+      // segment) instead of window-sorting every joined row
+      g(s, dir, "orders")
+        .join(g(s, dir, "customer"), Seq("o_custkey" -> "c_custkey"), "inner")
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .groupBy("c_mktsegment")
+        .sliceMaxAgg(col("o_totalprice"), 3, col("o_orderkey"))
+        .arrange(asc("c_mktsegment"), desc("o_totalprice"), asc("o_orderkey"))
+        .df),
+
     "q31_pivot_longer" -> ((s, dir) =>
       // tidyr pivot_longer: Catalyst Expand — one scan, zero shuffle,
       // rows × 3 output
@@ -805,6 +817,15 @@ object SparkEntry {
          ORDER BY id_a, id_b""",
 
     "q30_slice_max" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+           SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders JOIN customer ON o_custkey = c_custkey)
+         WHERE rn <= 3
+         ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey""",
+
+    "q34_topn_agg" ->
       """SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
            SELECT c_mktsegment, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY c_mktsegment

@@ -149,6 +149,34 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
   def sliceMin(orderBy: Column, n: Int, tieBreak: Column*): GraftFrame =
     sliceBy(orderBy.asc_nulls_last, n, tieBreak)
 
+  /** Grouped top-n via the bounded partial aggregate
+    * ([[graft.expressions.BoundedTopK]]) instead of a window rank.
+    * Same result as [[sliceMax]], different shuffle contract: each map
+    * task sends at most n rows PER GROUP into the exchange, where the
+    * window form shuffles and sorts every input row — the scale path
+    * for small n over very large groups. `orderBy`/`tieBreak` must be
+    * numeric (exactly double-representable for exact ties, e.g. ids
+    * < 2^53). */
+  def sliceMaxAgg(orderBy: Column, n: Int, tieBreak: Column*): GraftFrame =
+    sliceAgg(negate(orderBy), n, tieBreak)
+
+  /** Bottom-n twin of [[sliceMaxAgg]]. */
+  def sliceMinAgg(orderBy: Column, n: Int, tieBreak: Column*): GraftFrame =
+    sliceAgg(orderBy, n, tieBreak)
+
+  private def sliceAgg(primaryAsc: Column, n: Int, tieBreak: Seq[Column]): GraftFrame = {
+    require(groupCols.nonEmpty,
+      "sliceMaxAgg/sliceMinAgg need group context; ungrouped top-n is sort+limit (sliceMax)")
+    val payload = struct(df.columns.map(col): _*)
+    val keys = primaryAsc +: tieBreak
+    val agged = df.groupBy(groupCols.map(col): _*)
+      .agg(graft.expressions.GraftFunctions
+        .graft_bounded_topk(payload, keys, n).as("__graft_topk"))
+      .select(explode(col("__graft_topk")).as("__graft_row"))
+      .select(col("__graft_row.*"))
+    GraftFrame(agged)
+  }
+
   private def sliceBy(primary: Column, n: Int, tieBreak: Seq[Column]): GraftFrame = {
     val order = primary +: tieBreak.map(_.asc_nulls_last)
     if (groupCols.isEmpty)

@@ -244,6 +244,13 @@ object GraftFunctions {
   def graft_fingerprint64(text: Column, base: Long = 257L): Column =
     Bridge.column(PolyFingerprint(Bridge.expression(text), base))
 
+  /** Bounded bottom-k aggregate — see [[BoundedTopK]]. `keys` are cast
+    * to double; descending order = negate the key. */
+  def graft_bounded_topk(payload: Column, keys: Seq[Column], k: Int): Column =
+    Bridge.column(BoundedTopK(Bridge.expression(payload),
+      keys.map(c => Bridge.expression(c.cast("double"))), k)
+      .toAggregateExpression())
+
   /** Register SQL names so `spark.sql("SELECT graft_cosine(a,b) ...")`
     * works — parity with the reference's goal of "write ordinary
     * queries, engine executes them natively".
