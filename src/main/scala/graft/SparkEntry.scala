@@ -350,6 +350,33 @@ object SparkEntry {
         .arrange(asc("c_mktsegment"), desc("o_totalprice"), asc("o_orderkey"))
         .df),
 
+    "q35_grouped_mutate" -> ((s, dir) =>
+      // dplyr grouped mutate: per-segment totals joined back to rows;
+      // one shuffle on the group key, aggregates share the window
+      g(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .mutateGrouped(
+          "seg_total" -> round(sum(col("c_acctbal")), 2),
+          "seg_n" -> count(lit(1)))
+        .ungroup
+        .mutate("bal_share" -> col("c_acctbal") / col("seg_total"))
+        .arrange(asc("c_custkey"))
+        .df),
+
+    "q36_fill" -> ((s, dir) =>
+      // tidyr fill(.direction="down"): clicks have no value — carry the
+      // last non-click value forward per user in event-time order
+      GraftFrame(t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            when(col("event_type") === "click", lit(null))
+              .otherwise(col("value")).as("v")))
+        .groupBy("user_id")
+        .fillDown(Seq(col("ts"), col("event_id")), "v")
+        .select("user_id", "event_id", "v")
+        .arrange(asc("event_id"), asc("user_id"), asc("v"))
+        .df),
+
     "q34_topn_agg" -> ((s, dir) =>
       // same result contract as q30, different physical path: the
       // BoundedTopK partial aggregate shuffles ≤3 rows per (task,
@@ -824,6 +851,23 @@ object SparkEntry {
            FROM orders JOIN customer ON o_custkey = c_custkey)
          WHERE rn <= 3
          ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey""",
+
+    "q35_grouped_mutate" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+           round(sum(c_acctbal) OVER (PARTITION BY c_mktsegment), 2) AS seg_total,
+           count(*) OVER (PARTITION BY c_mktsegment) AS seg_n,
+           c_acctbal / round(sum(c_acctbal) OVER (PARTITION BY c_mktsegment), 2) AS bal_share
+         FROM customer ORDER BY c_custkey""",
+
+    "q36_fill" ->
+      """SELECT user_id, event_id,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+         FROM (SELECT user_id, event_id, ts,
+                 CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+               FROM events)
+         ORDER BY event_id, user_id, v""",
 
     "q34_topn_agg" ->
       """SELECT c_mktsegment, o_orderkey, o_totalprice FROM (

@@ -203,6 +203,82 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
     copy(df = df.select((cols ++ rest).map(col): _*))
   }
 
+  /** dplyr grouped `mutate(...)` — aggregate expressions evaluated PER
+    * GROUP and joined back to every row, dplyr's semantics for
+    * `group_by(g) |> mutate(share = x / sum(x))`. Each pair's
+    * expression is wrapped in a window over the current groups — one
+    * shuffle on the group keys regardless of how many pairs. Falls
+    * back to plain [[mutate]] when ungrouped (dplyr: whole-frame
+    * aggregates). */
+  def mutateGrouped(pairs: (String, Column)*): GraftFrame = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.{RowFrame, SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction}
+    import org.apache.spark.sql.graftbridge.Bridge
+    // dplyr allows aggregates anywhere inside a grouped-mutate
+    // expression (`x / sum(x)`), so wrap exactly the aggregate NODES in
+    // a whole-partition window — `.over` on the composite would try to
+    // window the arithmetic too and fail analysis. Column-built
+    // aggregates are still UnresolvedFunction here (analysis hasn't
+    // run), so "is this an aggregate" asks the function registry what
+    // the name resolves to.
+    val registry = Bridge.sessionState(df.sparkSession).functionRegistry
+    def isAggregateName(name: String, args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean =
+      try registry.lookupFunction(FunctionIdentifier(name), args)
+        .isInstanceOf[AggregateFunction]
+      catch { case _: Exception => false }
+    val spec = WindowSpecDefinition(
+      groupCols.map(c => Bridge.expression(col(c))),
+      Nil,
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing))
+    copy(df = pairs.foldLeft(df) { case (d, (name, expr)) =>
+      // transformUp: a top-down pass would re-visit the function we
+      // just wrapped (it is the WindowExpression's child) forever
+      val wrapped = Bridge.expression(expr).transformUp {
+        case ae: AggregateExpression => WindowExpression(ae, spec)
+        case uf: UnresolvedFunction
+          if uf.nameParts.length == 1 &&
+            isAggregateName(uf.nameParts.head, uf.arguments) =>
+          WindowExpression(uf, spec)
+      }
+      d.withColumn(name, Bridge.column(wrapped))
+    })
+  }
+
+  /** tidyr `fill(cols, .direction = "down")` — replace nulls with the
+    * most recent non-null value in `orderBy` order within the current
+    * groups. One shuffle + one sort; all filled columns share the
+    * window. */
+  def fillDown(orderBy: Seq[Column], cols: String*): GraftFrame = {
+    val base = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(orderBy: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    copy(df = cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(base))
+    })
+  }
+
+  /** dplyr/tidyr `drop_na(cols)` — drop rows with nulls in `cols` (all
+    * columns when empty). */
+  def dropNa(cols: String*): GraftFrame =
+    copy(df = if (cols.isEmpty) df.na.drop() else df.na.drop(cols))
+
+  /** tidyr `replace_na(value, cols)` — fills columns whose type matches
+    * the value (Spark `na.fill` semantics). */
+  def replaceNa(value: Any, cols: String*): GraftFrame = {
+    val filled = value match {
+      case d: Double => if (cols.isEmpty) df.na.fill(d) else df.na.fill(d, cols)
+      case l: Long => if (cols.isEmpty) df.na.fill(l) else df.na.fill(l, cols)
+      case i: Int => if (cols.isEmpty) df.na.fill(i.toLong) else df.na.fill(i.toLong, cols)
+      case s: String => if (cols.isEmpty) df.na.fill(s) else df.na.fill(s, cols)
+      case other => throw new IllegalArgumentException(
+        s"replace_na: unsupported fill value type ${other.getClass.getName}")
+    }
+    copy(df = filled)
+  }
+
   /** dplyr `count(...)` — group by `cols` (added to any current
     * groups, as dplyr does), tally, optionally sort descending by the
     * count. */

@@ -143,6 +143,34 @@ class GraftFrameSpec extends AnyFunSuite {
     assert(s > 0)
   }
 
+  test("mutateGrouped computes per-group aggregates joined to rows") {
+    val d = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("g", "x")
+    val out = GraftFrame(d).groupBy("g")
+      .mutateGrouped("total" -> sum(col("x")), "share" -> (col("x") / sum(col("x"))))
+      .df.orderBy("g", "x").collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", 4.0, 0.25), ("a", 4.0, 0.75), ("b", 10.0, 1.0)))
+    // ungrouped: whole-frame aggregate
+    val whole = GraftFrame(d).mutateGrouped("total" -> sum(col("x")))
+      .df.select("total").distinct().collect()
+    assert(whole.length == 1 && whole(0).getDouble(0) == 14.0)
+  }
+
+  test("fillDown carries last non-null forward per group; dropNa/replaceNa") {
+    val d = Seq(
+      ("a", 1L, Some(10.0)), ("a", 2L, None), ("a", 3L, None),
+      ("b", 1L, None), ("b", 2L, Some(5.0))
+    ).toDF("g", "t", "v")
+    val filled = GraftFrame(d).groupBy("g")
+      .fillDown(Seq(col("t")), "v").df
+      .orderBy("g", "t").collect().map(r => Option(r.get(2)).map(_.asInstanceOf[Double]))
+    assert(filled.toSeq == Seq(Some(10.0), Some(10.0), Some(10.0), None, Some(5.0)))
+    assert(GraftFrame(d).dropNa("v").df.count() == 2)
+    val rep = GraftFrame(d).replaceNa(0.0, "v").df
+      .filter(col("v") === 0.0).count()
+    assert(rep == 3)
+  }
+
   test("countBy tallies and sorts; pull collects one column") {
     val d = Seq("a", "b", "b", "c", "b", "c").toDF("k")
     val counted = GraftFrame(d).countBy(Seq("k"), sort = true).df.collect()
