@@ -85,6 +85,58 @@ object Multimodal {
       sha2(col("payload"), 256).as("sha256"),
       (lit(64) + pmod(col("n_bytes"), lit(577))).cast("int").as("fake_width"))
 
+  /** A resized media row: new dims + recoded payload. */
+  case class ResizedMedia(doc_id: Long, modality: String,
+                          width: Int, height: Int, payload: Array[Byte])
+
+  /** Batch resize: decode → resample → re-encode, stubbed with a
+    * deterministic byte down-sample (every k-th byte) standing in for
+    * a real resampler. Same partition-batch shape as [[decodeFeatures]]
+    * — swap the stub for libvips/ffmpeg without touching the plumbing.
+    * Payload size shrinks ~(targetW·targetH)/(w·h), which is the real
+    * scale lever: resize EARLY, before any shuffle carries payloads. */
+  def resizeBatch(media: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, _) = StubDecoder.decode(r.payload)
+        val ratio = math.max(1.0, (w.toDouble * h) / (targetW.toDouble * targetH))
+        val step = math.max(1, math.round(ratio).toInt)
+        val out = r.payload.indices.collect {
+          case i if i % step == 0 => r.payload(i)
+        }.toArray
+        ResizedMedia(r.doc_id, r.modality, targetW, targetH, out)
+      }
+    }
+  }
+
+  /** Payload → embedding stub: a deterministic hash-derived float
+    * vector standing in for a vision/audio encoder. Output plugs
+    * straight into [[graft.similarity.Ann]] / [[graft.dedup.Dedup]]
+    * embedding operators — media dedup is "embed, then embedding
+    * near-dup" with no new machinery. */
+  def embedStub(media: DataFrame, dim: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val embedded = media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val v = new Array[Float](dim)
+        var h = 1125899906842597L
+        var i = 0
+        while (i < r.payload.length) { h = h * 31 + r.payload(i); i += 1 }
+        var j = 0
+        while (j < dim) {
+          h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+          v(j) = (h >>> 11).toFloat / (1L << 53).toFloat - 0.5f
+          j += 1
+        }
+        (r.doc_id, v)
+      }
+    }
+    embedded.toDF("vec_id", "embedding")
+  }
+
   /** Deterministic frame sampling plan for video-like payloads: every
     * `stride`-th frame index up to `maxFrames` — pure metadata,
     * expressible without decoding. */

@@ -36,4 +36,30 @@ class MultimodalSpec extends AnyFunSuite {
     val r = planned.select(size(col("sampled_frames")).as("n")).collect()
     assert(r.forall(_.getInt(0) <= 8))
   }
+
+  test("resize shrinks payloads, keeps one row per input, sets target dims") {
+    val resized = Multimodal.resizeBatch(media, 32, 32)
+    assert(resized.count() == 500)
+    val joined = resized.toDF().select(col("doc_id"),
+        octet_length(col("payload")).as("out_bytes"),
+        col("width"), col("height"))
+      .join(media.select(col("doc_id"), col("n_bytes")), "doc_id")
+    assert(joined.filter(col("out_bytes") > col("n_bytes")).count() == 0)
+    assert(joined.filter(col("width") =!= 32 || col("height") =!= 32).count() == 0)
+  }
+
+  test("embedStub vectors feed the embedding dedup operator end-to-end") {
+    // identical payloads (planted twin docs) must embed identically and
+    // be recovered by the embedding near-dup operator — media dedup is
+    // embed + existing machinery, no new operator
+    val docs = SparkT.table("documents").select(col("doc_id"), col("text"))
+    val twins = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    val withTwins = Multimodal.asMediaTable(docs.unionByName(twins))
+    val emb = Multimodal.embedStub(withTwins, dim = 64)
+    val pairs = graft.dedup.Dedup.embeddingDupPairs(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.999, nBits = 8, tables = 2)
+    val found = pairs.filter(col("id_b") === col("id_a") + 10000L).count()
+    assert(found >= 18, s"found only $found of 20 planted twins")
+  }
 }
