@@ -476,6 +476,16 @@ object SparkEntry {
             shingleN = 7, threshold = 0.5))
         .orderBy(col("id").asc)),
 
+    "dd7_dedup_near" -> ((s, dir) => {
+      // end-to-end near-dedup: survivors = min-id member per cluster +
+      // all unclustered docs; corpus text never shuffles (anti-join on id)
+      val docs = docsWithNearDups(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 7, threshold = 0.5)
+      Dedup.dedupNear(docs, "doc_id", pairs)
+        .select(col("doc_id")).orderBy(col("doc_id").asc)
+    }),
+
     "dd5_embed_dup" -> ((s, dir) => {
       // the synthetic embeddings have no natural pairs above 0.9 cosine
       // (measured max 0.48), so plant identical twins like dd1/dd4 do —
@@ -981,6 +991,40 @@ object SparkEntry {
            UNION
            SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
          SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+
+    "dd7_dedup_near" ->
+      """WITH RECURSIVE all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text || ' graft dedup pad tail'
+           FROM documents WHERE doc_id % 10 = 0),
+         words AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM all_docs),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+6], ' ') AS s
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 5)) AS i
+                 FROM words WHERE len(w) >= 7)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+         cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         SELECT doc_id FROM all_docs
+         WHERE doc_id NOT IN (SELECT id FROM cc WHERE cluster_id <> id)
+         ORDER BY doc_id""",
 
     "ann1_topk" ->
       """WITH q AS (

@@ -230,6 +230,22 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** End-to-end near-dedup: keep ONE representative (the min-id member)
+    * per near-duplicate cluster, plus every row in no cluster.
+    *
+    * Composition of the scale pieces: pair generation shuffles
+    * signatures only, clustering iterates over the (small) pair graph,
+    * and the final filter is an ANTI-join of the corpus against the
+    * non-representative ids — corpus text never shuffles.
+    */
+  def dedupNear(df: DataFrame, idCol: String, pairs: DataFrame,
+                maxIter: Int = 15): DataFrame = {
+    val clusters = duplicateClusters(pairs, maxIter)
+    val losers = clusters.filter(col("cluster_id") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Embedding near-duplicate pairs: seeded random-hyperplane (SRP)

@@ -21,6 +21,18 @@ class DedupClusterSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("dedupNear keeps exactly one representative per cluster plus loners") {
+    val docs = Seq(
+      (1L, "x"), (2L, "x"), (3L, "x"),   // cluster {1,2,3}
+      (10L, "y"), (11L, "y"),            // cluster {10,11}
+      (50L, "solo")                      // no pairs
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupNear(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 10L, 50L))
+  }
+
   test("duplicateClusters on planted near-dups: every twin joins its original") {
     val docs = SparkT.table("documents").select(col("doc_id"), col("text"))
     val near = docs.filter(col("doc_id") % 10 === 0)
