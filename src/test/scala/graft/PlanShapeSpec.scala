@@ -102,4 +102,43 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(q)
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
   }
+
+  test("pivot_longer plans as Expand with no exchange before it") {
+    val q = GraftFrame(SparkT.table("lineitem"))
+      .select("l_orderkey", "l_quantity", "l_discount")
+      .mutate("l_quantity" -> col("l_quantity").cast("double"),
+        "l_discount" -> col("l_discount").cast("double"))
+      .pivotLonger(Seq("l_quantity", "l_discount")).df
+    val p = plan(q)
+    assert(p.contains("Expand"), p.take(800))
+    assert(!p.contains("Exchange"), "unpivot must not shuffle:\n" + p.take(800))
+  }
+
+  test("grouped mutate shares ONE exchange across all its aggregates") {
+    val q = GraftFrame(SparkT.table("customer"))
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .groupBy("c_mktsegment")
+      .mutateGrouped("t" -> sum(col("c_acctbal")), "n" -> count(lit(1)),
+        "mx" -> max(col("c_acctbal"))).df
+    q.collect()
+    // AQE renders Final + Initial plans; count only the final one
+    val p = plan(q).split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "all grouped-mutate aggregates must share one shuffle:\n" + p.take(1500))
+    // one Window node carrying all three aggregates, not one per pair
+    assert("Window \\[".r.findAllIn(p).length == 1, p.take(1500))
+  }
+
+  test("near-dedup survivors anti-join without shuffling corpus text") {
+    val docs = SparkT.table("documents").select(col("doc_id"), col("text"))
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 7, threshold = 0.5)
+    val q = graft.dedup.Dedup.dedupNear(docs, "doc_id", pairs)
+    q.collect()
+    val p = plan(q)
+    // loser ids broadcast to the corpus scan: no exchange on the
+    // corpus side of the final anti join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(1500))
+  }
 }
