@@ -568,6 +568,37 @@ object SparkEntry {
       Streams.sessionize(t(s, dir, "events"), gapMinutes = 30)
         .orderBy(col("user_id").asc, col("session_seq").asc)),
 
+    "ev3_funnel" -> ((s, dir) => {
+      // staged funnel view → click → purchase: each stage's entry time
+      // is the user's first qualifying event strictly after the prior
+      // stage. Timestamps compared internally only (raw nanos order ==
+      // timestamp order), output is engine-neutral counts.
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      v.select(col("user_id"), lit(1).as("stage"))
+        .unionByName(c.select(col("user_id"), lit(2).as("stage")))
+        .unionByName(p.select(col("user_id"), lit(3).as("stage")))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("stage").asc)
+    }),
+
+    "ev4_json_props" -> ((s, dir) =>
+      // semi-structured props: JSON-path extraction scan-side (the
+      // oracle replays it with a regex — same values, no JSON
+      // dependency on the oracle engine)
+      t(s, dir, "events").select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .withColumn("k_bucket", pmod(col("k"), lit(10)))
+        .orderBy(col("event_id").asc)),
+
     "cur1_curation" -> ((s, dir) => {
       // end-to-end corpus curation: score → filter → exact-dedup →
       // per-language stats. The whole pipeline is ONE Catalyst plan:
@@ -910,6 +941,31 @@ object SparkEntry {
            concat_ws('/', c_mktsegment, split_part(c_name, '#', 1)) AS seg_label,
            split_part(c_name, '#', 2) AS cust_num
          FROM customer ORDER BY c_custkey""",
+
+    "ev3_funnel" ->
+      """WITH v AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (
+           SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+         p AS (
+           SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+         staged AS (
+           SELECT user_id, 1 AS stage FROM v
+           UNION ALL SELECT user_id, 2 FROM c
+           UNION ALL SELECT user_id, 3 FROM p)
+         SELECT stage, CAST(count(*) AS BIGINT) AS n_users
+         FROM staged GROUP BY stage ORDER BY stage""",
+
+    "ev4_json_props" ->
+      """SELECT event_id,
+           CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k,
+           CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) % 10 AS k_bucket
+         FROM events ORDER BY event_id""",
 
     "cur1_curation" ->
       """WITH s AS (

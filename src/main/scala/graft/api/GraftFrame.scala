@@ -294,11 +294,19 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
   def pull(c: String): Array[Any] = df.select(c).collect().map(_.get(0))
 
   /** dplyr `slice_sample(n)` — n uniformly-sampled rows, deterministic
-    * for a given seed. Lowers to sort-by-rand + limit, which Spark
-    * executes as TakeOrderedAndProject: per-partition top-n then a
-    * driver merge of n×parts candidates — no global sort. */
+    * for a given seed; honors group context (n rows PER GROUP when
+    * grouped, like dplyr). Ungrouped lowers to sort-by-rand + limit =
+    * TakeOrderedAndProject (per-partition top-n, driver merge of
+    * n×parts candidates — no global sort); grouped is one shuffle on
+    * the group keys + windowed rank over rand. */
   def sliceSample(n: Int, seed: Long = 42L): GraftFrame =
-    copy(df = df.orderBy(rand(seed)).limit(n))
+    if (groupCols.isEmpty) copy(df = df.orderBy(rand(seed)).limit(n))
+    else {
+      val spec = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*).orderBy(rand(seed))
+      copy(df = df.withColumn("__graft_rs", row_number().over(spec))
+        .filter(col("__graft_rs") <= n).drop("__graft_rs"))
+    }
 
   /** tidyr `separate(col, into, sep)` — split a string column into
     * fixed parts, replacing it in place (missing parts become empty

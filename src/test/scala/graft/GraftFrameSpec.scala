@@ -189,6 +189,13 @@ class GraftFrameSpec extends AnyFunSuite {
     assert(s1 == s2 && s1.length == 7 && s1.distinct.length == 7)
   }
 
+  test("grouped sliceSample draws n per group") {
+    val d = SparkT.table("customer")
+    val got = GraftFrame(d).groupBy("c_mktsegment").sliceSample(3).df
+      .groupBy("c_mktsegment").count().collect()
+    assert(got.length == 5 && got.forall(_.getLong(1) == 3L))
+  }
+
   test("separate splits in place; unite concatenates at first position") {
     val d = Seq(("25-989-741", 1), ("13-5-2", 2)).toDF("phone", "x")
     val sep = GraftFrame(d).separate("phone", Seq("cc", "area"), "-")
