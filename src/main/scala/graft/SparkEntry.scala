@@ -556,6 +556,27 @@ object SparkEntry {
         textfns.contentFingerprint(col("text")).as("fp_md5"))
         .orderBy(col("doc_id").asc)),
 
+    "txt5_clean" -> ((s, dir) =>
+      // plant markup/URLs on every 5th doc, then clean — the operator
+      // must strip exactly the planted noise and leave other docs at
+      // their whitespace-collapsed form
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("<p>"), col("text"),
+              lit("</p> see https://ex.am/x?q=1 now")))
+            .otherwise(col("text")).as("dirty"))
+        .select(col("doc_id"), textfns.cleanText(col("dirty")).as("clean_text"))
+        .orderBy(col("doc_id").asc)),
+
+    "txt6_scrub" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          concat(col("text"), lit(" contact: u"), col("doc_id").cast("string"),
+            lit("@ex.com or 555-1234")).as("dirty"))
+        .select(col("doc_id"), textfns.scrubPii(col("dirty")).as("scrubbed"))
+        .orderBy(col("doc_id").asc)),
+
     "mm1_binary_meta" -> ((s, dir) =>
       Multimodal.metadataFeatures(Multimodal.asMediaTable(t(s, dir, "documents")))
         .orderBy(col("doc_id").asc)),
@@ -941,6 +962,30 @@ object SparkEntry {
            concat_ws('/', c_mktsegment, split_part(c_name, '#', 1)) AS seg_label,
            split_part(c_name, '#', 2) AS cust_num
          FROM customer ORDER BY c_custkey""",
+
+    "txt5_clean" ->
+      """WITH dirty AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+               THEN '<p>' || text || '</p> see https://ex.am/x?q=1 now'
+               ELSE text END AS dirty
+           FROM documents)
+         SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(dirty, '<[^>]+>', ' ', 'g'),
+               'https?://[^\s]+', ' ', 'g'),
+             '\s+', ' ', 'g')) AS clean_text
+         FROM dirty ORDER BY doc_id""",
+
+    "txt6_scrub" ->
+      """SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               text || ' contact: u' || CAST(doc_id AS VARCHAR) || '@ex.com or 555-1234',
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             '\d{3}[-. ]\d{4}', '<PHONE>', 'g') AS scrubbed
+         FROM documents ORDER BY doc_id""",
 
     "ev3_funnel" ->
       """WITH v AS (

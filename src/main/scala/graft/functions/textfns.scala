@@ -104,4 +104,24 @@ object textfns {
     * [[graft.expressions.GraftFunctions.graft_fingerprint64]]. */
   def contentFingerprint(text: Column): Column =
     md5(encode(normalizeText(text), "UTF-8"))
+
+  /** Pretraining-style text cleaning: strip markup tags, drop URLs,
+    * collapse whitespace. Pure regexp chain — runs scan-side in
+    * codegen and replays identically in any regex engine (patterns
+    * stay within the Java∩RE2 common subset: no backrefs, no
+    * lookaround). */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "<[^>]+>", " "),
+        "https?://[^\\s]+", " "),
+      "\\s+", " "))
+
+  /** PII scrubbing: mask email addresses and phone-shaped digit runs.
+    * Same regex-subset discipline as [[cleanText]]. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+      "\\d{3}[-. ]\\d{4}", "<PHONE>")
 }

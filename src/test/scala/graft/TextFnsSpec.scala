@@ -42,6 +42,15 @@ class TextFnsSpec extends AnyFunSuite {
     assert(r(0) > r(1))
   }
 
+  test("cleanText strips markup and urls; scrubPii masks emails/phones") {
+    val d = Seq(Tuple1("<div>Hello <b>world</b></div> read https://x.io/a?b=1 now")).toDF("t")
+    assert(d.select(textfns.cleanText(col("t"))).collect()(0).getString(0) ==
+      "Hello world read now")
+    val p = Seq(Tuple1("mail a.b+c@ex-corp.io or call 555-1234 or 555 9876 end")).toDF("t")
+    assert(p.select(textfns.scrubPii(col("t"))).collect()(0).getString(0) ==
+      "mail <EMAIL> or call <PHONE> or <PHONE> end")
+  }
+
   test("contentFingerprint is whitespace/case-insensitive md5") {
     val d = Seq(("Hello   World", "hello world")).toDF("a", "b")
     val r = d.select(textfns.contentFingerprint(col("a")).as("fa"),
