@@ -63,4 +63,54 @@ object GraftSession {
       "storage_max" -> status.values.map(_._1).sum
     )
   }
+
+  /** Per-executor detail rows — cuplyr `gpu_details()` analogue:
+    * (executorId, host, total storage, free storage, cached blocks
+    * live on it implicitly via used = total - free). */
+  def details(spark: SparkSession): Seq[Map[String, String]] =
+    spark.sparkContext.getExecutorMemoryStatus.toSeq.map {
+      case (hostPort, (total, free)) => Map(
+        "executor" -> hostPort,
+        "storage_total" -> total.toString,
+        "storage_free" -> free.toString,
+        "storage_used" -> (total - free).toString)
+    }
+
+  /** cuplyr `gpu_gc()` analogue: drop every cached plan from executor
+    * storage and nudge the JVM collector. Returns storage freed
+    * (bytes, best-effort estimate). */
+  def gc(spark: SparkSession): Long = {
+    val before = memoryState(spark)("storage_remaining")
+    spark.catalog.clearCache()
+    System.gc()
+    memoryState(spark)("storage_remaining") - before
+  }
+
+  /** cuplyr `gpu_object_info()` analogue: schema plus the optimizer's
+    * size estimate for a plan (bytes; from Catalyst statistics —
+    * exact for file scans with stats, an upper bound for transforms).
+    */
+  def objectInfo(df: org.apache.spark.sql.DataFrame): Map[String, String] = Map(
+    "columns" -> df.columns.length.toString,
+    "schema" -> df.schema.simpleString,
+    "est_size_bytes" -> df.queryExecution.optimizedPlan.stats.sizeInBytes.toString,
+    "is_cached" -> df.storageLevel.useMemory.toString)
+
+  /** cuplyr `gpu_size_comparison()` analogue: optimizer size estimate
+    * vs actual cached size after materialization (both bytes). Caches
+    * and materializes the frame — caller owns unpersist. */
+  def sizeComparison(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    df.persist()
+    df.count()
+    val cached = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    Map("estimated_bytes" -> est.min(BigInt(Long.MaxValue)).toLong,
+      "cached_bytes" -> cached.min(BigInt(Long.MaxValue)).toLong)
+  }
+
+  /** cuplyr `verify_gpu_data()` analogue: force materialization and
+    * check the frame is computable and row-stable (two actions agree).
+    */
+  def verifyData(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.count() == df.count()
 }

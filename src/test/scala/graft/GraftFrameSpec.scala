@@ -214,6 +214,23 @@ class GraftFrameSpec extends AnyFunSuite {
       Seq((1, "a", 2.0), (1, "b", 3.0)))
   }
 
+  test("session introspection mirrors the reference's gpu utilities") {
+    val spark = SparkT.spark
+    val mem = graft.api.GraftSession.memoryState(spark)
+    assert(mem("executors") >= 1 && mem("storage_max") > 0)
+    assert(graft.api.GraftSession.details(spark).nonEmpty)
+    val d = SparkT.table("nation")
+    val info = graft.api.GraftSession.objectInfo(d)
+    assert(info("columns") == d.columns.length.toString)
+    assert(BigInt(info("est_size_bytes")) > 0)
+    assert(graft.api.GraftSession.verifyData(d))
+    val cmp = graft.api.GraftSession.sizeComparison(d)
+    assert(cmp("cached_bytes") > 0)
+    d.unpersist()
+    graft.api.GraftSession.gc(spark) // must not throw; cache is clear after
+    assert(!d.storageLevel.useMemory || d.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("compute persists; collapse is lazy; collect pulls rows") {
     val f = GraftFrame(df3).collapse()
     assert(f.df.storageLevel.useMemory) // marked, not yet materialized
