@@ -37,23 +37,32 @@ object Bench {
     val qs = results.map { case (k, best, _) =>
       s"\"" + k + "\":" + best.map(_.toString).getOrElse("null")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, Some(e)) =>
+    // "failed" = no rep succeeded (null timing, nonzero exit);
+    // "flaky" = some rep failed but a timing exists — the two signals
+    // must not contradict each other
+    val failed = results.collect { case (k, None, Some(e)) =>
+      s"""{"query":"$k","error":${jsonStr(e)}}"""
+    }.mkString("[", ",", "]")
+    val flaky = results.collect { case (k, Some(_), Some(e)) =>
       s"""{"query":"$k","error":${jsonStr(e)}}"""
     }.mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(r => r._3.isDefined && r._2.isEmpty)) sys.exit(1)
   }
 
   private def jsonStr(s: String): String =
+    // non-ASCII goes out as \ u escapes so a take() that lands inside a
+    // surrogate pair still yields valid JSON (a lone escaped surrogate
+    // parses; a raw one is malformed UTF-8)
     "\"" + s.take(200).flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case '\n' => "\\n"
       case '\r' => "\\r"
       case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
 }

@@ -174,7 +174,7 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
         .graft_bounded_topk(payload, keys, n).as("__graft_topk"))
       .select(explode(col("__graft_topk")).as("__graft_row"))
       .select(col("__graft_row.*"))
-    GraftFrame(agged)
+    copy(df = agged) // keep group context, like sliceMax/sliceMin
   }
 
   private def sliceBy(primary: Column, n: Int, tieBreak: Seq[Column]): GraftFrame = {
@@ -205,45 +205,71 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
 
   /** dplyr grouped `mutate(...)` — aggregate expressions evaluated PER
     * GROUP and joined back to every row, dplyr's semantics for
-    * `group_by(g) |> mutate(share = x / sum(x))`. Each pair's
-    * expression is wrapped in a window over the current groups — one
-    * shuffle on the group keys regardless of how many pairs. Falls
-    * back to plain [[mutate]] when ungrouped (dplyr: whole-frame
-    * aggregates). */
+    * `group_by(g) |> mutate(share = x / sum(x))`. Grouped: each pair's
+    * aggregate nodes are wrapped in a window over the current groups —
+    * one shuffle on the group keys regardless of how many pairs.
+    * Ungrouped (dplyr: whole-frame aggregates): the aggregates are
+    * computed ONCE in a scalar aggregate and broadcast-cross-joined
+    * back — an empty window partition spec would instead funnel every
+    * row through one task. */
   def mutateGrouped(pairs: (String, Column)*): GraftFrame = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-    import org.apache.spark.sql.catalyst.expressions.{RowFrame, SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{Expression, RowFrame, SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction}
     import org.apache.spark.sql.graftbridge.Bridge
     // dplyr allows aggregates anywhere inside a grouped-mutate
-    // expression (`x / sum(x)`), so wrap exactly the aggregate NODES in
-    // a whole-partition window — `.over` on the composite would try to
-    // window the arithmetic too and fail analysis. Column-built
-    // aggregates are still UnresolvedFunction here (analysis hasn't
-    // run), so "is this an aggregate" asks the function registry what
-    // the name resolves to.
+    // expression (`x / sum(x)`), so rewrite exactly the aggregate
+    // NODES — `.over` on the composite would try to window the
+    // arithmetic too and fail analysis. Column-built aggregates are
+    // still UnresolvedFunction here (analysis hasn't run), so "is this
+    // an aggregate" asks the function registry what the name resolves
+    // to. transformUp everywhere: a top-down pass would re-visit the
+    // node we just rewrote forever.
     val registry = Bridge.sessionState(df.sparkSession).functionRegistry
-    def isAggregateName(name: String, args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean =
+    def isAggregateName(name: String, args: Seq[Expression]): Boolean =
       try registry.lookupFunction(FunctionIdentifier(name), args)
         .isInstanceOf[AggregateFunction]
       catch { case _: Exception => false }
-    val spec = WindowSpecDefinition(
-      groupCols.map(c => Bridge.expression(col(c))),
-      Nil,
-      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing))
-    copy(df = pairs.foldLeft(df) { case (d, (name, expr)) =>
-      // transformUp: a top-down pass would re-visit the function we
-      // just wrapped (it is the WindowExpression's child) forever
-      val wrapped = Bridge.expression(expr).transformUp {
-        case ae: AggregateExpression => WindowExpression(ae, spec)
-        case uf: UnresolvedFunction
-          if uf.nameParts.length == 1 &&
-            isAggregateName(uf.nameParts.head, uf.arguments) =>
-          WindowExpression(uf, spec)
+    def isAgg(e: Expression): Boolean = e match {
+      case _: AggregateExpression => true
+      case uf: UnresolvedFunction =>
+        uf.nameParts.length == 1 && isAggregateName(uf.nameParts.head, uf.arguments)
+      case _ => false
+    }
+
+    if (groupCols.isEmpty) {
+      val aggCols = scala.collection.mutable.ArrayBuffer[Column]()
+      val rewritten = pairs.map { case (name, expr) =>
+        val e2 = Bridge.expression(expr).transformUp {
+          case e if isAgg(e) =>
+            val nm = s"__graft_agg_${aggCols.length}"
+            aggCols += Bridge.column(e).as(nm)
+            UnresolvedAttribute(nm)
+        }
+        name -> Bridge.column(e2)
       }
-      d.withColumn(name, Bridge.column(wrapped))
-    })
+      if (aggCols.isEmpty) mutate(pairs: _*)
+      else {
+        val aggRow = df.agg(aggCols.head, aggCols.tail.toSeq: _*)
+        val joined = df.crossJoin(broadcast(aggRow))
+        val mutated = rewritten.foldLeft(joined) { case (d, (n, c)) =>
+          d.withColumn(n, c)
+        }
+        copy(df = mutated.drop(aggCols.indices.map(i => s"__graft_agg_$i"): _*))
+      }
+    } else {
+      val spec = WindowSpecDefinition(
+        groupCols.map(c => Bridge.expression(col(c))),
+        Nil,
+        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing))
+      copy(df = pairs.foldLeft(df) { case (d, (name, expr)) =>
+        val wrapped = Bridge.expression(expr).transformUp {
+          case e if isAgg(e) => WindowExpression(e, spec)
+        }
+        d.withColumn(name, Bridge.column(wrapped))
+      })
+    }
   }
 
   /** tidyr `fill(cols, .direction = "down")` — replace nulls with the
@@ -323,11 +349,15 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
   }
 
   /** tidyr `unite(newCol, cols, sep)` — concatenate string columns into
-    * one, placed at the first source's position; sources are dropped. */
+    * one, placed at the first source's position; sources are dropped.
+    * Nulls render as "NA" (tidyr's na.rm = FALSE default) — concat_ws
+    * alone would silently skip them AND their separator, making
+    * ("x", null) and ("x",) indistinguishable. */
   def unite(newCol: String, cols: Seq[String], sep: String = "_"): GraftFrame = {
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"unite: no column(s) ${missing.mkString(", ")}")
-    val united = concat_ws(sep, cols.map(col): _*).as(newCol)
+    val united = concat_ws(sep,
+      cols.map(c => coalesce(col(c).cast("string"), lit("NA"))): _*).as(newCol)
     val first = df.columns.indexWhere(cols.contains)
     val out = df.columns.toSeq.zipWithIndex.flatMap { case (cc, i) =>
       if (i == first) Seq(united)

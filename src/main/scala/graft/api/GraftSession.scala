@@ -98,12 +98,19 @@ object GraftSession {
 
   /** cuplyr `gpu_size_comparison()` analogue: optimizer size estimate
     * vs actual cached size after materialization (both bytes). Caches
-    * and materializes the frame — caller owns unpersist. */
+    * and materializes the frame — caller owns unpersist.
+    *
+    * The cached size must come from a FRESH plan: `df.queryExecution`
+    * is fixed per Dataset and its lazy stats were already forced for
+    * the estimate, so re-reading it would return the pre-cache number.
+    * A derived Dataset re-plans and resolves to the InMemoryRelation,
+    * whose stats are the materialized bytes. */
   def sizeComparison(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     df.persist()
     df.count()
-    val cached = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cached = df.filter(org.apache.spark.sql.functions.lit(true))
+      .queryExecution.optimizedPlan.stats.sizeInBytes
     Map("estimated_bytes" -> est.min(BigInt(Long.MaxValue)).toLong,
       "cached_bytes" -> cached.min(BigInt(Long.MaxValue)).toLong)
   }

@@ -66,15 +66,14 @@ case class BoundedTopK(
     if (p != null) {
       val ks = new Array[Double](keys.length)
       var i = 0
-      var anyNull = false
       while (i < keys.length) {
         val v = keys(i).eval(input)
-        if (v == null) anyNull = true else ks(i) = v.asInstanceOf[Double]
+        // a null ordering key sorts last IN ITS OWN SLOT (+∞), like
+        // asc_nulls_last per sort level — a null tiebreak must not
+        // erase a non-null primary key
+        ks(i) = if (v == null) Double.PositiveInfinity else v.asInstanceOf[Double]
         i += 1
       }
-      // null ordering keys sort last (can never enter a bounded min-k
-      // unless the group has fewer than k non-null rows) — model as +∞
-      if (anyNull) java.util.Arrays.fill(ks, Double.PositiveInfinity)
       if (buf.wouldAccept(ks))
         buf.offer(ks, proj(p.asInstanceOf[InternalRow]).copy())
     }

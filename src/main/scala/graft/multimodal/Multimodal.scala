@@ -103,9 +103,12 @@ object Multimodal {
         val (w, h, _) = StubDecoder.decode(r.payload)
         val ratio = math.max(1.0, (w.toDouble * h) / (targetW.toDouble * targetH))
         val step = math.max(1, math.round(ratio).toInt)
-        val out = r.payload.indices.collect {
-          case i if i % step == 0 => r.payload(i)
-        }.toArray
+        // primitive strided copy — this per-byte loop is the row hot
+        // path, so no Range/boxing allocation
+        val n = r.payload.length
+        val out = new Array[Byte]((n + step - 1) / step)
+        var i = 0; var j = 0
+        while (i < n) { out(j) = r.payload(i); j += 1; i += step }
         ResizedMedia(r.doc_id, r.modality, targetW, targetH, out)
       }
     }

@@ -137,16 +137,8 @@ object Ann {
     // local compute, versus ~25 distributed jobs (k-means|| init + 20
     // iterations) for spark.ml KMeans whose per-job overhead dwarfs
     // the arithmetic at any scale — centroids converge on a sample
-    // regardless of corpus size. At 100 TB callers set trainFraction
-    // so the `limit` draws from a uniform sample rather than the
-    // first file-order rows.
-    val train: Array[Array[Float]] = {
-      val base = if (trainFraction < 1.0)
-        corpus.sample(withReplacement = false, trainFraction, seed)
-      else corpus
-      base.select(col(vecCol).cast("array<float>")).limit(maxTrainRows)
-        .collect().map(_.getSeq[Float](0).toArray)
-    }
+    // regardless of corpus size.
+    val train = trainSample(corpus, vecCol, trainFraction, maxTrainRows, seed)
     val centers = lloydKMeans(train, nCells, iters = 15, seed)
     val bc = spark.sparkContext.broadcast(centers)
 
@@ -184,6 +176,20 @@ object Ann {
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** Bounded driver-side training sample for codebook/centroid
+    * estimation. At 100 TB callers set `trainFraction` so the `limit`
+    * draws from a uniform sample rather than the first file-order
+    * rows. */
+  private def trainSample(corpus: DataFrame, vecCol: String,
+                          trainFraction: Double, maxTrainRows: Int,
+                          seed: Long): Array[Array[Float]] = {
+    val base = if (trainFraction < 1.0)
+      corpus.sample(withReplacement = false, trainFraction, seed)
+    else corpus
+    base.select(col(vecCol).cast("array<float>")).limit(maxTrainRows)
+      .collect().map(_.getSeq[Float](0).toArray)
   }
 
   /** Deterministic k-means++ seeding + Lloyd's iterations, local.
@@ -281,13 +287,7 @@ object Ann {
              trainFraction: Double = 1.0, maxTrainRows: Int = 16384,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
-    val train: Array[Array[Float]] = {
-      val base = if (trainFraction < 1.0)
-        corpus.sample(withReplacement = false, trainFraction, seed)
-      else corpus
-      base.select(col(vecCol).cast("array<float>")).limit(maxTrainRows)
-        .collect().map(_.getSeq[Float](0).toArray)
-    }
+    val train = trainSample(corpus, vecCol, trainFraction, maxTrainRows, seed)
     require(train.nonEmpty, "pq: empty training sample")
     val dim = train(0).length
     require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
@@ -348,9 +348,11 @@ object Ann {
         }
         lut
       }
-      // worst-first heaps: head = (largest dist, largest id) to evict
+      // worst-first heaps: head = (largest dist, largest id) to evict —
+      // natural (d, id) max-ordering, so distance ties evict the
+      // largest id, keeping bottom-k by (dist asc, id asc)
       val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
-        Ordering.by[(Double, Long), (Double, Long)] { case (d, id) => (d, -id) }))
+        Ordering.by[(Double, Long), (Double, Long)](identity)))
       it.foreach { r =>
         val id = r.getLong(0)
         val codes = r.getAs[Array[Byte]](1)

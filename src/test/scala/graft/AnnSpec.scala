@@ -89,6 +89,18 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("pqTopK tie eviction keeps the smallest ids (bottom-k by dist, id)") {
+    // all-identical vectors → identical codes → every ADC distance
+    // ties; bottom-k must keep the smallest neighbor ids
+    val vec = Array.fill(64)(0.5f)
+    val corpus = spark.createDataFrame(
+      (0L until 10L).map(i => (i, vec.toSeq))).toDF("vec_id", "embedding")
+    val q = spark.createDataFrame(Seq((100L, vec.toSeq))).toDF("vec_id", "embedding")
+    val got = Ann.pqTopK(corpus, q, k = 3, m = 8, ksub = 4)
+      .orderBy(col("rank")).collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(0L, 1L, 2L), s"got $got")
+  }
+
   test("pqTopK is well-formed and beats random ranking") {
     val out = Ann.pqTopK(emb, queries, k = 10, m = 8, ksub = 16)
     val byQ = out.collect().groupBy(_.getLong(0))

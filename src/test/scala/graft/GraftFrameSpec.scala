@@ -206,6 +206,14 @@ class GraftFrameSpec extends AnyFunSuite {
     assert(un.arrangeBy("x").df.collect()(0).getString(0) == "25/989")
   }
 
+  test("unite renders nulls as NA (tidyr default), keeping separators") {
+    val d = Seq((Some("x"), Option.empty[String]), (None, Some("y")))
+      .toDF("a", "b")
+    val got = GraftFrame(d).unite("c", Seq("a", "b"), "/").df
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("NA/y", "x/NA"))
+  }
+
   test("pivotLonger unpivots value columns against id columns") {
     val d = Seq((1, 2.0, 3.0)).toDF("id", "a", "b")
     val longd = GraftFrame(d).pivotLonger(Seq("a", "b")).df

@@ -59,4 +59,22 @@ class TopKAggSpec extends AnyFunSuite {
       .collect().map(_.getLong(2)).sorted.toSeq
     assert(got == Seq(1L, 3L))
   }
+
+  test("a null TIEBREAK does not erase a non-null primary key") {
+    // (v=100, id=null) must still win over (v=1, id=1) — the null only
+    // affects its own sort level, like sliceMax's asc_nulls_last
+    val d = Seq((1, 100.0, Option.empty[Long]), (1, 1.0, Some(1L)))
+      .toDF("g", "v", "id")
+    val got = GraftFrame(d).groupBy("g").sliceMaxAgg(col("v"), 1, col("id")).df
+      .collect().map(_.getDouble(1)).toSeq
+    assert(got == Seq(100.0))
+  }
+
+  test("sliceMaxAgg preserves group context for chained verbs") {
+    val d = Seq((1, 5.0, 10L), (1, 4.0, 11L), (2, 9.0, 20L)).toDF("g", "v", "id")
+    val out = GraftFrame(d).groupBy("g").sliceMaxAgg(col("v"), 1, col("id"))
+      .summarise("n" -> count(lit(1)))
+    // grouped summarise after the slice: one row per group, not one total
+    assert(out.df.count() == 2)
+  }
 }
