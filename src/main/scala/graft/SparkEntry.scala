@@ -556,6 +556,21 @@ object SparkEntry {
         textfns.contentFingerprint(col("text")).as("fp_md5"))
         .orderBy(col("doc_id").asc)),
 
+    "txt7_vocab" -> ((s, dir) =>
+      // corpus vocabulary: top-100 words by frequency. explode →
+      // two-level aggregate (partial map-side combine on word), then
+      // TakeOrderedAndProject for the top-k — no global sort
+      GraftFrame(t(s, dir, "documents")
+          .select(explode(split(
+            lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
+            .as("word"))
+          .filter(col("word") =!= ""))
+        .countBy(Seq("word"))
+        .ungroup
+        .sliceMax(col("n"), 100, col("word"))
+        .arrange(desc("n"), asc("word"))
+        .df),
+
     "txt5_clean" -> ((s, dir) =>
       // plant markup/URLs on every 5th doc, then clean — the operator
       // must strip exactly the planted noise and leave other docs at
@@ -962,6 +977,17 @@ object SparkEntry {
            concat_ws('/', c_mktsegment, split_part(c_name, '#', 1)) AS seg_label,
            split_part(c_name, '#', 2) AS cust_num
          FROM customer ORDER BY c_custkey""",
+
+    "txt7_vocab" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS n
+         FROM (
+           SELECT unnest(regexp_split_to_array(
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS word
+           FROM documents)
+         WHERE word <> ''
+         GROUP BY word
+         ORDER BY n DESC, word
+         LIMIT 100""",
 
     "txt5_clean" ->
       """WITH dirty AS (
