@@ -556,6 +556,27 @@ object SparkEntry {
         textfns.contentFingerprint(col("text")).as("fp_md5"))
         .orderBy(col("doc_id").asc)),
 
+    "txt8_tfidf" -> ((s, dir) => {
+      // TF-IDF: tf from one explode+count, df from the distinct
+      // doc-word pairs of the SAME aggregate, N broadcast as a scalar.
+      // ln() over integer-derived doubles, rounded 4dp (libm ulp
+      // differences sit far below the grid step)
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(
+          lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
+          .as("word"))
+        .filter(col("word") =!= "")
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "word")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("word"), col("tf"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 4)
+            .as("tfidf"))
+        .orderBy(col("doc_id").asc, col("word").asc)
+    }),
+
     "txt7_vocab" -> ((s, dir) =>
       // corpus vocabulary: top-100 words by frequency. explode →
       // two-level aggregate (partial map-side combine on word), then
@@ -977,6 +998,22 @@ object SparkEntry {
            concat_ws('/', c_mktsegment, split_part(c_name, '#', 1)) AS seg_label,
            split_part(c_name, '#', 2) AS cust_num
          FROM customer ORDER BY c_custkey""",
+
+    "txt8_tfidf" ->
+      """WITH words AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS word
+           FROM documents),
+         tf AS (
+           SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+           FROM words WHERE word <> '' GROUP BY doc_id, word),
+         dfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+         SELECT doc_id, word, tf,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS tfidf
+         FROM tf JOIN dfreq USING (word) CROSS JOIN n
+         ORDER BY doc_id, word""",
 
     "txt7_vocab" ->
       """SELECT word, CAST(count(*) AS BIGINT) AS n
