@@ -65,11 +65,19 @@ object Dedup {
     *
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
+  /** @param materializeSigs checkpoint the (id, signature) projection
+    *        once instead of re-running the shingle+minhash kernel for
+    *        each of its three uses. At benchmark scale recompute wins
+    *        (the eager materialization job costs more than two extra
+    *        kernel passes over small text); at corpus scale the flag
+    *        should be ON — it converts three full text scans into one
+    *        scan plus k×8 bytes/doc of executor storage. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 128, bands: Int = 32,
                       threshold: Double = 0.5, seed: Long = 42L,
                       bucketCap: Int = 1000,
-                      charLevel: Boolean = false): DataFrame = {
+                      charLevel: Boolean = false,
+                      materializeSigs: Boolean = false): DataFrame = {
     val rowsPerBand = k / bands
     // charLevel: code-point n-grams for scripts without word boundaries
     // (whitespace shingling sees CJK text as ONE word → zero shingles);
@@ -81,13 +89,16 @@ object Dedup {
     def shingleSetOf(c: Column): Column =
       if (charLevel) hashfns.charShingleHashes(c, shingleN)
       else hashfns.distinctWordShingles(c, shingleN)
-    // signatures feed band keys and the estimate prefilter; the kernel
-    // recomputes rather than persist — a cache here would outlive the
-    // returned (lazy) DataFrame with no release point, leaking executor
-    // storage across calls. The signature kernel is one scan-side pass.
-    val docs = df.select(col(idCol).as("id"),
+    // signatures feed band keys AND both sides of the estimate
+    // prefilter. Checkpoint blocks (unlike persist) are released by
+    // the ContextCleaner once the returned plan is GC'd — no
+    // cross-call storage leak — and this is a plain projection (no
+    // self-join), the shape that is safe to checkpoint (see
+    // duplicateClusters).
+    val sigPlan = df.select(col(idCol).as("id"),
       graft.expressions.GraftFunctions
         .graft_minhash(shingleHashesOf(col(textCol)), k, seed).as("sig"))
+    val docs = if (materializeSigs) sigPlan.localCheckpoint(true) else sigPlan
     val exploded = docs.select(col("id"),
       explode(hashfns.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
     val candidates = boundedPairs(exploded, bucketCap)
