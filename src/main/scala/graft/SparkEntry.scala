@@ -586,8 +586,7 @@ object SparkEntry {
             lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
             .as("word"))
           .filter(col("word") =!= ""))
-        .countBy(Seq("word"))
-        .ungroup
+        .countBy(Seq("word")) // summarise drops groups → ungrouped top-k
         .sliceMax(col("n"), 100, col("word"))
         .arrange(desc("n"), asc("word"))
         .df),
@@ -995,7 +994,8 @@ object SparkEntry {
 
     "q33_separate_unite" ->
       """SELECT c_custkey,
-           concat_ws('/', c_mktsegment, split_part(c_name, '#', 1)) AS seg_label,
+           concat_ws('/', coalesce(c_mktsegment, 'NA'),
+             coalesce(split_part(c_name, '#', 1), 'NA')) AS seg_label,
            split_part(c_name, '#', 2) AS cust_num
          FROM customer ORDER BY c_custkey""",
 

@@ -158,17 +158,37 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
     * numeric (exactly double-representable for exact ties, e.g. ids
     * < 2^53). */
   def sliceMaxAgg(orderBy: Column, n: Int, tieBreak: Column*): GraftFrame =
-    sliceAgg(negate(orderBy), n, tieBreak)
+    sliceAgg(orderBy, descending = true, n, tieBreak)
 
   /** Bottom-n twin of [[sliceMaxAgg]]. */
   def sliceMinAgg(orderBy: Column, n: Int, tieBreak: Column*): GraftFrame =
-    sliceAgg(orderBy, n, tieBreak)
+    sliceAgg(orderBy, descending = false, n, tieBreak)
 
-  private def sliceAgg(primaryAsc: Column, n: Int, tieBreak: Seq[Column]): GraftFrame = {
+  /** Encode one ordering key as (class, value) double slots so the
+    * bounded aggregate's plain lexicographic-ascending compare
+    * reproduces the window twins' ordering exactly:
+    *   - null → class 2 (strictly last, both directions — the
+    *     *_nulls_last contract — and distinct from a real ±Infinity)
+    *   - NaN  → class 1 ascending (after +Inf, Spark's NaN-greatest),
+    *            class -1 descending (before +Inf: largest first)
+    *   - else → class 0, value v (ascending) or -v (descending)
+    */
+  private def encodeKey(k: Column, desc: Boolean): Seq[Column] = {
+    val kd = k.cast("double")
+    val cls = when(kd.isNull, lit(2.0))
+      .when(isnan(kd), lit(if (desc) -1.0 else 1.0))
+      .otherwise(lit(0.0))
+    val v = coalesce(nanvl(if (desc) negate(kd) else kd, lit(0.0)), lit(0.0))
+    Seq(cls, v)
+  }
+
+  private def sliceAgg(orderBy: Column, descending: Boolean, n: Int,
+                       tieBreak: Seq[Column]): GraftFrame = {
     require(groupCols.nonEmpty,
       "sliceMaxAgg/sliceMinAgg need group context; ungrouped top-n is sort+limit (sliceMax)")
     val payload = struct(df.columns.map(col): _*)
-    val keys = primaryAsc +: tieBreak
+    val keys = encodeKey(orderBy, descending) ++
+      tieBreak.flatMap(encodeKey(_, desc = false))
     val agged = df.groupBy(groupCols.map(col): _*)
       .agg(graft.expressions.GraftFunctions
         .graft_bounded_topk(payload, keys, n).as("__graft_topk"))
@@ -239,25 +259,30 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
     }
 
     if (groupCols.isEmpty) {
-      val aggCols = scala.collection.mutable.ArrayBuffer[Column]()
-      val rewritten = pairs.map { case (name, expr) =>
+      // pairs evaluate SEQUENTIALLY (each may reference columns the
+      // previous pair defined, and its aggregates must see replaced
+      // values), so each aggregate-bearing pair gets its own scalar
+      // aggregate over the CURRENT frame + broadcast cross-join
+      var tempId = 0
+      val out = pairs.foldLeft(df) { case (d, (name, expr)) =>
+        val aggCols = scala.collection.mutable.ArrayBuffer[Column]()
+        val names = scala.collection.mutable.ArrayBuffer[String]()
         val e2 = Bridge.expression(expr).transformUp {
           case e if isAgg(e) =>
-            val nm = s"__graft_agg_${aggCols.length}"
+            val nm = s"__graft_agg_$tempId"
+            tempId += 1
             aggCols += Bridge.column(e).as(nm)
+            names += nm
             UnresolvedAttribute(nm)
         }
-        name -> Bridge.column(e2)
-      }
-      if (aggCols.isEmpty) mutate(pairs: _*)
-      else {
-        val aggRow = df.agg(aggCols.head, aggCols.tail.toSeq: _*)
-        val joined = df.crossJoin(broadcast(aggRow))
-        val mutated = rewritten.foldLeft(joined) { case (d, (n, c)) =>
-          d.withColumn(n, c)
+        if (aggCols.isEmpty) d.withColumn(name, expr)
+        else {
+          d.crossJoin(broadcast(d.agg(aggCols.head, aggCols.tail.toSeq: _*)))
+            .withColumn(name, Bridge.column(e2))
+            .drop(names.toSeq: _*)
         }
-        copy(df = mutated.drop(aggCols.indices.map(i => s"__graft_agg_$i"): _*))
       }
+      copy(df = out)
     } else {
       val spec = WindowSpecDefinition(
         groupCols.map(c => Bridge.expression(col(c))),

@@ -63,15 +63,15 @@ object Dedup {
     * Collision probability for Jaccard s is 1-(1-s^r)^b (r = k/bands);
     * defaults (k=128, b=32, r=4) put the S-curve knee near s≈0.4.
     *
-    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-    */
-  /** @param materializeSigs checkpoint the (id, signature) projection
+    * @param materializeSigs checkpoint the (id, signature) projection
     *        once instead of re-running the shingle+minhash kernel for
     *        each of its three uses. At benchmark scale recompute wins
     *        (the eager materialization job costs more than two extra
     *        kernel passes over small text); at corpus scale the flag
     *        should be ON — it converts three full text scans into one
-    *        scan plus k×8 bytes/doc of executor storage. */
+    *        scan plus k×8 bytes/doc of executor storage.
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 128, bands: Int = 32,
                       threshold: Double = 0.5, seed: Long = 42L,

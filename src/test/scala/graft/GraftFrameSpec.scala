@@ -156,6 +156,25 @@ class GraftFrameSpec extends AnyFunSuite {
     assert(whole.length == 1 && whole(0).getDouble(0) == 14.0)
   }
 
+  test("mutateGrouped pairs evaluate sequentially (dplyr), both branches") {
+    val d = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("g", "x")
+    // ungrouped: pair 2's aggregate must see pair 1's new column AND
+    // pair 1's replaced values
+    val u = GraftFrame(d)
+      .mutateGrouped("y" -> (col("x") * 2), "z" -> sum(col("y")))
+      .df.select("z").distinct().collect()
+    assert(u.length == 1 && u(0).getDouble(0) == 28.0)
+    val r = GraftFrame(d)
+      .mutateGrouped("x" -> negate(col("x")), "s" -> sum(col("x")))
+      .df.select("s").distinct().collect()
+    assert(r.length == 1 && r(0).getDouble(0) == -14.0)
+    // grouped: same contract per group
+    val g = GraftFrame(d).groupBy("g")
+      .mutateGrouped("y" -> (col("x") * 2), "z" -> sum(col("y")))
+      .df.filter(col("g") === "a").select("z").distinct().collect()
+    assert(g.length == 1 && g(0).getDouble(0) == 8.0)
+  }
+
   test("fillDown carries last non-null forward per group; dropNa/replaceNa") {
     val d = Seq(
       ("a", 1L, Some(10.0)), ("a", 2L, None), ("a", 3L, None),

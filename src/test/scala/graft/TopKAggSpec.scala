@@ -60,6 +60,26 @@ class TopKAggSpec extends AnyFunSuite {
     assert(got == Seq(1L, 3L))
   }
 
+  test("null primary loses to a real +Infinity primary (sliceMin parity)") {
+    val d = Seq((1, Some(Double.PositiveInfinity), 5L), (1, Option.empty[Double], 1L))
+      .toDF("g", "v", "id")
+    val agg = GraftFrame(d).groupBy("g").sliceMinAgg(col("v"), 1, col("id")).df
+      .collect().map(_.getLong(2)).toSeq
+    val win = GraftFrame(d).groupBy("g").sliceMin(col("v"), 1, col("id")).df
+      .collect().map(_.getLong(2)).toSeq
+    assert(agg == Seq(5L) && win == Seq(5L))
+  }
+
+  test("NaN ranks first under sliceMaxAgg, matching the window twin") {
+    val d = Seq((1, Double.NaN, 1L), (1, Double.PositiveInfinity, 2L),
+      (1, 3.0, 3L)).toDF("g", "v", "id")
+    val agg = GraftFrame(d).groupBy("g").sliceMaxAgg(col("v"), 2, col("id")).df
+      .collect().map(_.getLong(2)).sorted.toSeq
+    val win = GraftFrame(d).groupBy("g").sliceMax(col("v"), 2, col("id")).df
+      .collect().map(_.getLong(2)).sorted.toSeq
+    assert(agg == win && agg == Seq(1L, 2L))
+  }
+
   test("a null TIEBREAK does not erase a non-null primary key") {
     // (v=100, id=null) must still win over (v=1, id=1) — the null only
     // affects its own sort level, like sliceMax's asc_nulls_last
