@@ -52,6 +52,31 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
   /** cuplyr `group_vars()`. */
   def groupVars: Seq[String] = groupCols
 
+  /** cuplyr `is_lazy()` — always true on Spark: every verb builds
+    * plan, nothing executes before an action. cuplyr's eager mode
+    * (execute each verb immediately) differs only in WHEN work
+    * happens, never in results; on Spark per-verb eagerness would
+    * just forfeit cross-verb optimization. */
+  def isLazy: Boolean = true
+
+  /** cuplyr `has_pending_ops()` — true when the plan holds
+    * untransferred work: anything beyond a bare (possibly cached)
+    * relation. */
+  def hasPendingOps: Boolean = {
+    val plan = df.queryExecution.optimizedPlan
+    !(plan.children.isEmpty || // leaf: file relation / local relation
+      plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project] &&
+        plan.children.forall(_.children.isEmpty))
+  }
+
+  /** cuplyr `as_eager()` — "cash in" pending ops now: materialize the
+    * current plan into the engine (persist + count), so later verbs
+    * start from the computed result. */
+  def asEager: GraftFrame = compute()
+
+  /** cuplyr `as_lazy()` — identity: Spark frames are always lazy. */
+  def asLazy: GraftFrame = this
+
   /** cuplyr `names<-`: rename all columns positionally. */
   def renameAll(newNames: Seq[String]): GraftFrame = {
     require(newNames.length == df.columns.length,

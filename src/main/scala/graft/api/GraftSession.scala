@@ -120,4 +120,16 @@ object GraftSession {
     */
   def verifyData(df: org.apache.spark.sql.DataFrame): Boolean =
     df.count() == df.count()
+
+  /** cuplyr `has_gpu()` analogue: is the engine up and schedulable. */
+  def hasEngine(spark: SparkSession): Boolean =
+    !spark.sparkContext.isStopped
+
+  /** cuplyr `show_gpu()` analogue: one-line engine description. */
+  def engineInfo(spark: SparkSession): String = {
+    val sc = spark.sparkContext
+    s"Spark ${sc.version} master=${sc.master} " +
+      s"executors=${sc.getExecutorMemoryStatus.size} " +
+      s"defaultParallelism=${sc.defaultParallelism}"
+  }
 }

@@ -241,6 +241,19 @@ class GraftFrameSpec extends AnyFunSuite {
       Seq((1, "a", 2.0), (1, "b", 3.0)))
   }
 
+  test("eager/lazy mode surface maps to Spark semantics") {
+    val base = GraftFrame(SparkT.table("nation"))
+    assert(base.isLazy && base.asLazy.eq(base))
+    assert(!base.hasPendingOps) // bare scan
+    val pending = base.filter(col("n_nationkey") > 5)
+    assert(pending.hasPendingOps)
+    val eager = pending.asEager
+    assert(eager.df.storageLevel.useMemory)
+    assert(graft.api.GraftSession.hasEngine(SparkT.spark))
+    assert(graft.api.GraftSession.engineInfo(SparkT.spark).contains("Spark"))
+    eager.unpersist()
+  }
+
   test("session introspection mirrors the reference's gpu utilities") {
     val spark = SparkT.spark
     val mem = graft.api.GraftSession.memoryState(spark)
