@@ -59,15 +59,12 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
     * just forfeit cross-verb optimization. */
   def isLazy: Boolean = true
 
-  /** cuplyr `has_pending_ops()` — true when the plan holds
-    * untransferred work: anything beyond a bare (possibly cached)
-    * relation. */
-  def hasPendingOps: Boolean = {
-    val plan = df.queryExecution.optimizedPlan
-    !(plan.children.isEmpty || // leaf: file relation / local relation
-      plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project] &&
-        plan.children.forall(_.children.isEmpty))
-  }
+  /** cuplyr `has_pending_ops()` — true when the plan holds unexecuted
+    * verbs: anything beyond a bare (possibly cached) relation leaf.
+    * Matches the reference, where ANY verb (even a select) is a
+    * pending AST node until collect/compute. */
+  def hasPendingOps: Boolean =
+    df.queryExecution.optimizedPlan.children.nonEmpty
 
   /** cuplyr `as_eager()` — "cash in" pending ops now: materialize the
     * current plan into the engine (persist + count), so later verbs

@@ -247,6 +247,7 @@ class GraftFrameSpec extends AnyFunSuite {
     assert(!base.hasPendingOps) // bare scan
     val pending = base.filter(col("n_nationkey") > 5)
     assert(pending.hasPendingOps)
+    assert(base.select("n_name").hasPendingOps) // any verb pends, like cuplyr
     val eager = pending.asEager
     assert(eager.df.storageLevel.useMemory)
     assert(graft.api.GraftSession.hasEngine(SparkT.spark))
