@@ -18,21 +18,34 @@ object Bench {
     spark.range(100000L).selectExpr("sum(id)").collect()
     // a failing query must NOT masquerade as a normal timing: its slot
     // is null in "queries" and its name + error go to "failed".
+    //
+    // Each rep materializes EVERY output row+column through the noop
+    // sink. Under the previous `.count()` harness Catalyst pruned
+    // unreferenced final projections (ColumnPruning) and dropped
+    // top-level sorts (EliminateSorts), so map-shaped queries were
+    // timed without the expression/sort work they claim to measure.
+    //
     // Per-query host-contention noise on a shared box is ±50% on any
-    // single run, so take the MIN over `reps` runs (the standard
-    // timing-benchmark estimator for the work actually required).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // single run, so report the MEDIAN over `reps` runs (min would
+    // understate; mean lets one stall dominate).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None } catch {
+        val err = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          None
+        } catch {
           case t: Throwable => Some(Option(t.getMessage).getOrElse(t.getClass.getName))
         }
         if (err.isDefined) Seq(Left(err.get)) else Seq(Right((System.nanoTime() - t0) / 1e9))
       }
       val firstErr = times.collectFirst { case Left(e) => e }
-      val best = times.collect { case Right(v) => v }.minOption
-      (name, best, firstErr)
+      val ok = times.collect { case Right(v) => v }.sorted
+      // median: middle element (odd n) or lower-middle (even n — the
+      // conservative pick on a noisy box)
+      val med = if (ok.isEmpty) None else Some(ok((ok.size - 1) / 2))
+      (name, med, firstErr)
     }
     val qs = results.map { case (k, best, _) =>
       s"\"" + k + "\":" + best.map(_.toString).getOrElse("null")

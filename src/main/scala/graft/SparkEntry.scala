@@ -94,6 +94,17 @@ object SparkEntry {
           asc("l_orderkey"), asc("l_linenumber"))
         .df),
 
+    "q37_arrange_bygroup" -> ((s, dir) =>
+      // arrange(.by_group = TRUE): group cols prepend to the sort spec
+      // (reference R/arrange.R). Unique trailing keys make the total
+      // order deterministic for the oracle hash.
+      g(s, dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+        .groupBy("l_returnflag")
+        .arrangeByGroup(desc("l_quantity"), asc("l_orderkey"),
+          asc("l_linenumber"))
+        .df),
+
     "q05_groupby_agg" -> ((s, dir) =>
       g(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
@@ -486,6 +497,24 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id").asc)
     }),
 
+    "dd8_dedup_near_lsh" -> ((s, dir) => {
+      // end-to-end near-dedup through the LSH SCALE path, oracle-exact:
+      // at threshold=1.0 the surviving pair set is precisely the pairs
+      // with shingle-set Jaccard == 1 — identical shingle sets give
+      // identical minhash signatures, hence identical keys in EVERY
+      // band, so LSH recall for them is 1.0 by construction and the
+      // result is hash-seed-independent; DuckDB replays it as
+      // shingle-set equality. bucketCap is lifted here because the
+      // oracle demands exact recall (the cap is the documented
+      // at-scale tradeoff); planted duplicates are exact copies.
+      val docs = docsWithExactDups(s, dir)
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        shingleN = 7, k = 128, bands = 32, threshold = 1.0,
+        bucketCap = Int.MaxValue)
+      Dedup.dedupNear(docs, "doc_id", pairs)
+        .select(col("doc_id")).orderBy(col("doc_id").asc)
+    }),
+
     "dd5_embed_dup" -> ((s, dir) => {
       // the synthetic embeddings have no natural pairs above 0.9 cosine
       // (measured max 0.48), so plant identical twins like dd1/dd4 do —
@@ -499,8 +528,16 @@ object SparkEntry {
     }),
 
     "ann1_topk" -> ((s, dir) => {
+      // the SCALE path: broadcast queries + per-partition bounded heaps
+      // (no N×Q score matrix is ever sorted or shuffled), in quantized
+      // scoring mode so results are bit-identical to the window-rank
+      // SQL twin that serves as the DuckDB oracle. AnnSpec additionally
+      // asserts heap-path == SQL-twin equality and that the plan has no
+      // corpus×queries join node.
       val emb = t(s, dir, "embeddings")
-      Ann.bruteForceTopKSql(emb, emb.filter(col("vec_id") < 20), k = 10)
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
+          quantized = true)
+        .select("query_id", "rank", "neighbor_id", "score")
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
 
@@ -524,6 +561,15 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Ann.pqTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
           m = 8, ksub = 16)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+
+    // IVF-PQ combined tier (codebook-seeded → rows-only; planted-twin
+    // recall ≥ IVF-alone at equal probe budget is pinned by AnnSpec)
+    "ann5_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
+          nCells = 16, nProbe = 4, m = 8, ksub = 16)
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
 
@@ -652,7 +698,9 @@ object SparkEntry {
       t(s, dir, "events").select(
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("bigint").as("k"))
-        .withColumn("k_bucket", pmod(col("k"), lit(10)))
+        // % (not pmod): DuckDB's % keeps the dividend's sign, pmod is
+        // always non-negative — they diverge on negative k
+        .withColumn("k_bucket", col("k") % 10)
         .orderBy(col("event_id").asc)),
 
     "cur1_curation" -> ((s, dir) => {
@@ -1189,6 +1237,44 @@ object SparkEntry {
          SELECT doc_id FROM all_docs
          WHERE doc_id NOT IN (SELECT id FROM cc WHERE cluster_id <> id)
          ORDER BY doc_id""",
+
+    "dd8_dedup_near_lsh" ->
+      """WITH RECURSIVE all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents),
+         words AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM all_docs),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+6], ' ') AS s
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 5)) AS i
+                 FROM words WHERE len(w) >= 7)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 1.0),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+         cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         SELECT doc_id FROM all_docs
+         WHERE doc_id NOT IN (SELECT id FROM cc WHERE cluster_id <> id)
+         ORDER BY doc_id""",
+
+    "q37_arrange_bygroup" ->
+      """SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber
+         FROM lineitem
+         ORDER BY l_returnflag ASC, l_quantity DESC, l_orderkey, l_linenumber""",
 
     "ann1_topk" ->
       """WITH q AS (

@@ -61,10 +61,22 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
 
   /** cuplyr `has_pending_ops()` — true when the plan holds unexecuted
     * verbs: anything beyond a bare (possibly cached) relation leaf.
-    * Matches the reference, where ANY verb (even a select) is a
-    * pending AST node until collect/compute. */
-  def hasPendingOps: Boolean =
-    df.queryExecution.optimizedPlan.children.nonEmpty
+    * Matches the reference, where ANY verb (even a select, or a filter
+    * the optimizer would fold away entirely) is a pending AST node
+    * until collect/compute — so this consults the ANALYZED plan, not
+    * the optimized one: optimization can collapse a verb chain back to
+    * a bare relation and would under-report. Analysis-only is also
+    * cheaper than running the optimizer on every introspection call. */
+  def hasPendingOps: Boolean = {
+    @annotation.tailrec
+    def strip(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+      // catalog lookups wrap the relation; an alias is not a verb
+      case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => strip(s.child)
+      case other => other
+    }
+    strip(df.queryExecution.analyzed).children.nonEmpty
+  }
 
   /** cuplyr `as_eager()` — "cash in" pending ops now: materialize the
     * current plan into the engine (persist + count), so later verbs
@@ -123,8 +135,86 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
     * nulls first when descending (reference: R/arrange.R). Build sort
     * keys with [[GraftFrame.asc]] / [[GraftFrame.desc]]; bare strings
     * mean ascending.
+    *
+    * NOT stable on ties (Spark's distributed sort gives no stability
+    * guarantee); the reference guarantees stability (R/arrange.R "ties
+    * preserve their original relative order", cuDF stable sort in
+    * src/ops_arrange.cpp). Use [[arrangeStable]] when that matters —
+    * kept separate because the index tiebreak adds an 8-byte sort key
+    * per row, a real cost on a 100 TB sort you shouldn't pay unless
+    * tie order is load-bearing.
     */
-  def arrange(sortKeys: Column*): GraftFrame = copy(df = df.orderBy(sortKeys: _*))
+  def arrange(sortKeys: Column*): GraftFrame =
+    arrangeImpl(byGroup = false, stable = false, sortKeys)
+
+  /** `arrange(...)` with the reference's stability guarantee: ties
+    * preserve the frame's current row order (reference:
+    * test-arrange.R "arrange() is stable"). Implemented as an
+    * appended `monotonically_increasing_id` tiebreak — the id encodes
+    * (partition index, offset), so "current order" means the order a
+    * collect() would have returned before sorting; computed scan-side
+    * in codegen, no extra job or shuffle beyond the sort itself. */
+  def arrangeStable(sortKeys: Column*): GraftFrame =
+    arrangeImpl(byGroup = false, stable = true, sortKeys)
+
+  /** `arrange(..., .by_group = TRUE)` (reference: R/arrange.R): sort
+    * within groups by prepending the group columns to the sort spec.
+    * Matches the reference's overlap rule: a group column that also
+    * appears as a user sort key keeps the USER's direction and is not
+    * sorted twice. */
+  def arrangeByGroup(sortKeys: Column*): GraftFrame =
+    arrangeImpl(byGroup = true, stable = false, sortKeys)
+
+  /** `.by_group = TRUE` + stability, for parity with eager dplyr. */
+  def arrangeByGroupStable(sortKeys: Column*): GraftFrame =
+    arrangeImpl(byGroup = true, stable = true, sortKeys)
+
+  private def arrangeImpl(byGroup: Boolean, stable: Boolean,
+                          sortKeys: Seq[Column]): GraftFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      AttributeReference, Descending, Expression, SortOrder}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None // computed key: can never shadow a group column
+    }
+    def exprOf(c: Column): Expression =
+      org.apache.spark.sql.graftbridge.Bridge.expression(c)
+    def keyName(c: Column): Option[String] = exprOf(c) match {
+      case SortOrder(child, _, _, _) => attrName(child)
+      case e => attrName(e)
+    }
+    def isDesc(c: Column): Boolean = exprOf(c) match {
+      case SortOrder(_, Descending, _, _) => true
+      case _ => false
+    }
+    val keys: Seq[Column] =
+      if (!byGroup || groupCols.isEmpty) sortKeys
+      else {
+        // reference R/arrange.R: group cols prepend in group order; a
+        // group col named as a user key adopts that key's direction
+        // and the duplicate user key is dropped
+        val userNames = sortKeys.map(keyName)
+        val groupKeys = groupCols.map { gName =>
+          val i = userNames.indexOf(Some(gName))
+          if (i >= 0 && isDesc(sortKeys(i))) GraftFrame.desc(gName)
+          else GraftFrame.asc(gName)
+        }
+        val kept = sortKeys.zip(userNames).collect {
+          case (k, n) if !n.exists(groupCols.contains) => k
+        }
+        groupKeys ++ kept
+      }
+    if (keys.isEmpty) this // reference: arrange() with no keys is identity
+    else if (!stable) copy(df = df.orderBy(keys: _*))
+    else {
+      val idx = "__graft_stable_idx"
+      copy(df = df.withColumn(idx, monotonically_increasing_id())
+        .orderBy(keys :+ col(idx).asc: _*)
+        .drop(idx))
+    }
+  }
 
   def arrangeBy(cols: String*): GraftFrame = arrange(cols.map(GraftFrame.asc): _*)
 
@@ -567,15 +657,21 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
   def collect(): Array[Row] = df.collect()
 
   /** `compute()` (reference: R/compute.R) — execute and keep the result
-    * "on the engine": persist + materialize. */
-  def compute(): GraftFrame = { df.persist(); df.count(); this }
+    * "on the engine": persist + materialize. Registered with
+    * [[GraftSession.gc]] so the cache is reclaimed once this handle is
+    * dropped. */
+  def compute(): GraftFrame = {
+    df.persist(); df.count(); GraftSession.trackPersist(this); this
+  }
 
   /** `collapse()` — optimization barrier (reference: R/ast.R
     * ast_barrier, R/optimizer.R optimize_with_barriers): downstream
     * optimization must not cross this point. Spark analogue: a lazy
     * cache boundary — Catalyst will not push predicates through the
     * InMemoryRelation once materialized. */
-  def collapse(): GraftFrame = { df.persist(); this }
+  def collapse(): GraftFrame = {
+    df.persist(); GraftSession.trackPersist(this); this
+  }
 
   def unpersist(): GraftFrame = { df.unpersist(); this }
 }

@@ -76,12 +76,48 @@ object GraftSession {
         "storage_used" -> (total - free).toString)
     }
 
-  /** cuplyr `gpu_gc()` analogue: drop every cached plan from executor
-    * storage and nudge the JVM collector. Returns storage freed
-    * (bytes, best-effort estimate). */
+  /** Frames graft itself persisted (compute/collapse/asEager), keyed by
+    * a weak reference to the user-facing handle: once the handle is
+    * unreachable the cached blocks are garbage by definition, exactly
+    * the reference's "unreferenced GPU memory". The DataFrame is held
+    * strongly — it is a small plan object and is what unpersist needs;
+    * it does not keep the GraftFrame handle alive. */
+  private val trackedPersists =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      (java.lang.ref.WeakReference[GraftFrame], org.apache.spark.sql.DataFrame)]
+
+  private[api] def trackPersist(handle: GraftFrame): Unit =
+    trackedPersists.add((new java.lang.ref.WeakReference(handle), handle.df))
+
+  /** cuplyr `gpu_gc()` analogue: free cached storage whose graft handle
+    * is no longer reachable — like the reference, gc() only collects
+    * UNREFERENCED memory; frames the caller still holds (a deliberate
+    * `compute()`/`asEager`) keep their cache. Runs a JVM collection
+    * first so recently-dropped handles are observed (best-effort, as
+    * with R's gc()). Returns storage freed (bytes, estimate). For the
+    * drop-everything hammer, see [[gcAll]]. */
   def gc(spark: SparkSession): Long = {
     val before = memoryState(spark)("storage_remaining")
+    System.gc()
+    val it = trackedPersists.iterator()
+    while (it.hasNext) {
+      val (ref, df) = it.next()
+      if (ref.get == null) { df.unpersist(); it.remove() }
+      else if (!df.storageLevel.useMemory && !df.storageLevel.useDisk)
+        it.remove() // caller unpersisted it themselves; stop tracking
+    }
+    memoryState(spark)("storage_remaining") - before
+  }
+
+  /** Drop EVERY cached plan in the session — broader than the
+    * reference's gpu_gc (this invalidates caches the caller created
+    * deliberately, graft-owned or not). Kept as an explicit separate
+    * verb so a routine gc() can never silently clear unrelated
+    * frames' cached state. */
+  def gcAll(spark: SparkSession): Long = {
+    val before = memoryState(spark)("storage_remaining")
     spark.catalog.clearCache()
+    trackedPersists.clear()
     System.gc()
     memoryState(spark)("storage_remaining") - before
   }

@@ -184,7 +184,8 @@ object Dedup {
     * persists its labels and unpersists the previous round so lineage
     * doesn't grow unboundedly at scale.
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 15,
+                        reliableCheckpoint: Boolean = false): DataFrame = {
     // Iterative plans must have their lineage TRUNCATED each round, not
     // merely cached: persist() keeps the full logical plan, so round i
     // re-analyzes a plan embedding rounds 0..i-1 and driver-side
@@ -192,12 +193,23 @@ object Dedup {
     // graph — pure planning, no data). `localCheckpoint(eager)` cuts
     // the plan to the materialized blocks; the ContextCleaner frees
     // blocks of dropped rounds once their RDDs are GC'd.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    //
+    // localCheckpoint blocks live on executors and die with them — fine
+    // in local mode, NOT fault-tolerant under preemption on a cluster.
+    // `reliableCheckpoint = true` switches every truncation to a
+    // checkpoint-directory write (caller must have called
+    // `sparkContext.setCheckpointDir` on durable storage, e.g. an
+    // object store); each round then survives executor loss at the
+    // cost of one distributed write per round. That is the setting the
+    // 100 TB claim rests on; the default keeps benchmark-scale runs
+    // free of filesystem traffic.
+    def trunc(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    val edges = trunc(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = trunc(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var i = 0
     var done = false
     while (!done && i < maxIter) {
@@ -208,12 +220,11 @@ object Dedup {
       // plan records origin constraints over deduplicated attribute
       // ids, which InferFiltersFromConstraints later fails to resolve
       // (NoSuchElementException) when the caller adds e.g. an orderBy.
-      val minLabels = edges
+      val minLabels = trunc(edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("label"))
         .unionByName(labels)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .groupBy("id").agg(min("label").as("label")))
       // pointer jumping (shortcutting): adopt the label OF the label.
       // Plain one-hop propagation needs O(diameter) rounds — a chain of
       // d incrementally-edited near-dups needs d rounds and silently
@@ -250,8 +261,9 @@ object Dedup {
     * non-representative ids — corpus text never shuffles.
     */
   def dedupNear(df: DataFrame, idCol: String, pairs: DataFrame,
-                maxIter: Int = 15): DataFrame = {
-    val clusters = duplicateClusters(pairs, maxIter)
+                maxIter: Int = 15,
+                reliableCheckpoint: Boolean = false): DataFrame = {
+    val clusters = duplicateClusters(pairs, maxIter, reliableCheckpoint)
     val losers = clusters.filter(col("cluster_id") =!= col("id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

@@ -30,7 +30,8 @@ object Ann {
     * (query_id, neighbor_id, score, rank).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     quantized: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     val qRows: Array[(Long, Array[Float])] = queries
       .select(col(idCol).cast("long"), col(vecCol))
@@ -41,6 +42,12 @@ object Ann {
     val candidates = corpus.select(col(idCol).cast("long"), col(vecCol)).rdd
       .mapPartitions { it =>
         val qs = bc.value
+        // quantized mode pre-derives each query's integer vector and
+        // self-dot once per partition
+        val qQuant: Array[Array[Long]] =
+          if (quantized) qs.map(q => quantize1000(q._2)) else null
+        val qNb: Array[Double] =
+          if (quantized) qQuant.map(q => longDot(q, q).toDouble) else null
         // per-query bounded worst-first ordering: (score asc, id desc)
         // so the head is the entry to evict
         val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
@@ -48,18 +55,32 @@ object Ann {
         it.foreach { r =>
           val id = r.getLong(0)
           val vec = r.getSeq[Float](1).toArray
+          val qv: Array[Long] = if (quantized) quantize1000(vec) else null
+          val na: Double = if (quantized) longDot(qv, qv).toDouble else 0.0
           var qi = 0
           while (qi < qs.length) {
             // exclude self-matches — every other tier (SQL/LSH/IVF) does,
             // and the exact twins must return identical neighbor sets
             if (qs(qi)._1 != id) {
-              val q = qs(qi)._2
-              var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-              while (i < vec.length) {
-                val x = vec(i).toDouble; val y = q(i).toDouble
-                dot += x * y; na += x * x; nb += y * y; i += 1
-              }
-              val s = if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+              val s =
+                if (quantized) {
+                  // EXACTLY the SQL twin's arithmetic (and operation
+                  // order): integer dots cast to double, then
+                  // sign(d)*d*d/(na*nb) — bit-identical across engines
+                  val d = longDot(qv, qQuant(qi)).toDouble
+                  val nb = qNb(qi)
+                  if (na == 0 || nb == 0) 0.0
+                  else math.signum(d) * d * d / (na * nb)
+                } else {
+                  val q = qs(qi)._2
+                  var dot = 0.0; var sna = 0.0; var snb = 0.0; var i = 0
+                  while (i < vec.length) {
+                    val x = vec(i).toDouble; val y = q(i).toDouble
+                    dot += x * y; sna += x * x; snb += y * y; i += 1
+                  }
+                  if (sna == 0 || snb == 0) 0.0
+                  else dot / (math.sqrt(sna) * math.sqrt(snb))
+                }
               val h = heaps(qi)
               if (h.size < k) h.enqueue((s, id))
               else {
@@ -79,10 +100,33 @@ object Ann {
       StructField("neighbor_id", LongType, nullable = false),
       StructField("score", DoubleType, nullable = false)))
     val candDf = spark.createDataFrame(candidates, schema)
+    // the final rank sorts ONLY the parts × Q × k surviving candidates
+    // — never the N×Q score matrix
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     candDf.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Spark's `round(x*1000.0, 0)` for doubles, scalar twin:
+    * BigDecimal.valueOf (Double.toString repr) + HALF_UP — the exact
+    * semantics of Catalyst's Round, so quantized heap scores match the
+    * SQL twin bit-for-bit. */
+  private def quantize1000(v: Array[Float]): Array[Long] = {
+    val out = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) {
+      out(i) = java.math.BigDecimal.valueOf(v(i).toDouble * 1000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      i += 1
+    }
+    out
+  }
+
+  private def longDot(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
   }
 
   /** Exact top-k, fully declarative: broadcast-nested-loop score +
@@ -179,15 +223,30 @@ object Ann {
   }
 
   /** Bounded driver-side training sample for codebook/centroid
-    * estimation. At 100 TB callers set `trainFraction` so the `limit`
-    * draws from a uniform sample rather than the first file-order
-    * rows. */
+    * estimation.
+    *
+    * With the default `trainFraction = 1.0` the sample is made uniform
+    * AUTOMATICALLY when the corpus exceeds `maxTrainRows`: a bare
+    * `limit` would take the first rows in file order, and on a corpus
+    * sorted or clustered by content that trains biased codebooks
+    * (unbalanced IVF cells, poor PQ quantization). The size probe is
+    * one count() over the id-only projection — parquet-metadata cheap
+    * — and the sample oversamples 4× before the limit so the draw
+    * reaches `maxTrainRows` with near-certainty. Callers that know
+    * their corpus size can still pass an explicit `trainFraction` and
+    * skip the probe. */
   private def trainSample(corpus: DataFrame, vecCol: String,
                           trainFraction: Double, maxTrainRows: Int,
                           seed: Long): Array[Array[Float]] = {
-    val base = if (trainFraction < 1.0)
-      corpus.sample(withReplacement = false, trainFraction, seed)
-    else corpus
+    val base =
+      if (trainFraction < 1.0)
+        corpus.sample(withReplacement = false, trainFraction, seed)
+      else {
+        val n = corpus.count()
+        if (n <= maxTrainRows) corpus
+        else corpus.sample(withReplacement = false,
+          math.min(1.0, maxTrainRows * 4.0 / n), seed)
+      }
     base.select(col(vecCol).cast("array<float>")).limit(maxTrainRows)
       .collect().map(_.getSeq[Float](0).toArray)
   }
@@ -360,6 +419,195 @@ object Ann {
         while (qi < qs.length) {
           if (qs(qi)._1 != id) {
             val lut = luts(qi)
+            var d = 0.0; var j = 0
+            while (j < m) { d += lut(j * ksub + (codes(j) & 0xFF)); j += 1 }
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((d, id))
+            else {
+              val (wd, wid) = h.head
+              if (d < wd || (d == wd && id < wid)) { h.dequeue(); h.enqueue((d, id)) }
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (d, id) => Row(qs(qi)._1, id, d) }
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("approx_dist", DoubleType, nullable = false)))
+    val candDf = spark.createDataFrame(candidates, schema)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
+    candDf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "approx_dist")
+  }
+
+  /** IVF-PQ top-k: the combined billion-scale tier — IVF's candidate
+    * restriction (probe `nProbe` of `nCells` cells) AND PQ's memory
+    * compression (m-byte residual codes instead of 4·dim-byte
+    * vectors), completing the ladder flat → LSH → IVF → PQ → IVF-PQ.
+    *
+    * Classic residual quantization: each corpus vector stores (cell,
+    * PQ codes of v − centroid[cell]); a query probing cell c builds an
+    * ADC lookup table against (q − centroid[c]) — one table per
+    * (query, probed cell), m·ksub entries, built once per partition
+    * and amortized over every row in it. Scan-side work per row is
+    * m LUT adds for the queries probing that row's cell; rows in
+    * unprobed cells cost one array lookup. Bounded per-query heaps as
+    * in [[pqTopK]]; the final rank sorts only parts × Q × k
+    * candidates.
+    *
+    * Output: (query_id, rank, neighbor_id, approx_dist) — approximate
+    * squared L2 ascending. An exact duplicate of the query lands in
+    * the query's nearest cell with the query's own residual codes, so
+    * it attains the minimal ADC distance and ranks first — recall on
+    * identical twins is ≥ the IVF-alone tier at equal probe budget
+    * (pinned by AnnSpec).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+                trainFraction: Double = 1.0, maxTrainRows: Int = 16384,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val train = trainSample(corpus, vecCol, trainFraction, maxTrainRows, seed)
+    require(train.nonEmpty, "ivfpq: empty training sample")
+    val dim = train(0).length
+    require(dim % m == 0, s"ivfpq: dim $dim not divisible by m=$m")
+    val sub = dim / m
+
+    val centers = lloydKMeans(train, nCells, iters = 15, seed)
+    def nearestCell(v: Array[Float]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < centers.length) {
+        var d = 0.0; var i = 0
+        val cv = centers(c)
+        while (i < dim) { val t = v(i).toDouble - cv(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    def residual(v: Array[Float], cell: Int): Array[Float] = {
+      val cv = centers(cell)
+      val r = new Array[Float](dim)
+      var i = 0
+      while (i < dim) { r(i) = v(i) - cv(i); i += 1 }
+      r
+    }
+    // sub-codebooks over training RESIDUALS (the quantities encoded)
+    val residuals = train.map(v => residual(v, nearestCell(v)))
+    val codebooks: Array[Array[Array[Float]]] = Array.tabulate(m) { j =>
+      val subVecs = residuals.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      lloydKMeans(subVecs, ksub, iters = 15, seed + j)
+    }
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val bcCb = spark.sparkContext.broadcast(codebooks)
+
+    // one scan: cell assignment + residual PQ encoding together
+    val encode = udf { (v: Seq[Float]) =>
+      val cs = bcCenters.value; val cb = bcCb.value
+      val vv = v.toArray
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        val cv = cs(c)
+        while (i < vv.length) { val t = vv(i) - cv(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      val cv = cs(best)
+      val codes = new Array[Byte](m)
+      var j = 0
+      while (j < m) {
+        val cbj = cb(j)
+        var bc = 0; var bcD = Double.MaxValue; var ci = 0
+        while (ci < cbj.length) {
+          var d = 0.0; var i = 0
+          val e = cbj(ci)
+          while (i < sub) {
+            val t = (vv(j * sub + i) - cv(j * sub + i)) - e(i); d += t * t; i += 1
+          }
+          if (d < bcD) { bcD = d; bc = ci }
+          ci += 1
+        }
+        codes(j) = bc.toByte
+        j += 1
+      }
+      (best, codes)
+    }
+
+    val qRows: Array[(Long, Array[Float])] = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bcQ = spark.sparkContext.broadcast(qRows)
+
+    val encoded = corpus.select(col(idCol).cast("long").as("id"),
+      encode(col(vecCol).cast("array<float>")).as("cc"))
+      .select(col("id"), col("cc._1").as("cell"), col("cc._2").as("codes"))
+    val probeCount = math.min(nProbe, nCells)
+
+    val candidates = encoded.rdd.mapPartitions { it =>
+      val qs = bcQ.value
+      val cs = bcCenters.value
+      val cb = bcCb.value
+      // per query: probed cells (nearest probeCount centroids) and one
+      // ADC LUT per probed cell against the query's residual there
+      val probes: Array[Array[Int]] = qs.map { case (_, qv) =>
+        cs.indices.map { c =>
+          var d = 0.0; var i = 0
+          val cv = cs(c)
+          while (i < dim) { val t = qv(i).toDouble - cv(i); d += t * t; i += 1 }
+          (d, c)
+        }.sortBy(_._1).take(probeCount).map(_._2).toArray
+      }
+      // slotOf(qi)(cell) = LUT slot, or -1 when the query skips the cell
+      val slotOf: Array[Array[Int]] = probes.map { ps =>
+        val a = Array.fill(cs.length)(-1)
+        var s = 0
+        while (s < ps.length) { a(ps(s)) = s; s += 1 }
+        a
+      }
+      val luts: Array[Array[Array[Double]]] = qs.indices.map { qi =>
+        val qv = qs(qi)._2
+        probes(qi).map { cell =>
+          val cv = cs(cell)
+          val lut = new Array[Double](m * ksub)
+          var j = 0
+          while (j < m) {
+            val cbj = cb(j)
+            var ci = 0
+            while (ci < cbj.length) {
+              var d = 0.0; var i = 0
+              val e = cbj(ci)
+              while (i < sub) {
+                val t = (qv(j * sub + i) - cv(j * sub + i)) - e(i); d += t * t; i += 1
+              }
+              lut(j * ksub + ci) = d
+              ci += 1
+            }
+            j += 1
+          }
+          lut
+        }
+      }.toArray
+      val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+        Ordering.by[(Double, Long), (Double, Long)](identity)))
+      it.foreach { r =>
+        val id = r.getLong(0)
+        val cell = r.getInt(1)
+        val codes = r.getAs[Array[Byte]](2)
+        var qi = 0
+        while (qi < qs.length) {
+          val slot = slotOf(qi)(cell)
+          if (slot >= 0 && qs(qi)._1 != id) {
+            val lut = luts(qi)(slot)
             var d = 0.0; var j = 0
             while (j < m) { d += lut(j * ksub + (codes(j) & 0xFF)); j += 1 }
             val h = heaps(qi)

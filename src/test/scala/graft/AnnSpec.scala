@@ -118,6 +118,70 @@ class AnnSpec extends AnyFunSuite {
     assert(overlap >= 10, s"PQ∩brute-50 overlap $overlap of 50")
   }
 
+  test("quantized heap path is bit-identical to the SQL twin (the ann1 oracle)") {
+    // the declared ann1 query runs the heap/broadcast SCALE path in
+    // quantized mode; its DuckDB oracle is the SQL twin — the two must
+    // agree on every column, score doubles included
+    val heap = Ann.bruteForceTopK(emb, queries, k = 10, quantized = true)
+      .select("query_id", "rank", "neighbor_id", "score")
+    val sql = Ann.bruteForceTopKSql(emb, queries, k = 10)
+      .select("query_id", "rank", "neighbor_id", "score")
+    assert(heap.exceptAll(sql).count() == 0)
+    assert(sql.exceptAll(heap).count() == 0)
+  }
+
+  test("heap path plan never joins corpus×queries (no N×Q materialization)") {
+    val plan = Ann.bruteForceTopK(emb, queries, k = 10, quantized = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "N×Q BNL join in plan")
+    assert(!plan.contains("CartesianProduct"), "N×Q cartesian in plan")
+    assert(plan.contains("ExistingRDD"), "expected the heap-candidates RDD scan")
+  }
+
+  test("ivfPqTopK finds planted identical twins as top-1") {
+    val twins = queries.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(twins)
+    val top1 = Ann.ivfPqTopK(corpus, queries, k = 3, nCells = 8, nProbe = 2,
+        m = 8, ksub = 16)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    (0L until 5L).foreach { q =>
+      assert(top1(q) == q + 10000L, s"query $q top-1 should be its twin")
+    }
+  }
+
+  test("ivfPqTopK twin recall ≥ IVF-alone at equal probe budget") {
+    val twins = queries.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(twins)
+    def twinRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val top1 = df.filter(col("rank") === 1)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      (0L until 5L).count(q => top1.get(q).contains(q + 10000L)) / 5.0
+    }
+    val pq = twinRecall(Ann.ivfPqTopK(corpus, queries, k = 3,
+      nCells = 16, nProbe = 4, m = 8, ksub = 16))
+    val ivf = twinRecall(Ann.ivfTopK(corpus, queries, k = 3,
+      nCells = 16, nProbe = 4))
+    assert(pq >= ivf, s"ivfpq twin recall $pq < ivf $ivf")
+    assert(pq == 1.0, s"identical twins must always be recalled, got $pq")
+  }
+
+  test("ivfPqTopK is well-formed and beats random ranking") {
+    val out = Ann.ivfPqTopK(emb, queries, k = 10, nCells = 16, nProbe = 4,
+      m = 8, ksub = 16)
+    val byQ = out.collect().groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    byQ.values.foreach { rows =>
+      assert(rows.length == 10)
+      val dists = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+    }
+    val brute = Ann.bruteForceTopK(emb, queries, k = 50)
+      .select("query_id", "neighbor_id")
+    val overlap = out.select("query_id", "neighbor_id").intersect(brute).count()
+    assert(overlap >= 10, s"IVF-PQ∩brute-50 overlap $overlap of 50")
+  }
+
   test("lshTopK output is well-formed: ≤k rows per query, scores descending") {
     val out = Ann.lshTopK(emb, queries, k = 10, dim = 64).collect()
     val byQ = out.groupBy(_.getLong(0))

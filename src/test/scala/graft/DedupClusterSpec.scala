@@ -33,6 +33,33 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 10L, 50L))
   }
 
+  test("duplicateClusters with reliableCheckpoint: same result, truncated plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      val reliable = Dedup.duplicateClusters(pairs, reliableCheckpoint = true)
+      val local = Dedup.duplicateClusters(pairs)
+      assert(reliable.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+        local.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      // both modes must truncate lineage: the result plan roots in
+      // checkpointed RDD leaves, not the full iteration history
+      Seq(reliable, local).foreach { df =>
+        val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+        assert(leaves.forall(
+          _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+          s"expected checkpoint-truncated leaves, got:\n${df.queryExecution.optimizedPlan}")
+      }
+      // reliable blocks really hit the checkpoint dir (survives executor
+      // death, unlike localCheckpoint)
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, "no files written to the reliable checkpoint dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("duplicateClusters on planted near-dups: every twin joins its original") {
     val docs = SparkT.table("documents").select(col("doc_id"), col("text"))
     val near = docs.filter(col("doc_id") % 10 === 0)

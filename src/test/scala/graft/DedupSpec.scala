@@ -48,6 +48,30 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.filter(col("jaccard") < 0.5).count() == 0)
   }
 
+  test("LSH pair path end-to-end (dd8): threshold=1.0 recovers exactly the exact-dup survivors") {
+    // the dd8 oracle contract: at threshold=1.0 the LSH path keeps
+    // precisely the jaccard==1 pairs (identical shingle sets →
+    // identical signatures → candidates in every band; recall 1.0 by
+    // construction, independent of hash seeds), so the survivor set
+    // must equal exact-text dedup's on a corpus of exact copies
+    val pairs = Dedup.minHashLshPairs(withExact, "doc_id", "text",
+      shingleN = 7, k = 128, bands = 32, threshold = 1.0,
+      bucketCap = Int.MaxValue)
+    val survivors = Dedup.dedupNear(withExact, "doc_id", pairs)
+      .select("doc_id")
+    // exact-text dedup is the independent reference; docs too short to
+    // shingle (<7 words) pair with nothing and keep both copies
+    val shortDocs = withExact
+      .filter(size(split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")) < 7)
+      .select("doc_id")
+    val exactSurvivors = Dedup.exact(withExact, "text", "doc_id")
+      .select("doc_id").unionByName(shortDocs).distinct()
+    assert(survivors.exceptAll(exactSurvivors).count() == 0,
+      "LSH path kept a doc exact dedup dropped (beyond short-doc exemption)")
+    assert(exactSurvivors.exceptAll(survivors).count() == 0,
+      "LSH path dropped a doc it should have kept")
+  }
+
   test("simhash: exact copies at hamming 0 are all found; bound respected") {
     // identical shingle sets → identical simhash → pigeonhole blocks
     // guarantee discovery; that's the hard recall contract

@@ -27,6 +27,66 @@ class GraftFrameSpec extends AnyFunSuite {
     assert(r(0).getDouble(3) == 21.0)  // w sees the NEW v (sequential)
   }
 
+  test("arrangeStable: ties preserve original order (reference test-arrange.R)") {
+    // mirror of the reference stability test: x has ties, order_marker
+    // tracks the original row order
+    val d = Seq((1, 1), (1, 2), (1, 3), (2, 4), (2, 5))
+      .toDF("x", "order_marker")
+      .repartition(3) // stability must hold across partitions too
+    val markers = GraftFrame(d).arrangeStable(asc("x")).df
+      .collect().map(_.getInt(1)).toSeq
+    // within x=1 the original order 1,2,3 survives; within x=2, 4,5.
+    // repartition permutes rows, so "original order" is the frame's
+    // pre-sort order — recover it per tie-group and assert monotone
+    val preSort = d.collect().map(r => (r.getInt(0), r.getInt(1)))
+    val expected = Seq(1, 2).flatMap(x => preSort.filter(_._1 == x).map(_._2))
+    assert(markers == expected, s"got $markers, want $expected")
+  }
+
+  test("arrangeStable on a file-ordered frame preserves file order on ties") {
+    val d = SparkT.table("nation")
+      .select((col("n_nationkey") % 2).cast("long").as("par"),
+        col("n_nationkey").cast("long").as("k"))
+    val fileOrder = d.collect().map(_.getLong(1)).toSeq
+    val got = GraftFrame(d).arrangeStable(asc("par")).df
+      .collect().map(_.getLong(1)).toSeq
+    val want = fileOrder.filter(_ % 2 == 0) ++ fileOrder.filter(_ % 2 == 1)
+    assert(got == want)
+  }
+
+  test("arrangeByGroup sorts within groups; plain arrange ignores groups") {
+    // mirrors reference ".by_group = TRUE sorts within groups" and
+    // ".by_group = FALSE ignores groups"
+    val d = Seq(("b", 2), ("a", 1), ("b", 1), ("a", 2)).toDF("g", "x")
+    val grouped = GraftFrame(d).groupBy("g")
+    val byGroup = grouped.arrangeByGroup(asc("x")).df
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(byGroup == Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)))
+    val global = grouped.arrange(asc("x")).df
+      .collect().map(_.getInt(1)).toSeq
+    assert(global == Seq(1, 1, 2, 2)) // sorted by x only, groups ignored
+    // ungrouped frame: byGroup degenerates to plain arrange
+    val ungrouped = GraftFrame(d).arrangeByGroup(asc("x")).df
+      .collect().map(_.getInt(1)).toSeq
+    assert(ungrouped == Seq(1, 1, 2, 2))
+  }
+
+  test("arrangeByGroup overlap: a group col named as a sort key keeps the user's direction") {
+    // reference R/arrange.R: group cols prepend; a group col that is
+    // ALSO a user key adopts that key's direction and the duplicate
+    // user key is dropped (not sorted twice)
+    val d = Seq(("b", 2), ("a", 1), ("b", 1), ("a", 2)).toDF("g", "x")
+    val out = GraftFrame(d).groupBy("g")
+      .arrangeByGroup(desc("g"), asc("x")).df
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(out == Seq(("b", 1), ("b", 2), ("a", 1), ("a", 2)))
+  }
+
+  test("arrange with no keys is identity (reference: arrange() no columns)") {
+    val f = GraftFrame(df3)
+    assert(f.arrange().eq(f))
+  }
+
   test("arrange: nulls last ascending, nulls first descending") {
     val d = Seq(Some(2.0), None, Some(1.0)).toDF("x")
     val ascOrder = GraftFrame(d).arrange(asc("x")).df.collect().map(r =>
@@ -248,6 +308,9 @@ class GraftFrameSpec extends AnyFunSuite {
     val pending = base.filter(col("n_nationkey") > 5)
     assert(pending.hasPendingOps)
     assert(base.select("n_name").hasPendingOps) // any verb pends, like cuplyr
+    // a verb the optimizer folds to nothing still pends (analyzed-plan
+    // semantics — the reference counts AST nodes, not optimized ones)
+    assert(base.filter(lit(true)).hasPendingOps)
     val eager = pending.asEager
     assert(eager.df.storageLevel.useMemory)
     assert(graft.api.GraftSession.hasEngine(SparkT.spark))
@@ -270,6 +333,34 @@ class GraftFrameSpec extends AnyFunSuite {
     d.unpersist()
     graft.api.GraftSession.gc(spark) // must not throw; cache is clear after
     assert(!d.storageLevel.useMemory || d.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
+  test("gc frees only unreferenced graft caches; gcAll is the hammer") {
+    val spark = SparkT.spark
+    val kept = GraftFrame(df3).compute()
+    // an unreachable computed frame: the handle dies with the helper's
+    // stack frame (a `locally` block can leave the local in a live
+    // method-frame slot, defeating collection)
+    def makeDropped(): org.apache.spark.sql.DataFrame = {
+      val dropped = GraftFrame(df3.filter(col("id") > 0)).compute()
+      dropped.df // the (plan-only) DataFrame lets us observe cache state
+    }
+    val droppedDf = makeDropped()
+    // gc() must never touch a frame the caller still references
+    graft.api.GraftSession.gc(spark)
+    assert(kept.df.storageLevel.useMemory, "gc() cleared a live frame's cache")
+    // ...and must eventually reclaim the dropped one (weak-ref clearing
+    // needs a JVM collection; retry a few times, as with R's gc())
+    var tries = 0
+    while (droppedDf.storageLevel.useMemory && tries < 20) {
+      System.gc(); Thread.sleep(50)
+      graft.api.GraftSession.gc(spark)
+      tries += 1
+    }
+    assert(!droppedDf.storageLevel.useMemory,
+      "gc() never reclaimed an unreferenced computed frame")
+    graft.api.GraftSession.gcAll(spark)
+    assert(!kept.df.storageLevel.useMemory, "gcAll must clear everything")
   }
 
   test("compute persists; collapse is lazy; collect pulls rows") {
