@@ -507,9 +507,15 @@ object SparkEntry {
       // shingle-set equality. bucketCap is lifted here because the
       // oracle demands exact recall (the cap is the documented
       // at-scale tradeoff); planted duplicates are exact copies.
+      // k/bands are free knobs here: at threshold=1.0 the final pair
+      // set is signature-size-INDEPENDENT (exact-Jaccard verification
+      // keeps only set-equal pairs, and those collide in every band at
+      // any k), so a small signature minimizes the signature/band work
+      // without touching the result. DedupSpec pins the same contract
+      // at the production k=128.
       val docs = docsWithExactDups(s, dir)
       val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
-        shingleN = 7, k = 128, bands = 32, threshold = 1.0,
+        shingleN = 7, k = 32, bands = 8, threshold = 1.0,
         bucketCap = Int.MaxValue)
       Dedup.dedupNear(docs, "doc_id", pairs)
         .select(col("doc_id")).orderBy(col("doc_id").asc)
