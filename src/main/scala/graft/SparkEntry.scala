@@ -7,6 +7,7 @@ import graft.api.GraftFrame.{asc, desc}
 import graft.dedup.Dedup
 import graft.functions.{hashfns, textfns}
 import graft.multimodal.Multimodal
+import graft.operators.Decontam
 import graft.similarity.Ann
 import graft.streaming.Streams
 
@@ -608,6 +609,38 @@ object SparkEntry {
         textfns.contentFingerprint(col("text")).as("fp_md5"))
         .orderBy(col("doc_id").asc)),
 
+    "txt9_repetition" -> ((s, dir) =>
+      // within-doc duplicated-trigram ratio — the boilerplate/looping
+      // quality signal. Total = word-count arithmetic; distinct via
+      // the one-pass codegen shingle kernel; all scan-side.
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          greatest(size(split(textfns.normalizeText(col("text")), " ")) - 2,
+            lit(0)).as("n_grams"),
+          size(hashfns.distinctWordShingles(col("text"), 3)).as("n_distinct"),
+          textfns.repetitionRatio(col("text"), 3).as("repetition"))
+        .orderBy(col("doc_id").asc)),
+
+    "txt10_decontam" -> ((s, dir) => {
+      // train/test decontamination: flag corpus docs whose 5-gram
+      // containment against a benchmark set (docs 0–4) crosses 0.25.
+      // Planted contamination: every 20th doc re-spliced with
+      // benchmark doc 0's text (containment ≥ 0.33 by construction;
+      // natural ceiling measured 0.125) — the flagged set is exactly
+      // bench docs themselves + the planted splices.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") < 5)
+      val b0 = bench.filter(col("doc_id") === 0)
+        .select(col("text").as("bench_text"))
+      val spliced = d.filter(col("doc_id") % 20 === 0 && col("doc_id") >= 20)
+        .crossJoin(broadcast(b0))
+        .select((col("doc_id") + 20000L).as("doc_id"),
+          concat(col("text"), lit(" "), col("bench_text")).as("text"))
+      Decontam.contaminated(d.unionByName(spliced), bench, "doc_id", "text",
+          threshold = 0.25, shingleN = 5)
+        .orderBy(col("doc_id").asc)
+    }),
+
     "txt8_tfidf" -> ((s, dir) => {
       // TF-IDF: tf from one explode+count, df from the distinct
       // doc-word pairs of the SAME aggregate, N broadcast as a scalar.
@@ -729,7 +762,27 @@ object SparkEntry {
           "avg_quality" -> round(avg(col("quality")), 4))
         .arrange(asc("lang"))
         .df
-    })
+    }),
+
+    "cur2_source_stats" -> ((s, dir) =>
+      // domain-level curation stats (source ≈ domain): volume, token
+      // mass, quality, and dedup rate per source — the aggregates a
+      // domain allowlist/blocklist decision reads. Scoring and
+      // fingerprinting run scan-side; one shuffle for the aggregate
+      // (count-distinct expands to a two-phase partial aggregate).
+      t(s, dir, "documents")
+        .withColumn("quality", textfns.qualityScore(col("text")))
+        .withColumn("fp", textfns.contentFingerprint(col("text")))
+        .withColumn("n_tokens", textfns.wsTokenCount(col("text")))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"),
+          sum(col("n_tokens")).cast("bigint").as("sum_tokens"),
+          round(avg(col("quality")), 4).as("avg_quality"))
+        .withColumn("unique_ratio",
+          round(col("n_unique").cast("double") / col("n_docs").cast("double"), 4))
+        .orderBy(col("source").asc))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1243,6 +1296,76 @@ object SparkEntry {
          SELECT doc_id FROM all_docs
          WHERE doc_id NOT IN (SELECT id FROM cc WHERE cluster_id <> id)
          ORDER BY doc_id""",
+
+    "txt9_repetition" ->
+      """WITH words AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+                 FROM words WHERE len(w) >= 3)),
+         dist AS (SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY 1)
+         SELECT w.doc_id,
+           CAST(greatest(len(w.w) - 2, 0) AS INTEGER) AS n_grams,
+           CAST(coalesce(d.n_distinct, 0) AS INTEGER) AS n_distinct,
+           CASE WHEN len(w.w) - 2 <= 0 THEN 0.0
+                ELSE 1.0 - CAST(coalesce(d.n_distinct, 0) AS DOUBLE)
+                           / CAST(len(w.w) - 2 AS DOUBLE) END AS repetition
+         FROM words w LEFT JOIN dist d USING (doc_id)
+         ORDER BY doc_id""",
+
+    "txt10_decontam" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT d.doc_id + 20000, d.text || ' ' || b.text
+           FROM documents d, (SELECT text FROM documents WHERE doc_id = 0) b
+           WHERE d.doc_id % 20 = 0 AND d.doc_id >= 20),
+         words AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM all_docs),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+                 FROM words WHERE len(w) >= 5)),
+         probe AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+         tot AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         hit AS (SELECT doc_id, count(*) AS n_hits FROM sh
+                 WHERE s IN (SELECT s FROM probe) GROUP BY 1)
+         SELECT t.doc_id,
+           CAST(t.n_sh AS INTEGER) AS n_sh,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(t.n_sh AS DOUBLE) AS containment
+         FROM tot t LEFT JOIN hit h USING (doc_id)
+         WHERE CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(t.n_sh AS DOUBLE) >= 0.25
+         ORDER BY doc_id""",
+
+    "cur2_source_stats" ->
+      """WITH s AS (
+           SELECT doc_id, text, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+             len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS stop_hits,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS punct_hits,
+             length(text) AS n_chars
+           FROM documents),
+         scored AS (
+           SELECT source, text,  n_words,
+             least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+               + least(CAST(stop_hits AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) * 5.0, 1.0) * 0.3
+               + (1.0 - least(CAST(punct_hits AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0)) * 0.2 AS quality
+           FROM s)
+         SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n_unique,
+           CAST(sum(n_words) AS BIGINT) AS sum_tokens,
+           round(avg(quality), 4) AS avg_quality,
+           round(CAST(count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 4) AS unique_ratio
+         FROM scored GROUP BY source ORDER BY source""",
 
     "dd8_dedup_near_lsh" ->
       """WITH RECURSIVE all_docs AS (

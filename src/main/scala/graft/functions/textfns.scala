@@ -124,4 +124,18 @@ object textfns {
       regexp_replace(text,
         "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
       "\\d{3}[-. ]\\d{4}", "<PHONE>")
+
+  /** Within-document repetition ratio: 1 − distinct/total word
+    * n-grams — the standard duplicated-n-gram quality signal for
+    * pretraining corpora (high ratio ⇒ boilerplate/looping text).
+    * 0.0 for documents too short to form a single n-gram. Total count
+    * is arithmetic on the word count (no shingle materialization);
+    * the distinct count reuses the one-pass codegen shingle kernel —
+    * both scan-side. */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val total = size(split(normalizeText(text), " ")) - (n - 1)
+    val dist = size(graft.functions.hashfns.distinctWordShingles(text, n))
+    when(total <= 0, lit(0.0))
+      .otherwise(lit(1.0) - dist.cast("double") / total.cast("double"))
+  }
 }

@@ -58,4 +58,17 @@ class TextFnsSpec extends AnyFunSuite {
     assert(r.getString(0) == r.getString(1))
     assert(r.getString(0) == "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
   }
+
+  test("repetitionRatio: 0 for unique or short text, rises with duplicated n-grams") {
+    val d = Seq(
+      ("a b c d e f",          "unique"),   // 4 trigrams, all distinct
+      ("a b c a b c a b c",    "looping"),  // 7 trigrams, 3 distinct
+      ("one two",              "short")     // no trigram
+    ).toDF("t", "k")
+    val got = d.select(col("k"), textfns.repetitionRatio(col("t"), 3).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("unique") == 0.0)
+    assert(math.abs(got("looping") - (1.0 - 3.0 / 7.0)) < 1e-12)
+    assert(got("short") == 0.0)
+  }
 }
