@@ -641,6 +641,26 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    "txt11_chunks" -> ((s, dir) => {
+      // sequence packing: split each doc into 50-word windows with
+      // stride 40 (10-word overlap) — the context-chunking step before
+      // tokenization. One scan, no shuffle before the output sort:
+      // chunk windows materialize scan-side from the split array.
+      val W = 50; val S = 40
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          split(textfns.normalizeText(col("text")), " ").as("w"))
+        .withColumn("nw", size(col("w")))
+      val nChunks = when(col("nw") <= W, lit(1L))
+        .otherwise(ceil((col("nw") - lit(W)).cast("double") / S).cast("long") + 1L)
+      d.withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1)))
+        .withColumn("ws", slice(col("w"), col("chunk_id").cast("int") * S + 1, lit(W)))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("ws")).as("n_words"),
+          concat_ws(" ", col("ws")).as("chunk"))
+        .orderBy(col("doc_id").asc, col("chunk_id").asc)
+    }),
+
     "txt8_tfidf" -> ((s, dir) => {
       // TF-IDF: tf from one explode+count, df from the distinct
       // doc-word pairs of the SAME aggregate, N broadcast as a scalar.
@@ -782,7 +802,49 @@ object SparkEntry {
           round(avg(col("quality")), 4).as("avg_quality"))
         .withColumn("unique_ratio",
           round(col("n_unique").cast("double") / col("n_docs").cast("double"), 4))
-        .orderBy(col("source").asc))
+        .orderBy(col("source").asc)),
+
+    "cur3_mixture" -> ((s, dir) => {
+      // temperature-style data mixing: downsample each source toward
+      // the smallest one with rate (c_min/c_s)^0.5, selecting rows by
+      // a DETERMINISTIC multiplicative hash of doc_id — reproducible
+      // across engines and runs (seeded RNG samplers are not), so the
+      // kept subset is itself oracle-checkable. Rates come from one
+      // aggregate; the keep-filter is scan-side arithmetic against a
+      // broadcast rate table.
+      val docs = t(s, dir, "documents")
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_before"))
+      val cmin = counts.agg(min(col("n_before")).as("c_min"))
+      val rates = counts.crossJoin(broadcast(cmin))
+        .withColumn("rate", least(lit(1.0),
+          sqrt(col("c_min").cast("double") / col("n_before").cast("double"))))
+      val kept = docs.select("doc_id", "source")
+        .join(broadcast(rates.select("source", "rate")), "source")
+        // Knuth multiplicative hash: uniform in [0, 2^32), exact in
+        // 64-bit integer arithmetic in any engine
+        .withColumn("h", (col("doc_id") * lit(2654435761L)) % lit(4294967296L))
+        .filter(col("h") < floor(col("rate") * lit(4294967296.0)).cast("long"))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_before"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          round(col("rate"), 4).as("rate"))
+        .orderBy(col("source").asc)
+    }),
+
+    "dd9_cross_dedup" -> ((s, dir) => {
+      // incremental-crawl dedup: drop from the corpus whatever a
+      // reference corpus (here: every 10th doc, standing in for "the
+      // existing training set") already contains. threshold=1.0 makes
+      // the LSH path oracle-exact, as in dd8: shingle-set-equal pairs
+      // are recalled with probability 1 at any signature size.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ref = d.filter(col("doc_id") % 10 === 0)
+      Dedup.crossDedup(d, ref, "doc_id", "text",
+          shingleN = 7, k = 32, bands = 8, threshold = 1.0,
+          bucketCap = Int.MaxValue)
+        .select(col("doc_id")).orderBy(col("doc_id").asc)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1366,6 +1428,66 @@ object SparkEntry {
            round(CAST(count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS DOUBLE)
                  / CAST(count(*) AS DOUBLE), 4) AS unique_ratio
          FROM scored GROUP BY source ORDER BY source""",
+
+    "txt11_chunks" ->
+      """WITH words AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM documents),
+         c AS (
+           SELECT doc_id, w,
+             CASE WHEN len(w) <= 50 THEN 1
+                  ELSE CAST(ceil((len(w) - 50) / 40.0) AS BIGINT) + 1 END AS n_chunks
+           FROM words)
+         SELECT doc_id, i AS chunk_id,
+           CAST(len(w[(i*40+1):(i*40+50)]) AS INTEGER) AS n_words,
+           array_to_string(w[(i*40+1):(i*40+50)], ' ') AS chunk
+         FROM (SELECT doc_id, w, unnest(range(0, n_chunks)) AS i FROM c)
+         ORDER BY doc_id, chunk_id""",
+
+    "cur3_mixture" ->
+      """WITH counts AS (
+           SELECT source, count(*) AS n_before FROM documents GROUP BY 1),
+         cmin AS (SELECT min(n_before) AS c_min FROM counts),
+         rates AS (
+           SELECT source, n_before,
+             least(1.0, sqrt(CAST(c_min AS DOUBLE) / CAST(n_before AS DOUBLE))) AS rate
+           FROM counts, cmin),
+         kept AS (
+           SELECT d.source, count(*) AS n_kept
+           FROM documents d JOIN rates r USING (source)
+           WHERE (d.doc_id * 2654435761) % 4294967296
+                 < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+           GROUP BY 1)
+         SELECT r.source, r.n_before,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           round(r.rate, 4) AS rate
+         FROM rates r LEFT JOIN kept k USING (source)
+         ORDER BY source""",
+
+    "dd9_cross_dedup" ->
+      """WITH words AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+6], ' ') AS s
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 5)) AS i
+                 FROM words WHERE len(w) >= 7)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         ref AS (SELECT doc_id AS rid, s FROM sh WHERE doc_id % 10 = 0),
+         inter AS (
+           SELECT c.doc_id AS cid, r.rid, count(*) AS n_i
+           FROM sh c JOIN ref r ON c.s = r.s
+           GROUP BY 1, 2),
+         matched AS (
+           SELECT DISTINCT cid FROM inter
+           JOIN sizes sc ON sc.doc_id = cid
+           JOIN sizes sr ON sr.doc_id = rid
+           WHERE CAST(n_i AS DOUBLE) / CAST(sc.n_sh + sr.n_sh - n_i AS DOUBLE) >= 1.0)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT cid FROM matched)
+         ORDER BY doc_id""",
 
     "dd8_dedup_near_lsh" ->
       """WITH RECURSIVE all_docs AS (

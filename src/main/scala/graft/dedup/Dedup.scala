@@ -269,6 +269,73 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Cross-corpus near-duplicate pairs: corpus docs similar to any
+    * REFERENCE-corpus doc — the primitive behind incremental-crawl
+    * dedup ("drop from the new crawl whatever the training set already
+    * contains") and benchmark-overlap removal.
+    *
+    * Same scale shape as [[minHashLshPairs]], asymmetric: signatures
+    * shuffle on band keys, the reference side is bucket-capped, the
+    * agreement prefilter runs before exact Jaccard, and text joins
+    * back by id only for verification. No within-corpus or
+    * within-reference pairs are produced.
+    *
+    * @return (corpus_id, ref_id, jaccard) with jaccard >= threshold.
+    */
+  def crossNearDupPairs(corpus: DataFrame, reference: DataFrame,
+                        idCol: String, textCol: String,
+                        shingleN: Int = 3, k: Int = 128, bands: Int = 32,
+                        threshold: Double = 0.5, seed: Long = 42L,
+                        bucketCap: Int = 1000): DataFrame = {
+    val rowsPerBand = k / bands
+    def sigOf(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      graft.expressions.GraftFunctions.graft_minhash(
+        hashfns.shingleHashes(col(textCol), shingleN), k, seed).as(s"sig_$as"))
+    def bandsOf(sig: DataFrame, as: String) = sig.select(col(as),
+      explode(hashfns.lshBandKeys(col(s"sig_$as"), bands, rowsPerBand)).as("bk"))
+    val sigC = sigOf(corpus, "corpus_id")
+    val sigR = sigOf(reference, "ref_id")
+    // cap the REFERENCE side per bucket (deterministic lowest ids):
+    // a degenerate reference bucket (boilerplate) would otherwise
+    // multiply against every matching corpus row
+    val w = Window.partitionBy("bk").orderBy(col("ref_id").asc)
+    val bandsR = bandsOf(sigR, "ref_id")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= bucketCap).drop("__rn")
+    val candidates = bandsOf(sigC, "corpus_id")
+      .join(bandsR, "bk")
+      .select("corpus_id", "ref_id").distinct()
+    val estimated = candidates
+      .join(sigC, "corpus_id").join(sigR, "ref_id")
+      .withColumn("est", graft.expressions.GraftFunctions
+        .graft_minhash_agreement(col("sig_corpus_id"), col("sig_ref_id")))
+      .filter(col("est") >= math.max(0.0, threshold - 0.15))
+      .select("corpus_id", "ref_id")
+    def shOf(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      hashfns.distinctWordShingles(col(textCol), shingleN).as(s"sh_$as"))
+    estimated
+      .join(shOf(corpus, "corpus_id"), "corpus_id")
+      .join(shOf(reference, "ref_id"), "ref_id")
+      .withColumn("jaccard", hashfns.jaccard(col("sh_corpus_id"), col("sh_ref_id")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("ref_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Cross-corpus dedup: `corpus` minus every doc near-duplicate of a
+    * `reference` corpus doc. Anti-join on matched ids — corpus text
+    * never shuffles. */
+  def crossDedup(corpus: DataFrame, reference: DataFrame,
+                 idCol: String, textCol: String,
+                 shingleN: Int = 3, k: Int = 128, bands: Int = 32,
+                 threshold: Double = 0.5, seed: Long = 42L,
+                 bucketCap: Int = 1000): DataFrame = {
+    val matched = crossNearDupPairs(corpus, reference, idCol, textCol,
+      shingleN, k, bands, threshold, seed, bucketCap)
+      .select(col("corpus_id").as(idCol)).distinct()
+    corpus.join(matched, Seq(idCol), "left_anti")
+  }
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Embedding near-duplicate pairs: seeded random-hyperplane (SRP)

@@ -72,6 +72,38 @@ class DedupSpec extends AnyFunSuite {
       "LSH path dropped a doc it should have kept")
   }
 
+  test("crossDedup drops corpus docs the reference corpus already contains") {
+    // corpus = originals ∪ exact copies; reference = the originals'
+    // every-10th docs. Copies of reference docs (and the reference
+    // docs themselves) must go; everything else survives.
+    val ref = docs.filter(col("doc_id") % 10 === 0)
+    val survivors = Dedup.crossDedup(withExact, ref, "doc_id", "text",
+      shingleN = 7, k = 32, bands = 8, threshold = 1.0,
+      bucketCap = Int.MaxValue)
+    val gone = withExact.join(survivors.select("doc_id"), Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    // dropped ids = every %10 original and its +10000 copy (modulo
+    // docs too short to shingle, which can never match)
+    val shingleable = docs
+      .filter(size(graft.functions.hashfns.distinctWordShingles(col("text"), 7)) > 0)
+      .filter(col("doc_id") % 10 === 0).collect().map(_.getLong(0)).toSet
+    assert(gone == shingleable ++ shingleable.map(_ + 10000L),
+      s"unexpected drop set diff: ${(gone diff (shingleable ++ shingleable.map(_ + 10000L))).take(5)}")
+  }
+
+  test("crossNearDupPairs finds cross-corpus near-duplicates below jaccard 1") {
+    // tail-padded variants of reference docs: near (not exact) matches
+    val ref = docs.filter(col("doc_id") % 10 === 0)
+    val near = ref.select((col("doc_id") + 10000L).as("doc_id"),
+      concat(col("text"), lit(" graft dedup pad tail")).as("text"))
+    val pairs = Dedup.crossNearDupPairs(near, ref, "doc_id", "text",
+      shingleN = 3, k = 128, bands = 32, threshold = 0.5)
+    // every planted near-variant matches its source reference doc
+    val matched = pairs.filter(col("corpus_id") === col("ref_id") + 10000L).count()
+    assert(matched == nPlanted, s"found $matched of $nPlanted planted cross pairs")
+    assert(pairs.filter(col("jaccard") < 0.5).count() == 0)
+  }
+
   test("simhash: exact copies at hamming 0 are all found; bound respected") {
     // identical shingle sets → identical simhash → pigeonhole blocks
     // guarantee discovery; that's the hard recall contract
