@@ -1,8 +1,9 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.functions.{hashfns, textfns, vecfns}
 
 /** Deduplication operators for document corpora.
@@ -185,7 +186,8 @@ object Dedup {
     * doesn't grow unboundedly at scale.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 15,
-                        reliableCheckpoint: Boolean = false): DataFrame = {
+                        reliableCheckpoint: Boolean = false,
+                        driverThreshold: Long = 1L << 20): DataFrame = {
     // Iterative plans must have their lineage TRUNCATED each round, not
     // merely cached: persist() keeps the full logical plan, so round i
     // re-analyzes a plan embedding rounds 0..i-1 and driver-side
@@ -208,6 +210,14 @@ object Dedup {
       else df.localCheckpoint(true)
     val edges = trunc(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    // Hybrid cutover: a near-dup pair graph is typically MINUTE next to
+    // its corpus (edges ≈ duplicates, ids only — 16 bytes each), and
+    // below `driverThreshold` edges a driver union-find beats ~8
+    // distributed jobs of iteration by orders of magnitude. The count
+    // is free — `edges` is already materialized by the checkpoint. The
+    // distributed loop below remains the path for graphs that outgrow
+    // the driver (set driverThreshold=0 to force it; specs pin both).
+    if (edges.count() <= driverThreshold) return driverClusters(edges)
     var labels = trunc(edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")))
     var i = 0
@@ -252,6 +262,35 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Driver-side union-find over a bounded edge list — exact same
+    * (id, min-id-of-component) contract as the distributed loop. */
+  private def driverClusters(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      // union by MIN id so every root is its component's minimum —
+      // the invariant the distributed min-label loop guarantees
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val rows = parent.keys.toArray.sorted.map(id => Row(id, find(id)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("cluster_id", LongType, nullable = false))))
+  }
+
   /** End-to-end near-dedup: keep ONE representative (the min-id member)
     * per near-duplicate cluster, plus every row in no cluster.
     *
@@ -262,8 +301,10 @@ object Dedup {
     */
   def dedupNear(df: DataFrame, idCol: String, pairs: DataFrame,
                 maxIter: Int = 15,
-                reliableCheckpoint: Boolean = false): DataFrame = {
-    val clusters = duplicateClusters(pairs, maxIter, reliableCheckpoint)
+                reliableCheckpoint: Boolean = false,
+                driverThreshold: Long = 1L << 20): DataFrame = {
+    val clusters = duplicateClusters(pairs, maxIter, reliableCheckpoint,
+      driverThreshold)
     val losers = clusters.filter(col("cluster_id") =!= col("id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

@@ -15,10 +15,17 @@ class DedupClusterSpec extends AnyFunSuite {
       (10L, 11L),
       (20L, 21L), (20L, 22L)
     ).toDF("id_a", "id_b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    // default: hybrid picks the driver union-find for a tiny graph
     val got = Dedup.duplicateClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    assert(got == want)
+    // driverThreshold=0 forces the distributed label-propagation loop —
+    // both paths must produce identical labels
+    val distributed = Dedup.duplicateClusters(pairs, driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == want)
   }
 
   test("dedupNear keeps exactly one representative per cluster plus loners") {
@@ -38,8 +45,11 @@ class DedupClusterSpec extends AnyFunSuite {
     spark.sparkContext.setCheckpointDir(dir)
     try {
       val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-      val reliable = Dedup.duplicateClusters(pairs, reliableCheckpoint = true)
-      val local = Dedup.duplicateClusters(pairs)
+      // driverThreshold=0: this spec pins the DISTRIBUTED iteration's
+      // checkpointing behavior, so the hybrid must not short-circuit
+      val reliable = Dedup.duplicateClusters(pairs,
+        reliableCheckpoint = true, driverThreshold = 0L)
+      val local = Dedup.duplicateClusters(pairs, driverThreshold = 0L)
       assert(reliable.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
         local.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
       // both modes must truncate lineage: the result plan roots in
