@@ -141,4 +141,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       p.take(1500))
   }
+
+  test("cross-corpus dedup: text never partitions an exchange; anti join broadcasts") {
+    val q = SparkEntry.queries("dd9_cross_dedup")(spark, SparkT.sfDir)
+    val p = plan(q)
+    assert(p.contains("LeftAnti"), p.take(800))
+    // every hashpartitioning key list must be id/band keys, never text
+    p.split("Exchange hashpartitioning\\(").drop(1).foreach { s =>
+      assert(!s.takeWhile(_ != ')').contains("text"),
+        "an exchange partitions on the text column")
+    }
+  }
+
+  test("mixture sampling: rate table broadcasts to a scan-side filter") {
+    val q = SparkEntry.queries("cur3_mixture")(spark, SparkT.sfDir)
+    val p = plan(q)
+    // the per-source rate dimension joins by broadcast — the corpus
+    // side is filtered at scan speed, never repartitioned by source
+    // for the keep-filter (the only aggregations are count shapes)
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
 }

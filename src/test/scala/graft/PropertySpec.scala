@@ -105,4 +105,55 @@ class PropertySpec extends AnyFunSuite {
       assert(longd == want, s"seed $s")
     }
   }
+
+  private val textGen: Gen[List[String]] = {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    Gen.listOfN(40, Gen.choose(0, 30).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" "))))
+  }
+
+  test("repetitionRatio stays in [0,1) and is 0 iff all n-grams distinct") {
+    (1 to trials).foreach { s =>
+      val texts = sample(textGen, 100L + s)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val got = df.select(col("id"),
+        graft.functions.textfns.repetitionRatio(col("t"), 3).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val r = got(i.toLong)
+        assert(r >= 0.0 && r < 1.0, s"seed $s doc $i: $r")
+        val ws = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        val grams = ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+        val expect = if (grams.isEmpty) 0.0
+          else 1.0 - grams.distinct.size.toDouble / grams.size.toDouble
+        assert(math.abs(r - expect) < 1e-12, s"seed $s doc $i: $r vs $expect")
+      }
+    }
+  }
+
+  test("chunking invariant: stride-W windows reassemble the normalized text") {
+    // W = S (no overlap): concatenating the chunks reproduces the
+    // normalized word sequence exactly — nothing lost, nothing doubled
+    val W = 7
+    (1 to trials).foreach { s =>
+      val texts = sample(textGen, 200L + s).filter(_.trim.nonEmpty)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val d = df.select(col("id"),
+          split(graft.functions.textfns.normalizeText(col("t")), " ").as("w"))
+        .withColumn("nw", size(col("w")))
+      val nChunks = when(col("nw") <= W, lit(1L))
+        .otherwise(ceil((col("nw") - lit(W)).cast("double") / W).cast("long") + 1L)
+      val chunks = d
+        .withColumn("cid", explode(sequence(lit(0L), nChunks - 1)))
+        .select(col("id"), col("cid"),
+          concat_ws(" ", slice(col("w"), col("cid").cast("int") * W + 1, lit(W))).as("chunk"))
+        .collect().groupBy(_.getLong(0))
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val joined = chunks(i.toLong).sortBy(_.getLong(1)).map(_.getString(2))
+          .filter(_.nonEmpty).mkString(" ")
+        val norm = t.toLowerCase.trim.replaceAll("\\s+", " ")
+        assert(joined == norm, s"seed $s doc $i")
+      }
+    }
+  }
 }
