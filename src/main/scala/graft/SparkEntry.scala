@@ -351,6 +351,22 @@ object SparkEntry {
         .orderBy(col("event_id").asc)
     }),
 
+    "q38_asof_native" -> ((s, dir) => {
+      // q27's as-of join on the NATIVE sorted-merge physical operator
+      // (AsofJoinExec via SparkSessionExtensions) — same oracle; the
+      // spec additionally pins native == composed row-for-row
+      val ev = GraftFrame(Streams.runningTotals(t(s, dir, "events")))
+        .select("event_id", "user_id", "ts_ms", "event_type").df
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_ms")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts_ms")
+      graft.operators.AsofJoin.asofBackwardNative(purchases, clicks,
+          keyCol = "user_id", leftTime = "ts_ms", rightTime = "ts_ms",
+          valueCols = Seq("ts_ms" -> "last_click_ms"))
+        .orderBy(col("event_id").asc)
+    }),
+
     "q30_slice_max" -> ((s, dir) =>
       // top-3 orders per market segment by total price — grouped
       // slice_max (one shuffle on the group key, windowed rank)
@@ -1064,6 +1080,16 @@ object SparkEntry {
          ORDER BY op, k""",
 
     "q27_asof" ->
+      """WITH e AS (
+           SELECT event_id, user_id, event_type,
+             epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events)
+         SELECT p.event_id, p.user_id, p.ts_ms, c.ts_ms AS last_click_ms
+         FROM (SELECT event_id, user_id, ts_ms FROM e WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT user_id, ts_ms FROM e WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
+         ORDER BY p.event_id""",
+
+    "q38_asof_native" ->
       """WITH e AS (
            SELECT event_id, user_id, event_type,
              epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events)

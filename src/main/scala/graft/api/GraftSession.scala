@@ -45,6 +45,7 @@ object GraftSession {
     val exp = org.apache.spark.sql.graftbridge.Bridge.experimental(spark)
     if (!exp.extraOptimizations.contains(graft.plans.SimplifyGraftExpressions))
       exp.extraOptimizations ++= Seq(graft.plans.SimplifyGraftExpressions)
+    graft.plans.GraftExtensions.ensureStrategies(spark)
     spark
   }
 

@@ -79,4 +79,51 @@ object AsofJoin {
         col(s"__c_$to").as(to)
       }: _*)
   }
+
+  /** [[asofBackward]] on the native sorted-merge physical operator
+    * ([[graft.plans.AsofJoinExec]]): same semantics and output schema,
+    * but each side shuffles/sorts independently on (key, time) and a
+    * single merge pass joins them — no union of the two sides and no
+    * window buffer over the carried columns. Use when the right side
+    * is large or many columns are carried; the composed twin remains
+    * the zero-custom-code fallback. */
+  def asofBackwardNative(left: DataFrame, right: DataFrame,
+                         keyCol: String, leftTime: String, rightTime: String,
+                         valueCols: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.graftbridge.Bridge
+    val leftCols = left.columns
+    val reserved = Set("__k", "__t") ++ valueCols.map { case (_, to) => s"__v_$to" }
+    val clashes = valueCols.map(_._2).filter(leftCols.contains)
+    require(clashes.isEmpty,
+      s"asof: valueCols target name(s) ${clashes.mkString(", ")} collide with left columns; rename the targets")
+    val badLeft = leftCols.filter(reserved.contains)
+    require(badLeft.isEmpty,
+      s"asof: left column(s) ${badLeft.mkString(", ")} use reserved internal names (__k/__t/__v_*)")
+    val dupTargets = valueCols.map(_._2).diff(valueCols.map(_._2).distinct)
+    require(dupTargets.isEmpty,
+      s"asof: duplicate valueCols target name(s) ${dupTargets.distinct.mkString(", ")}")
+
+    val spark = left.sparkSession
+    graft.plans.GraftExtensions.ensureStrategies(spark)
+    // pre-lower the time columns to LONG sort keys (same mapping as
+    // the composed twin); the node references ordinals, so build both
+    // sides with fixed column positions
+    val lPrep = left.select(leftCols.map(col) :+
+      timeKey(left, leftTime).as("__t"): _*)
+    val rPrep = right.select(
+      col(keyCol).as("__k") +: timeKey(right, rightTime).as("__t") +:
+        valueCols.map { case (from, to) => col(from).as(s"__v_$to") }: _*)
+    val lPlan = Bridge.analyzed(lPrep)
+    val rPlan = Bridge.analyzed(rPrep)
+    val carried = valueCols.zipWithIndex.map { case ((_, to), i) =>
+      AttributeReference(to, rPlan.output(2 + i).dataType, nullable = true)()
+    }
+    val node = graft.plans.AsofJoinNode(lPlan, rPlan,
+      leftKeyIdx = leftCols.indexOf(keyCol), rightKeyIdx = 0,
+      leftTimeIdx = leftCols.length, rightTimeIdx = 1,
+      rightValIdx = valueCols.indices.map(_ + 2),
+      carried = carried)
+    Bridge.dataFrame(spark, node).drop("__t")
+  }
 }

@@ -40,5 +40,17 @@ object SimplifyGraftExpressions extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SimplifyGraftExpressions)
+    e.injectPlannerStrategy(_ => AsofJoinStrategy)
+  }
+}
+
+object GraftExtensions {
+  /** Idempotently register graft's planner strategies on an
+    * externally built session (extensions can't be injected after
+    * creation, but `experimental.extraStrategies` can). */
+  def ensureStrategies(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val exp = org.apache.spark.sql.graftbridge.Bridge.experimental(spark)
+    if (!exp.extraStrategies.contains(AsofJoinStrategy))
+      exp.extraStrategies ++= Seq(AsofJoinStrategy)
   }
 }

@@ -22,4 +22,17 @@ object Bridge {
 
   def experimental(spark: SparkSession) =
     ClassicConversions.castToImpl(spark).experimental
+
+  /** Wrap a (resolved) logical plan as a DataFrame — the classic
+    * `Dataset.ofRows`, which Connect-era Spark keeps `private[sql]`. */
+  def dataFrame(spark: SparkSession,
+                plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      ClassicConversions.castToImpl(spark), plan)
+
+  /** Analyzed plan of a DataFrame (resolved attributes). */
+  def analyzed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }
