@@ -836,10 +836,16 @@ object SparkEntry {
           sqrt(col("c_min").cast("double") / col("n_before").cast("double"))))
       val kept = docs.select("doc_id", "source")
         .join(broadcast(rates.select("source", "rate")), "source")
-        // Knuth multiplicative hash: uniform in [0, 2^32), exact in
-        // 64-bit integer arithmetic in any engine
-        .withColumn("h", (col("doc_id") * lit(2654435761L)) % lit(4294967296L))
-        .filter(col("h") < floor(col("rate") * lit(4294967296.0)).cast("long"))
+        // affine hash mod the Mersenne prime 2^31-1, uniform in [0, p).
+        // OVERFLOW-SAFE by construction: (id % p) < 2^31 times the
+        // 2^30-ish multiplier stays under 2^63 — a raw 64-bit Knuth
+        // multiply would silently wrap in Spark and raise in DuckDB
+        // for ids past ~3.5e9, exactly the 100 TB regime. Ids p apart
+        // share a decision; p ≈ 2.1e9 makes that statistically inert.
+        .withColumn("h",
+          ((col("doc_id") % lit(2147483647L)) * lit(1103515245L) + lit(12345L))
+            % lit(2147483647L))
+        .filter(col("h") < floor(col("rate") * lit(2147483647.0)).cast("long"))
         .groupBy("source").agg(count(lit(1)).as("n_kept"))
       rates.join(kept, Seq("source"), "left")
         .select(col("source"), col("n_before"),
@@ -1482,8 +1488,8 @@ object SparkEntry {
          kept AS (
            SELECT d.source, count(*) AS n_kept
            FROM documents d JOIN rates r USING (source)
-           WHERE (d.doc_id * 2654435761) % 4294967296
-                 < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+           WHERE ((d.doc_id % 2147483647) * 1103515245 + 12345) % 2147483647
+                 < CAST(floor(r.rate * 2147483647.0) AS BIGINT)
            GROUP BY 1)
          SELECT r.source, r.n_before,
            CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,

@@ -60,14 +60,20 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
   def isLazy: Boolean = true
 
   /** cuplyr `has_pending_ops()` — true when the plan holds unexecuted
-    * verbs: anything beyond a bare (possibly cached) relation leaf.
-    * Matches the reference, where ANY verb (even a select, or a filter
-    * the optimizer would fold away entirely) is a pending AST node
-    * until collect/compute — so this consults the ANALYZED plan, not
-    * the optimized one: optimization can collapse a verb chain back to
-    * a bare relation and would under-report. Analysis-only is also
-    * cheaper than running the optimizer on every introspection call. */
+    * verbs: anything beyond a bare or cashed-in relation. Matches the
+    * reference, where ANY verb (even a select, or a filter the
+    * optimizer would fold away entirely) is a pending AST node until
+    * collect/compute — so this consults the ANALYZED plan, not the
+    * optimized one: optimization can collapse a verb chain back to a
+    * bare relation and would under-report. Analysis-only is also
+    * cheaper than running the optimizer on every introspection call.
+    *
+    * A persisted frame (compute/asEager/collapse) reports NO pending
+    * ops: its exact plan resolves to the cache, which is the Spark
+    * meaning of the reference's "cashed in" state (`as_eager`
+    * executed it; `collapse` made it an opaque barrier node). */
   def hasPendingOps: Boolean = {
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) return false
     @annotation.tailrec
     def strip(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
         : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {

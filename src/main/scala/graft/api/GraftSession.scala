@@ -87,8 +87,19 @@ object GraftSession {
     new java.util.concurrent.ConcurrentLinkedQueue[
       (java.lang.ref.WeakReference[GraftFrame], org.apache.spark.sql.DataFrame)]
 
-  private[api] def trackPersist(handle: GraftFrame): Unit =
+  private[api] def trackPersist(handle: GraftFrame): Unit = {
+    // opportunistic sweep so the registry stays bounded even in
+    // sessions that persist many frames but never call gc(): entries
+    // whose frame was unpersisted by the caller (or whose handle is
+    // already gone AND whose cache is gone) carry no obligation
+    val it = trackedPersists.iterator()
+    while (it.hasNext) {
+      val (_, df) = it.next()
+      if (!df.storageLevel.useMemory && !df.storageLevel.useDisk)
+        it.remove() // unpersisted (by caller or gc): no obligation left
+    }
     trackedPersists.add((new java.lang.ref.WeakReference(handle), handle.df))
+  }
 
   /** cuplyr `gpu_gc()` analogue: free cached storage whose graft handle
     * is no longer reachable — like the reference, gc() only collects

@@ -327,11 +327,27 @@ object Dedup {
                         idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 128, bands: Int = 32,
                         threshold: Double = 0.5, seed: Long = 42L,
-                        bucketCap: Int = 1000): DataFrame = {
+                        bucketCap: Int = 1000,
+                        charLevel: Boolean = false,
+                        materializeSigs: Boolean = false): DataFrame = {
     val rowsPerBand = k / bands
-    def sigOf(df: DataFrame, as: String) = df.select(col(idCol).as(as),
-      graft.expressions.GraftFunctions.graft_minhash(
-        hashfns.shingleHashes(col(textCol), shingleN), k, seed).as(s"sig_$as"))
+    // same knobs as minHashLshPairs: charLevel for scripts without
+    // word boundaries; materializeSigs checkpoints each side's
+    // (id, signature) projection once instead of re-running the
+    // shingle+minhash kernel for its two uses (band keys + estimate
+    // join) — ON at corpus scale, recompute wins at benchmark scale
+    def shingleHashesOf(c: Column) =
+      if (charLevel) hashfns.charShingleHashes(c, shingleN)
+      else hashfns.shingleHashes(c, shingleN)
+    def shingleSetOf(c: Column): Column =
+      if (charLevel) hashfns.charShingleHashes(c, shingleN)
+      else hashfns.distinctWordShingles(c, shingleN)
+    def sigOf(df: DataFrame, as: String) = {
+      val plan = df.select(col(idCol).as(as),
+        graft.expressions.GraftFunctions.graft_minhash(
+          shingleHashesOf(col(textCol)), k, seed).as(s"sig_$as"))
+      if (materializeSigs) plan.localCheckpoint(true) else plan
+    }
     def bandsOf(sig: DataFrame, as: String) = sig.select(col(as),
       explode(hashfns.lshBandKeys(col(s"sig_$as"), bands, rowsPerBand)).as("bk"))
     val sigC = sigOf(corpus, "corpus_id")
@@ -353,7 +369,7 @@ object Dedup {
       .filter(col("est") >= math.max(0.0, threshold - 0.15))
       .select("corpus_id", "ref_id")
     def shOf(df: DataFrame, as: String) = df.select(col(idCol).as(as),
-      hashfns.distinctWordShingles(col(textCol), shingleN).as(s"sh_$as"))
+      shingleSetOf(col(textCol)).as(s"sh_$as"))
     estimated
       .join(shOf(corpus, "corpus_id"), "corpus_id")
       .join(shOf(reference, "ref_id"), "ref_id")
@@ -370,9 +386,11 @@ object Dedup {
                  idCol: String, textCol: String,
                  shingleN: Int = 3, k: Int = 128, bands: Int = 32,
                  threshold: Double = 0.5, seed: Long = 42L,
-                 bucketCap: Int = 1000): DataFrame = {
+                 bucketCap: Int = 1000,
+                 charLevel: Boolean = false,
+                 materializeSigs: Boolean = false): DataFrame = {
     val matched = crossNearDupPairs(corpus, reference, idCol, textCol,
-      shingleN, k, bands, threshold, seed, bucketCap)
+      shingleN, k, bands, threshold, seed, bucketCap, charLevel, materializeSigs)
       .select(col("corpus_id").as(idCol)).distinct()
     corpus.join(matched, Seq(idCol), "left_anti")
   }

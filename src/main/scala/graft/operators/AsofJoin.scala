@@ -40,29 +40,44 @@ object AsofJoin {
       case _ => col(c).cast("long")
     }
 
-  def asofBackward(left: DataFrame, right: DataFrame,
-                   keyCol: String, leftTime: String, rightTime: String,
-                   valueCols: Seq[(String, String)]): DataFrame = {
+  private def validate(left: DataFrame, right: DataFrame, keyCol: String,
+                       valueCols: Seq[(String, String)]): Unit = {
     val leftCols = left.columns
     // the output is leftCols ++ carried targets, so a target name equal
     // to a left column — or a left column using one of our scratch
     // names — would produce ambiguous output columns; fail fast
-    val reserved = Set("__k", "__t", "__side") ++
-      valueCols.flatMap { case (_, to) => Seq(s"__v_$to", s"__c_$to") }
+    val reserved = Set("__k", "__t", "__side", "__v", "__c")
+    require(leftCols.contains(keyCol),
+      s"asof: key column '$keyCol' not found in left frame (${leftCols.mkString(", ")})")
+    require(right.columns.contains(keyCol),
+      s"asof: key column '$keyCol' not found in right frame (${right.columns.mkString(", ")})")
     val clashes = valueCols.map(_._2).filter(leftCols.contains)
     require(clashes.isEmpty,
       s"asof: valueCols target name(s) ${clashes.mkString(", ")} collide with left columns; rename the targets")
     val badLeft = leftCols.filter(reserved.contains)
     require(badLeft.isEmpty,
-      s"asof: left column(s) ${badLeft.mkString(", ")} use reserved internal names (__k/__t/__side/__v_*/__c_*)")
+      s"asof: left column(s) ${badLeft.mkString(", ")} use reserved internal names (__k/__t/__side/__v/__c)")
     val dupTargets = valueCols.map(_._2).diff(valueCols.map(_._2).distinct)
     require(dupTargets.isEmpty,
       s"asof: duplicate valueCols target name(s) ${dupTargets.distinct.mkString(", ")}")
-    // side 0 = right (sorts before left on time ties → ties match)
+  }
+
+  def asofBackward(left: DataFrame, right: DataFrame,
+                   keyCol: String, leftTime: String, rightTime: String,
+                   valueCols: Seq[(String, String)]): DataFrame = {
+    val leftCols = left.columns
+    validate(left, right, keyCol, valueCols)
+    // side 0 = right (sorts before left on time ties → ties match).
+    // The carried columns ride in ONE struct so the window's
+    // last(ignoreNulls=true) skips only LEFT filler rows (null struct),
+    // never a matched right row whose individual value is null — i.e.
+    // ROW semantics, the same as DuckDB ASOF and the native exec; a
+    // per-column carry would resurrect older non-null values and could
+    // even mix columns from different right rows.
     val taggedRight = right.select(
-      Seq(col(keyCol).as("__k"), timeKey(right, rightTime).as("__t"),
-        lit(0).as("__side")) ++
-        valueCols.map { case (from, to) => col(from).as(s"__v_$to") }: _*)
+      col(keyCol).as("__k"), timeKey(right, rightTime).as("__t"),
+      lit(0).as("__side"),
+      struct(valueCols.map { case (from, to) => col(from).as(to) }: _*).as("__v"))
     val taggedLeft = left.select(
       Seq(col(keyCol).as("__k"), timeKey(left, leftTime).as("__t"),
         lit(1).as("__side")) ++ leftCols.map(c => col(c)): _*)
@@ -71,12 +86,10 @@ object AsofJoin {
     val w = Window.partitionBy("__k")
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = valueCols.foldLeft(unioned) { case (d, (_, to)) =>
-      d.withColumn(s"__c_$to", last(col(s"__v_$to"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
+    unioned.withColumn("__c", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .select(leftCols.map(col) ++ valueCols.map { case (_, to) =>
-        col(s"__c_$to").as(to)
+        col("__c").getField(to).as(to)
       }: _*)
   }
 
@@ -93,16 +106,7 @@ object AsofJoin {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.graftbridge.Bridge
     val leftCols = left.columns
-    val reserved = Set("__k", "__t") ++ valueCols.map { case (_, to) => s"__v_$to" }
-    val clashes = valueCols.map(_._2).filter(leftCols.contains)
-    require(clashes.isEmpty,
-      s"asof: valueCols target name(s) ${clashes.mkString(", ")} collide with left columns; rename the targets")
-    val badLeft = leftCols.filter(reserved.contains)
-    require(badLeft.isEmpty,
-      s"asof: left column(s) ${badLeft.mkString(", ")} use reserved internal names (__k/__t/__v_*)")
-    val dupTargets = valueCols.map(_._2).diff(valueCols.map(_._2).distinct)
-    require(dupTargets.isEmpty,
-      s"asof: duplicate valueCols target name(s) ${dupTargets.distinct.mkString(", ")}")
+    validate(left, right, keyCol, valueCols)
 
     val spark = left.sparkSession
     graft.plans.GraftExtensions.ensureStrategies(spark)

@@ -24,6 +24,11 @@ object Decontam {
   /** Per-document containment: (id, n_sh, n_hits, containment) where
     * `containment` = |distinct n-grams ∩ benchmark n-grams| /
     * |distinct n-grams|, 0.0 for unshingleable docs.
+    *
+    * ONE corpus scan: the shingle kernel runs once, `explode_outer`
+    * keeps unshingleable docs (null shingle row), the broadcast probe
+    * marks hits, and a single partial-aggregated groupBy yields both
+    * the total and the hit count.
     */
   def containment(corpus: DataFrame, bench: DataFrame,
                   idCol: String, textCol: String,
@@ -31,17 +36,17 @@ object Decontam {
     val probe = bench
       .select(explode(hashfns.distinctWordShingles(col(textCol), shingleN)).as("sh"))
       .distinct()
-    val docSh = corpus.select(col(idCol),
-      explode(hashfns.distinctWordShingles(col(textCol), shingleN)).as("sh"))
-    val hits = docSh.join(broadcast(probe), Seq("sh"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
-    val totals = corpus.select(col(idCol),
-      size(hashfns.distinctWordShingles(col(textCol), shingleN)).as("n_sh"))
-    totals.join(hits, Seq(idCol), "left")
-      .select(col(idCol), col("n_sh"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+      .withColumn("__hit", lit(1))
+    val docSh = corpus
+      .select(col(idCol), hashfns.distinctWordShingles(col(textCol), shingleN).as("shs"))
+      .select(col(idCol), size(col("shs")).as("__n"),
+        explode_outer(col("shs")).as("sh"))
+    docSh.join(broadcast(probe), Seq("sh"), "left")
+      .groupBy(idCol)
+      .agg(max(col("__n")).as("n_sh"), count(col("__hit")).as("n_hits"))
+      .select(col(idCol), col("n_sh"), col("n_hits"),
         when(col("n_sh") <= 0, lit(0.0))
-          .otherwise(coalesce(col("n_hits"), lit(0L)).cast("double")
+          .otherwise(col("n_hits").cast("double")
             / col("n_sh").cast("double")).as("containment"))
   }
 

@@ -73,15 +73,19 @@ class AsofJoinSpec extends AnyFunSuite {
       (4L, Some(200L), Some(10L)),   // right rows only in the future
       (5L, Some(300L), Some(70L)),   // key absent on the right
       (6L, None,       Some(90L)),   // null key: matches null-key right rows
-      (7L, Some(100L), None)         // null time: -inf, matches null-time right
+      (7L, Some(100L), None),        // null time: -inf, matches null-time right
+      (8L, Some(400L), Some(60L))    // matches a right row whose VALUE is null
     ).toDF("id", "k", "t")
     val right = Seq(
-      (Some(100L), Some(40L),  "a"),
-      (Some(100L), Some(150L), "b"),
-      (Some(100L), Some(200L), "c"),
-      (Some(200L), Some(999L), "z"),
-      (Some(100L), None,       "n"), // null time sorts first
-      (None,       Some(80L),  "nk") // null key
+      (Some(100L), Some(40L),  Some("a")),
+      (Some(100L), Some(150L), Some("b")),
+      (Some(100L), Some(200L), Some("c")),
+      (Some(200L), Some(999L), Some("z")),
+      (Some(100L), None,       Some("n")),  // null time sorts first
+      (None,       Some(80L),  Some("nk")), // null key
+      (Some(400L), Some(20L),  Some("x")),
+      (Some(400L), Some(50L),  None)        // later matched row carries NULL —
+                                            // row semantics must NOT resurrect "x"
     ).toDF("k", "t", "v")
     val composed = AsofJoin.asofBackward(left, right, "k", "t", "t",
       Seq("v" -> "last_v")).orderBy("id")
@@ -101,6 +105,7 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(byId(4L) == null)  // future-only right rows don't match
     assert(byId(6L) == "nk")  // null keys group together
     assert(byId(7L) == "n")   // null time matches null-time right row
+    assert(byId(8L) == null)  // matched row's null VALUE carries as null
   }
 
   test("native exec matches composed on the q27-shaped event workload") {

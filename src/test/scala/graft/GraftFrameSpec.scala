@@ -313,6 +313,8 @@ class GraftFrameSpec extends AnyFunSuite {
     assert(base.filter(lit(true)).hasPendingOps)
     val eager = pending.asEager
     assert(eager.df.storageLevel.useMemory)
+    assert(!eager.hasPendingOps) // cashed in: the plan resolves to the cache
+    assert(eager.filter(col("n_nationkey") > 7).hasPendingOps) // new verb pends again
     assert(graft.api.GraftSession.hasEngine(SparkT.spark))
     assert(graft.api.GraftSession.engineInfo(SparkT.spark).contains("Spark"))
     eager.unpersist()
