@@ -737,6 +737,24 @@ object SparkEntry {
       Multimodal.metadataFeatures(Multimodal.asMediaTable(t(s, dir, "documents")))
         .orderBy(col("doc_id").asc)),
 
+    "mm2_media_dedup" -> ((s, dir) => {
+      // media near-dedup end-to-end: binary payload → embedding stub →
+      // SRP-LSH embedding near-dup — no media-specific dedup machinery.
+      // Oracle-exact despite the engine-specific embedder: identical
+      // payloads embed identically (cosine 1.0, recalled with
+      // probability 1 by SRP buckets), and no distinct payloads reach
+      // 0.999 in 64-dim stub space, so the pair set equals the
+      // identical-payload pairs — replayable as text equality
+      // (payload = utf8(text)). A real vision tower swaps in without
+      // touching the pipeline.
+      val media = Multimodal.asMediaTable(docsWithExactDups(s, dir))
+      val emb = Multimodal.embedStub(media)
+      Dedup.embeddingDupPairs(emb, "vec_id", "embedding", dim = 64,
+          threshold = 0.999, nBits = 10, tables = 2, bucketCap = Int.MaxValue)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    }),
+
     "ev1_tumbling" -> ((s, dir) =>
       Streams.tumblingAgg(t(s, dir, "events"), "1 hour")
         .orderBy(col("window_start").asc, col("event_type").asc)),
@@ -1647,6 +1665,16 @@ object SparkEntry {
            sha256(text) AS sha256,
            CAST(64 + (strlen(text) % 577) AS INT) AS fake_width
          FROM documents ORDER BY doc_id""",
+
+    "mm2_media_dedup" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM all_docs a JOIN all_docs b
+           ON a.text = b.text AND a.doc_id < b.doc_id
+         ORDER BY id_a, id_b""",
 
     "ev1_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start,
