@@ -351,6 +351,31 @@ object SparkEntry {
         .orderBy(col("event_id").asc)
     }),
 
+    "q39_nest_unnest" -> ((s, dir) =>
+      // tidyr nest → unnest round trip: grouped rows collapse to one
+      // array-of-struct row per group and explode back losslessly —
+      // the oracle is simply the original projection
+      g(s, dir, "customer")
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .nest("data", Seq("c_custkey", "c_acctbal"))
+        .unnest("data")
+        .arrange(asc("c_mktsegment"), asc("c_custkey"))
+        .df),
+
+    "q40_complete" -> ((s, dir) =>
+      // tidyr complete: the (returnflag × linestatus) grid over
+      // grouped counts — combinations absent from the data appear
+      // with n = 0
+      GraftFrame(
+        g(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .summarise("n" -> count(lit(1))).df)
+        .complete(Seq("l_returnflag", "l_linestatus"),
+          fill = Map("n" -> lit(0L)))
+        .arrange(asc("l_returnflag"), asc("l_linestatus"))
+        .df),
+
     "q38_asof_native" -> ((s, dir) => {
       // q27's as-of join on the NATIVE sorted-merge physical operator
       // (AsofJoinExec via SparkSessionExtensions) — same oracle; the
@@ -1112,6 +1137,23 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT user_id, ts_ms FROM e WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
          ORDER BY p.event_id""",
+
+    "q39_nest_unnest" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal
+         FROM customer ORDER BY c_mktsegment, c_custkey""",
+
+    "q40_complete" ->
+      """WITH counts AS (
+           SELECT l_returnflag, l_linestatus, count(*) AS n
+           FROM lineitem GROUP BY 1, 2),
+         grid AS (
+           SELECT f.l_returnflag, s.l_linestatus
+           FROM (SELECT DISTINCT l_returnflag FROM lineitem) f,
+                (SELECT DISTINCT l_linestatus FROM lineitem) s)
+         SELECT g.l_returnflag, g.l_linestatus,
+           coalesce(c.n, 0) AS n
+         FROM grid g LEFT JOIN counts c USING (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag, l_linestatus""",
 
     "q38_asof_native" ->
       """WITH e AS (

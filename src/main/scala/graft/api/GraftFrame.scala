@@ -520,6 +520,51 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
       namesTo, valuesTo))
   }
 
+  /** tidyr `nest` — collapse `dataCols` into one array-of-struct
+    * column per group (the Spark shape of a list-column). One
+    * partial-aggregated shuffle on the group keys; `sorted` orders
+    * each nested array by the struct's field order so results are
+    * deterministic (Spark's collect_list order is not). Result is
+    * ungrouped, one row per group, like tidyr. */
+  def nest(as: String, dataCols: Seq[String], sorted: Boolean = true): GraftFrame = {
+    require(groupCols.nonEmpty, "nest: call groupBy first (tidyr nests by grouping)")
+    require(!df.columns.contains(as) || dataCols.contains(as),
+      s"nest: output column '$as' collides with a retained column")
+    val arr = collect_list(struct(dataCols.map(col): _*))
+    GraftFrame(df.groupBy(groupCols.map(col): _*)
+      .agg((if (sorted) sort_array(arr) else arr).as(as)))
+  }
+
+  /** tidyr `unnest` — explode an array-of-struct column back to rows
+    * and columns. `inline` is a Catalyst generator: one scan, no
+    * shuffle; empty arrays produce no rows (tidyr default). */
+  def unnest(nested: String): GraftFrame = {
+    val keep = df.columns.filterNot(_ == nested)
+    GraftFrame(df.select(keep.map(col) :+ inline(col(nested)): _*))
+  }
+
+  /** tidyr `expand` — the distinct-value grid of `cols`: cross product
+    * of each column's observed values. Every distinct() is a partial
+    * aggregate over one small column; the cross join multiplies
+    * already-tiny sides. */
+  def expand(cols: Seq[String]): GraftFrame =
+    GraftFrame(cols.map(c => df.select(col(c)).distinct())
+      .reduceLeft(_.crossJoin(_)))
+
+  /** tidyr `complete` — [[expand]] the grid, then left-join the data
+    * back so missing combinations appear (with nulls, or `fill`
+    * values). The grid side is small by construction → Spark
+    * broadcasts it; the data side joins without a shuffle when AQE
+    * sizes it so. */
+  def complete(cols: Seq[String], fill: Map[String, Column] = Map.empty): GraftFrame = {
+    val grid = expand(cols).df
+    val joined = grid.join(df, cols, "left")
+    val filled = fill.foldLeft(joined) { case (d, (c, v)) =>
+      d.withColumn(c, coalesce(col(c), v))
+    }
+    GraftFrame(filled, groupCols)
+  }
+
   /** `head(n)` (reference: R/ast.R ast_head) → Catalyst Limit. */
   def headN(n: Int): GraftFrame = copy(df = df.limit(n))
 

@@ -293,6 +293,31 @@ class GraftFrameSpec extends AnyFunSuite {
     assert(got == Seq("NA/y", "x/NA"))
   }
 
+  test("nest collapses groups to sorted struct arrays; unnest restores them") {
+    val d = Seq(("a", 2, 20.0), ("a", 1, 10.0), ("b", 3, 30.0)).toDF("g", "k", "v")
+    val nested = GraftFrame(d).groupBy("g").nest("data", Seq("k", "v"))
+    val rows = nested.df.orderBy("g").collect()
+    assert(rows.length == 2)
+    val aData = rows(0).getSeq[Row](1)
+    assert(aData.map(r => (r.getInt(0), r.getDouble(1))) == Seq((1, 10.0), (2, 20.0)),
+      "nested array must be sorted for determinism")
+    // round trip restores every original row
+    val back = nested.unnest("data").df
+      .orderBy("g", "k").collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(back.toSeq == Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0)))
+    // nesting requires a grouping, like tidyr
+    intercept[IllegalArgumentException] { GraftFrame(d).nest("data", Seq("k")) }
+  }
+
+  test("complete fills the missing grid combinations; expand is the grid") {
+    val d = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 3L)).toDF("f", "s", "n")
+    val grid = GraftFrame(d).expand(Seq("f", "s")).df.collect()
+    assert(grid.length == 4) // {a,b} × {x,y}
+    val full = GraftFrame(d).complete(Seq("f", "s"), fill = Map("n" -> lit(0L))).df
+      .orderBy("f", "s").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(full.toSeq == Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 3L), ("b", "y", 0L)))
+  }
+
   test("pivotLonger unpivots value columns against id columns") {
     val d = Seq((1, 2.0, 3.0)).toDF("id", "a", "b")
     val longd = GraftFrame(d).pivotLonger(Seq("a", "b")).df
