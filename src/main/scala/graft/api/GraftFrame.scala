@@ -525,11 +525,13 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
     * partial-aggregated shuffle on the group keys; `sorted` orders
     * each nested array by the struct's field order so results are
     * deterministic (Spark's collect_list order is not). Result is
-    * ungrouped, one row per group, like tidyr. */
+    * ungrouped, one row per group, like tidyr; columns that are
+    * neither group nor data columns are dropped (name the ones to
+    * keep in `dataCols`). */
   def nest(as: String, dataCols: Seq[String], sorted: Boolean = true): GraftFrame = {
     require(groupCols.nonEmpty, "nest: call groupBy first (tidyr nests by grouping)")
-    require(!df.columns.contains(as) || dataCols.contains(as),
-      s"nest: output column '$as' collides with a retained column")
+    require(!groupCols.contains(as),
+      s"nest: output column '$as' collides with a group column")
     val arr = collect_list(struct(dataCols.map(col): _*))
     GraftFrame(df.groupBy(groupCols.map(col): _*)
       .agg((if (sorted) sort_array(arr) else arr).as(as)))
@@ -537,32 +539,58 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
 
   /** tidyr `unnest` — explode an array-of-struct column back to rows
     * and columns. `inline` is a Catalyst generator: one scan, no
-    * shuffle; empty arrays produce no rows (tidyr default). */
+    * shuffle; empty arrays produce no rows (tidyr default). Grouping
+    * survives, as in tidyr. */
   def unnest(nested: String): GraftFrame = {
     val keep = df.columns.filterNot(_ == nested)
-    GraftFrame(df.select(keep.map(col) :+ inline(col(nested)): _*))
+    copy(df = df.select(keep.map(col) :+ inline(col(nested)): _*))
   }
 
-  /** tidyr `expand` — the distinct-value grid of `cols`: cross product
-    * of each column's observed values. Every distinct() is a partial
-    * aggregate over one small column; the cross join multiplies
-    * already-tiny sides. */
-  def expand(cols: Seq[String]): GraftFrame =
-    GraftFrame(cols.map(c => df.select(col(c)).distinct())
-      .reduceLeft(_.crossJoin(_)))
-
-  /** tidyr `complete` — [[expand]] the grid, then left-join the data
-    * back so missing combinations appear (with nulls, or `fill`
-    * values). The grid side is small by construction → Spark
-    * broadcasts it; the data side joins without a shuffle when AQE
-    * sizes it so. */
-  def complete(cols: Seq[String], fill: Map[String, Column] = Map.empty): GraftFrame = {
-    val grid = expand(cols).df
-    val joined = grid.join(df, cols, "left")
-    val filled = fill.foldLeft(joined) { case (d, (c, v)) =>
-      d.withColumn(c, coalesce(col(c), v))
+  /** tidyr `expand` — the observed-value grid of `cols`: the cross
+    * product of each column's distinct values, computed WITHIN each
+    * group when the frame is grouped (tidyr's grouped expand).
+    *
+    * Shape: one aggregate collects each column's distinct values per
+    * group (null values included — they are grid values in tidyr, so
+    * they ride wrapped in structs, which collect_set keeps where bare
+    * nulls would vanish), then generators multiply them out. The big
+    * frame is touched once, by the partial-aggregated collect. */
+  def expand(cols: Seq[String]): GraftFrame = {
+    require(cols.nonEmpty, "expand: at least one column required")
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
+      collect_set(struct(col(cols.head).as("v"))).as(s"__s_${cols.head}"),
+      cols.tail.map(c => collect_set(struct(col(c).as("v"))).as(s"__s_$c")): _*)
+    val grid = cols.foldLeft(agg) { (d, c) =>
+      // a generator must be a top-level projection item — explode
+      // first, unwrap the struct field second
+      d.withColumn(s"__e_$c", explode(col(s"__s_$c")))
+        .withColumn(c, col(s"__e_$c").getField("v"))
+        .drop(s"__s_$c", s"__e_$c")
     }
-    GraftFrame(filled, groupCols)
+    GraftFrame(grid.select((groupCols ++ cols).map(col): _*), groupCols)
+  }
+
+  /** tidyr `complete` — make missing grid combinations explicit: the
+    * original rows, plus one row per [[expand]] combination absent
+    * from the data, with `fill` values (or nulls) in the remaining
+    * columns. Pre-existing nulls in data rows are NOT overwritten —
+    * fills apply only to the rows this verb creates, as in tidyr.
+    *
+    * Scale shape: the data side is never joined or shuffled — it
+    * streams into a union. Only key-column aggregates (the grid and
+    * the observed-combination set, both small) join, null-safely, to
+    * find what's missing. */
+  def complete(cols: Seq[String], fill: Map[String, Column] = Map.empty): GraftFrame = {
+    val keys = groupCols ++ cols
+    val grid = expand(cols).df.alias("__grid")
+    val observed = df.select(keys.map(col): _*).distinct().alias("__obs")
+    val miss = grid.join(observed,
+      keys.map(k => col(s"__grid.$k") <=> col(s"__obs.$k")).reduce(_ && _),
+      "left_anti")
+    val missFilled = fill.foldLeft(miss) { case (d, (c, v)) =>
+      d.withColumn(c, v)
+    }
+    copy(df = df.unionByName(missFilled, allowMissingColumns = true))
   }
 
   /** `head(n)` (reference: R/ast.R ast_head) → Catalyst Limit. */

@@ -318,6 +318,42 @@ class GraftFrameSpec extends AnyFunSuite {
     assert(full.toSeq == Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 3L), ("b", "y", 0L)))
   }
 
+  test("complete is null-safe and fills only the rows it creates") {
+    // a null grid value is a real value (tidyr semantics): the (a, null, 5)
+    // observation must survive, NOT be replaced by the fill
+    val d = Seq(("a", Option.empty[String], Some(5L)), ("a", Some("x"), None),
+      ("b", Some("x"), Some(3L))).toDF("f", "s", "n")
+    val full = GraftFrame(d).complete(Seq("f", "s"), fill = Map("n" -> lit(0L))).df
+      .orderBy("f", "s").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(full.toSeq == Seq(
+      ("a", None, Some(5L)),      // pre-existing null key row kept
+      ("a", Some("x"), None),     // pre-existing null VALUE kept (no fill)
+      ("b", None, Some(0L)),      // created combo → filled
+      ("b", Some("x"), Some(3L))))
+  }
+
+  test("grouped complete expands the grid within each group") {
+    val d = Seq(("g1", "x", 1L), ("g1", "y", 2L), ("g2", "z", 3L)).toDF("g", "s", "n")
+    val full = GraftFrame(d).groupBy("g").complete(Seq("s"), fill = Map("n" -> lit(0L))).df
+      .orderBy("g", "s").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // g2 never saw x/y → per-group grid adds nothing there (tidyr grouped
+    // complete); g1's grid is {x,y}, both present
+    assert(full.toSeq == Seq(("g1", "x", 1L), ("g1", "y", 2L), ("g2", "z", 3L)))
+    // and the group context survives the verb
+    assert(GraftFrame(d).groupBy("g").complete(Seq("s")).groupVars == Seq("g"))
+  }
+
+  test("unnest preserves the group context") {
+    val d = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0)).toDF("g", "k", "v")
+    val out = GraftFrame(d).groupBy("g").nest("data", Seq("k", "v"))
+      .groupBy("g").unnest("data")
+      .summarise("cnt" -> count(lit(1))).df
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a", 2L), ("b", 1L))) // per-group, not global
+  }
+
   test("pivotLonger unpivots value columns against id columns") {
     val d = Seq((1, 2.0, 3.0)).toDF("id", "a", "b")
     val longd = GraftFrame(d).pivotLonger(Seq("a", "b")).df
