@@ -682,6 +682,32 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    "txt12_lm_score" -> ((s, dir) => {
+      // corpus-bigram LM scoring (KenLM-style familiarity signal):
+      // score each doc by the mean log conditional probability of its
+      // bigrams under the corpus's own bigram model, p(w2|w1) =
+      // c(w1 w2) / c(w1 ·). Low scores flag gibberish/outliers.
+      // Scale shape: one aggregate builds the model (bigram counts +
+      // prefix counts from the same table), doc bigrams join the model
+      // by key — the standard shuffle-on-token shape; text itself
+      // never shuffles. ln over exact-integer ratios is engine-stable;
+      // the per-doc mean rounds to 4dp (summation-order jitter sits
+      // ~1e-12 below the grid).
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bi = docs.select(col("doc_id"),
+        explode(hashfns.wordShingles(col("text"), 2)).as("bigram"))
+      val bigramCounts = bi.groupBy("bigram").agg(count(lit(1)).as("cb"))
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      val prefixCounts = bigramCounts.groupBy("w1").agg(sum("cb").as("cw"))
+      val model = bigramCounts.join(prefixCounts, "w1")
+      bi.join(model, "bigram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log(col("cb").cast("double") / col("cw").cast("double"))), 4)
+            .as("avg_ll"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     "txt11_chunks" -> ((s, dir) => {
       // sequence packing: split each doc into 50-word windows with
       // stride 40 (10-word overlap) — the context-chunking step before
@@ -1520,6 +1546,27 @@ object SparkEntry {
            round(CAST(count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS DOUBLE)
                  / CAST(count(*) AS DOUBLE), 4) AS unique_ratio
          FROM scored GROUP BY source ORDER BY source""",
+
+    "txt12_lm_score" ->
+      """WITH words AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM documents),
+         bi AS (
+           SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bigram
+           FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                 FROM words WHERE len(w) >= 2)),
+         bc AS (
+           SELECT bigram, count(*) AS cb,
+             string_split(bigram, ' ')[1] AS w1
+           FROM bi GROUP BY 1),
+         pc AS (SELECT w1, sum(cb) AS cw FROM bc GROUP BY 1),
+         model AS (SELECT bigram, cb, cw FROM bc JOIN pc USING (w1))
+         SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln(CAST(cb AS DOUBLE) / CAST(cw AS DOUBLE))), 4) AS avg_ll
+         FROM bi JOIN model USING (bigram)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "txt11_chunks" ->
       """WITH words AS (
