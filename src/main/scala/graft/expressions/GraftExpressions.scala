@@ -145,19 +145,21 @@ case class CharShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-/** word_shingles(string) → array<string>: distinct word-n-gram strings. */
-case class WordShingleStrings(child: Expression, n: Int)
+/** word_shingles(string) → array<string>: word-n-gram strings —
+  * distinct set by default, every occurrence with `all = true`. */
+case class WordShingleStrings(child: Expression, n: Int, all: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = "graft_word_shingles"
+  override def prettyName: String =
+    if (all) "graft_word_shingles_all" else "graft_word_shingles"
 
   override def nullSafeEval(a: Any): Any =
-    Kernels.wordShingleStrings(a.asInstanceOf[UTF8String], n)
+    Kernels.wordShingleStrings(a.asInstanceOf[UTF8String], n, all)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.expressions.Kernels.wordShingleStrings($a, $n);")
+      s"${ev.value} = graft.expressions.Kernels.wordShingleStrings($a, $n, $all);")
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
@@ -239,6 +241,8 @@ object GraftFunctions {
     Bridge.column(ShingleHashes(Bridge.expression(text), n))
   def graft_word_shingles(text: Column, n: Int): Column =
     Bridge.column(WordShingleStrings(Bridge.expression(text), n))
+  def graft_word_shingles_all(text: Column, n: Int): Column =
+    Bridge.column(WordShingleStrings(Bridge.expression(text), n, all = true))
   def graft_char_shingle_hashes(text: Column, n: Int): Column =
     Bridge.column(CharShingleHashes(Bridge.expression(text), n))
   def graft_fingerprint64(text: Column, base: Long = 257L): Column =

@@ -210,12 +210,21 @@ object Kernels {
     * [[shingleHashes]] for operators that need exact set semantics
     * (n-gram Jaccard audit). Output order is first-occurrence; set
     * consumers (explode→group, intersect) are order-insensitive. */
-  def wordShingleStrings(s: UTF8String, n: Int): ArrayData = {
+  def wordShingleStrings(s: UTF8String, n: Int): ArrayData =
+    wordShingleStrings(s, n, keepDuplicates = false)
+
+  /** As above; `keepDuplicates = true` emits EVERY shingle occurrence
+    * in order — the multiset consumers (bigram language models,
+    * repetition measures) need, where the dedup variant would skew
+    * counts. */
+  def wordShingleStrings(s: UTF8String, n: Int, keepDuplicates: Boolean): ArrayData = {
     val words = s.toString.toLowerCase(java.util.Locale.ROOT)
       .trim.split("\\s+")
     if (words.length < n || (words.length == 1 && words(0).isEmpty))
       return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String]()
+    val seen: java.util.Collection[String] =
+      if (keepDuplicates) new java.util.ArrayList[String](words.length)
+      else new java.util.LinkedHashSet[String]()
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i <= words.length - n) {

@@ -14,16 +14,12 @@ import graft.expressions.GraftFunctions
   */
 object hashfns {
 
-  /** Word n-gram shingles of the normalized text. Returns an empty
-    * array when the document has fewer than `n` words (never a
-    * descending `sequence`, which Spark would happily generate). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val words = split(textfns.normalizeText(text), " ")
-    val k = size(words) - (n - 1)
-    when(k <= 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), k),
-        i => concat_ws(" ", slice(words, i, lit(n)))))
-  }
+  /** Word n-gram shingles of the normalized text, EVERY occurrence in
+    * order (multiset semantics — LM counting, repetition measures).
+    * One-pass codegen kernel; empty array when the document has fewer
+    * than `n` words. */
+  def wordShingles(text: Column, n: Int): Column =
+    GraftFunctions.graft_word_shingles_all(text, n)
 
   /** Character n-gram shingles (for short/CJK text where word
     * tokenization is unreliable). */

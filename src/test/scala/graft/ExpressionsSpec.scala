@@ -156,4 +156,14 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r(0) == Seq("a b c", "b c d"))
     assert(r(1).isEmpty)
   }
+
+  test("wordShingles keeps duplicate occurrences; distinctWordShingles dedups") {
+    val d = Seq(Tuple1("a b a b a")).toDF("t")
+    val all = d.select(hashfns.wordShingles(col("t"), 2).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(all == Seq("a b", "b a", "a b", "b a")) // multiset, in order
+    val dist = d.select(hashfns.distinctWordShingles(col("t"), 2).as("s"))
+      .collect()(0).getSeq[String](0).toSet
+    assert(dist == Set("a b", "b a"))
+  }
 }
