@@ -20,10 +20,21 @@ object Profile {
 
     time("normalize+split")(docs.select(size(split(lower(col("text")), " ")).as("n"))
       .agg(sum("n")).collect()(0).getLong(0))
-    time("wordShingles7")(docs.select(size(hashfns.wordShingles(col("text"), 7)).as("n"))
+    // composed Column-chain shingling (the pre-kernel implementation,
+    // kept inline as the comparison baseline for the kernel rows)
+    def composedShingles(text: org.apache.spark.sql.Column, n: Int) = {
+      val words = split(graft.functions.textfns.normalizeText(text), " ")
+      val k = size(words) - (n - 1)
+      when(k <= 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), k),
+          i => concat_ws(" ", slice(words, i, lit(n)))))
+    }
+    time("composedShingles7")(docs.select(size(composedShingles(col("text"), 7)).as("n"))
       .agg(sum("n")).collect()(0).getLong(0))
-    time("wordShingles7+distinct")(docs.select(
-      size(array_distinct(hashfns.wordShingles(col("text"), 7))).as("n"))
+    time("kernelShingles7")(docs.select(size(hashfns.wordShingles(col("text"), 7)).as("n"))
+      .agg(sum("n")).collect()(0).getLong(0))
+    time("kernelShingles7+distinct")(docs.select(
+      size(hashfns.distinctWordShingles(col("text"), 7)).as("n"))
       .agg(sum("n")).collect()(0).getLong(0))
     time("explode toks")(docs.select(col("doc_id"),
       explode(array_distinct(hashfns.wordShingles(col("text"), 7))).as("sh")).count())
