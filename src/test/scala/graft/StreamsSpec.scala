@@ -107,4 +107,34 @@ class StreamsSpec extends AnyFunSuite {
       assert(batch.exceptAll(got).count() == 0)
     } finally q.stop()
   }
+
+  test("scan-side curation (quality/langid/repetition filter) runs unchanged on a stream") {
+    // the curation scoring path is stateless scan-side codegen, so the
+    // SAME column expressions drive readStream with no operator changes
+    // — the property that makes the batch curation pipeline reusable
+    // for streaming ingestion
+    import graft.functions.textfns
+    val docs = SparkT.table("documents").select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("graft_stream_docs").toString
+    docs.write.mode("overwrite").parquet(dir)
+    def curate(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn("lang", textfns.langId(col("text")))
+      .withColumn("quality", textfns.qualityScore(col("text")))
+      .withColumn("repetition", textfns.repetitionRatio(col("text"), 3))
+      .filter(col("quality") >= 0.5 && col("lang") =!= "und" &&
+        col("repetition") < 0.5)
+      .select("doc_id", "lang")
+    val batch = curate(spark.read.parquet(dir))
+    val stream = curate(spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_curate_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_stream_curate_test")
+      assert(got.count() > 0)
+      assert(got.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(got).count() == 0)
+    } finally q.stop()
+  }
 }
