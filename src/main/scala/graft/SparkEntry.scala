@@ -923,6 +923,23 @@ object SparkEntry {
         .orderBy(col("source").asc)
     }),
 
+    "cur4_split" -> ((s, dir) =>
+      // reproducible 80/10/10 train/valid/test split: assignment by the
+      // same overflow-safe affine hash as cur3, so any engine (and any
+      // rerun) reproduces the exact membership — a seeded randomSplit
+      // cannot cross engines. Thresholds are floor(0.8p)/floor(0.9p)
+      // for p = 2^31-1, hardcoded so both sides agree to the integer.
+      t(s, dir, "documents")
+        .withColumn("h",
+          ((col("doc_id") % lit(2147483647L)) * lit(1103515245L) + lit(12345L))
+            % lit(2147483647L))
+        .withColumn("split",
+          when(col("h") < lit(1717986917L), lit("train"))
+            .when(col("h") < lit(1932735282L), lit("valid"))
+            .otherwise(lit("test")))
+        .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source").asc, col("split").asc)),
+
     "dd9_cross_dedup" -> ((s, dir) => {
       // incremental-crawl dedup: drop from the corpus whatever a
       // reference corpus (here: every 10th doc, standing in for "the
@@ -1603,6 +1620,18 @@ object SparkEntry {
            round(r.rate, 4) AS rate
          FROM rates r LEFT JOIN kept k USING (source)
          ORDER BY source""",
+
+    "cur4_split" ->
+      """WITH h AS (
+           SELECT source,
+             ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS h
+           FROM documents)
+         SELECT source,
+           CASE WHEN h < 1717986917 THEN 'train'
+                WHEN h < 1932735282 THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs
+         FROM h GROUP BY 1, 2 ORDER BY source, split""",
 
     "dd9_cross_dedup" ->
       """WITH words AS (
