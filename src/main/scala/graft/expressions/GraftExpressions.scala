@@ -164,6 +164,36 @@ case class WordShingleStrings(child: Expression, n: Int, all: Boolean = false)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** text_stats(string) → struct: one-pass corpus text statistics
+  * (stopword hits per language, token/punct/char counts) — see
+  * [[Kernels.textStats]] for the exact regex-twin semantics. */
+case class TextStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TextStats.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_text_stats"
+
+  override def nullSafeEval(a: Any): Any =
+    Kernels.textStats(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.Kernels.textStats($a);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object TextStats {
+  val schema: StructType = StructType(Seq(
+    StructField("s_en", IntegerType, nullable = false),
+    StructField("s_de", IntegerType, nullable = false),
+    StructField("s_fr", IntegerType, nullable = false),
+    StructField("s_es", IntegerType, nullable = false),
+    StructField("s_zh", IntegerType, nullable = false),
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false)))
+}
+
 /** minhash_agreement(array<bigint>, array<bigint>) → double ∈ [0,1]. */
 case class MinHashAgreement(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -243,6 +273,8 @@ object GraftFunctions {
     Bridge.column(WordShingleStrings(Bridge.expression(text), n))
   def graft_word_shingles_all(text: Column, n: Int): Column =
     Bridge.column(WordShingleStrings(Bridge.expression(text), n, all = true))
+  def graft_text_stats(text: Column): Column =
+    Bridge.column(TextStats(Bridge.expression(text)))
   def graft_char_shingle_hashes(text: Column, n: Int): Column =
     Bridge.column(CharShingleHashes(Bridge.expression(text), n))
   def graft_fingerprint64(text: Column, base: Long = 257L): Column =

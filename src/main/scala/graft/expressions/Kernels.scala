@@ -245,6 +245,132 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  // stopword tables for the one-pass text-stats kernel — MUST stay in
+  // sync with graft.functions.textfns.stopwords (the regex twin the
+  // oracles replay). All entries are <= 3 ASCII chars by design.
+  private val StopEn = Array("the", "of", "and", "to", "in")
+  private val StopDe = Array("der", "die", "das", "und", "ist")
+  private val StopFr = Array("le", "les", "une", "et", "est")
+  private val StopEs = Array("el", "los", "las", "una", "es")
+  private val ZhChars = Array('的', '是', '了', '在', '和')
+
+  /** One-pass corpus text statistics — the fused scan-side kernel
+    * behind langId / qualityScore / wsTokenCount. Replaces ~25
+    * separate regex passes per document (5 stopword alternations × 4
+    * languages + zh substrings + token/punct counts) with a single
+    * traversal; at corpus scale that is the difference between one
+    * and twenty-five reads of every byte of text.
+    *
+    * Exact semantic twins of the regex formulations (which the DuckDB
+    * oracles replay):
+    *   - s_xx = count of `\b(w1|..|w5)\b` matches on lower(text):
+    *     a match occurs iff a MAXIMAL word-char run ([a-zA-Z0-9_],
+    *     Java/RE2 `\b` semantics) equals a stopword — tracked here by
+    *     buffering runs up to 3 lowercased chars.
+    *   - s_zh = total occurrences of the five CJK marker chars.
+    *   - n_words = `length(trim(s))==0 ? 0 : size(split(trim(s),"\s+"))`
+    *     with Spark's space-only trim and split(limit=-1) semantics
+    *     (leading/trailing non-space whitespace yields phantom empty
+    *     fields — reproduced bug-for-bug).
+    *   - n_punct = count of [.,;:!?]; n_chars = code points.
+    *
+    * Assumes lowercasing preserves word-char structure — true for all
+    * ASCII and CJK input; exotic one-to-many lowercasings (U+0130)
+    * would diverge from the lower()-then-regex order of operations.
+    *
+    * Output: struct(s_en, s_de, s_fr, s_es, s_zh, n_words, n_punct,
+    * n_chars) — all ints. */
+  def textStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val len = str.length
+    var sEn = 0; var sDe = 0; var sFr = 0; var sEs = 0; var sZh = 0
+    var nPunct = 0; var nChars = 0
+    // word-run state: buffered lowercased chars (runs > 3 can't match)
+    var runLen = 0
+    var r0 = ' '; var r1 = ' '; var r2 = ' '
+    def isWordChar(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+    def matchIn(tbl: Array[String]): Boolean = {
+      var i = 0
+      while (i < tbl.length) {
+        val w = tbl(i)
+        if (w.length == runLen &&
+            w.charAt(0) == r0 &&
+            (runLen < 2 || w.charAt(1) == r1) &&
+            (runLen < 3 || w.charAt(2) == r2)) return true
+        i += 1
+      }
+      false
+    }
+    def endRun(): Unit = {
+      if (runLen >= 1 && runLen <= 3) {
+        if (matchIn(StopEn)) sEn += 1
+        if (matchIn(StopDe)) sDe += 1
+        if (matchIn(StopFr)) sFr += 1
+        if (matchIn(StopEs)) sEs += 1
+      }
+      runLen = 0
+    }
+    // n_words state (over the space-only-trimmed string)
+    var firstNonSpace = 0
+    while (firstNonSpace < len && str.charAt(firstNonSpace) == ' ') firstNonSpace += 1
+    var lastNonSpace = len - 1
+    while (lastNonSpace >= firstNonSpace && str.charAt(lastNonSpace) == ' ') lastNonSpace -= 1
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    var nTokens = 0
+    var inToken = false
+    var i = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      val cc = Character.charCount(cp)
+      nChars += 1
+      if (cc == 1) {
+        val c = str.charAt(i)
+        // stopword runs (on the lowercased view)
+        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else Character.toLowerCase(c)
+        if (isWordChar(lc)) {
+          runLen += 1
+          if (runLen == 1) r0 = lc else if (runLen == 2) r1 = lc
+          else if (runLen == 3) r2 = lc
+        } else endRun()
+        // zh markers
+        var z = 0
+        while (z < ZhChars.length) { if (c == ZhChars(z)) sZh += 1; z += 1 }
+        // punctuation
+        if (c == '.' || c == ',' || c == ';' || c == ':' || c == '!' || c == '?')
+          nPunct += 1
+        // tokens within the space-trimmed window
+        if (i >= firstNonSpace && i <= lastNonSpace) {
+          if (!isWs(c)) { if (!inToken) { nTokens += 1; inToken = true } }
+          else inToken = false
+        }
+      } else {
+        // supplementary code point: non-word, non-ws, not a marker
+        endRun()
+        if (i >= firstNonSpace && i <= lastNonSpace && !inToken) {
+          nTokens += 1; inToken = true
+        }
+      }
+      i += cc
+    }
+    endRun()
+    val nWords =
+      if (lastNonSpace < firstNonSpace) 0 // blank after space-trim
+      else {
+        // Spark split = Java split with limit -1: a leading \s char in
+        // the trimmed string yields a phantom empty LEADING field, and
+        // (unlike Java's default limit 0) a trailing \s char yields a
+        // phantom empty TRAILING field — reproduced bug-for-bug
+        val leading = if (isWs(str.charAt(firstNonSpace))) 1 else 0
+        val trailing = if (isWs(str.charAt(lastNonSpace))) 1 else 0
+        nTokens + leading + trailing
+      }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](sEn, sDe, sFr, sEs, sZh, nWords, nPunct, nChars))
+  }
+
   /** Fraction of positions on which two MinHash signatures agree — an
     * unbiased estimate of the Jaccard similarity. Used as a cheap
     * prefilter so exact shingle-set verification only runs on

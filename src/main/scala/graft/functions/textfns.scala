@@ -13,10 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object textfns {
 
-  /** Whitespace token count; 0 for empty/blank strings. */
+  /** One-pass text statistics struct (stopword hits per language,
+    * token/punct/char counts) — the fused scan kernel behind langId /
+    * qualityScore / wsTokenCount. Repeated uses of the same field set
+    * collapse to ONE kernel call per row under Catalyst common-
+    * subexpression elimination in whole-stage codegen. */
+  def textStats(text: Column): Column =
+    graft.expressions.GraftFunctions.graft_text_stats(text)
+
+  /** Whitespace token count; 0 for empty/blank strings. Kernel twin of
+    * `size(split(trim(text), "\\s+"))` (exact semantics, including the
+    * blank case). */
   def wsTokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+    textStats(text).getField("n_words")
 
   /** BPE-ish token count: alphabetic runs count 1 per run, digits 1
     * each, any other non-space symbol 1 each — the pre-tokenizer split
@@ -42,14 +51,11 @@ object textfns {
     "zh" -> Seq("的", "是", "了", "在", "和")
   )
 
-  /** Per-language stopword-hit score. */
-  def langScore(text: Column, lang: String): Column = {
-    val words = stopwords.toMap.apply(lang)
-    if (lang == "zh")
-      words.map(w => size(regexp_extract_all(text, lit(w), lit(0))))
-        .reduce(_ + _)
-    else wordHits(text, words)
-  }
+  /** Per-language stopword-hit score — kernel field; semantically
+    * `wordHits(text, words)` (resp. zh substring counts), pinned equal
+    * by TextFnsSpec. */
+  def langScore(text: Column, lang: String): Column =
+    textStats(text).getField(s"s_$lang")
 
   /** Heuristic language ID: the first language (in `stopwords` order)
     * whose score is >= every other language's score. Ties resolve to
@@ -68,13 +74,13 @@ object textfns {
 
   /** Punctuation character ratio over total characters. */
   def punctRatio(text: Column): Column =
-    size(regexp_extract_all(text, lit(PunctPattern), lit(0))).cast("double") /
-      greatest(length(text), lit(1)).cast("double")
+    textStats(text).getField("n_punct").cast("double") /
+      greatest(textStats(text).getField("n_chars"), lit(1)).cast("double")
 
   /** English stopword density — a standard fluency proxy. */
   def stopwordRatio(text: Column): Column =
-    wordHits(text, stopwords.toMap.apply("en")).cast("double") /
-      greatest(wsTokenCount(text), lit(1)).cast("double")
+    textStats(text).getField("s_en").cast("double") /
+      greatest(textStats(text).getField("n_words"), lit(1)).cast("double")
 
   /** Composite quality score in [0,1]:
     * 0.5·min(words/100,1) + 0.3·min(stopword_ratio·5,1) +

@@ -59,6 +59,49 @@ class TextFnsSpec extends AnyFunSuite {
     assert(r.getString(0) == "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
   }
 
+  test("textStats kernel matches the regex formulations exactly") {
+    // the one-pass kernel must be a bit-exact twin of the regex chain
+    // the DuckDB oracles replay — compare both on adversarial inputs
+    val inputs = Seq(
+      "the cat sat in the hat, of course!",
+      "weather other tother",          // stopwords embedded in longer runs
+      "to-in to_in to2in TO In tO",    // boundaries: -, _, digits, case
+      "der die das und ist le les",    // multi-language hits
+      "的是了在和 the 的的",            // CJK markers + mixed
+      "  leading and trailing  ",
+      "\tleading tab",                  // phantom-token split edge
+      " \t mixed  \n ws ",
+      "", " ", "\t", "one",
+      "a.b,c;d:e!f?g....",
+      "est est une les el los"
+    )
+    import spark.implicits._
+    val d = inputs.zipWithIndex.map(_.swap).toDF("id", "t")
+    def regexWordHits(words: Seq[String]) =
+      size(regexp_extract_all(lower(col("t")),
+        lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+    val regexSide = d.select(col("id"),
+      regexWordHits(textfns.stopwords.toMap.apply("en")).as("s_en"),
+      regexWordHits(textfns.stopwords.toMap.apply("de")).as("s_de"),
+      regexWordHits(textfns.stopwords.toMap.apply("fr")).as("s_fr"),
+      regexWordHits(textfns.stopwords.toMap.apply("es")).as("s_es"),
+      textfns.stopwords.toMap.apply("zh")
+        .map(w => size(regexp_extract_all(col("t"), lit(w), lit(0))))
+        .reduce(_ + _).as("s_zh"),
+      when(length(trim(col("t"))) === 0, lit(0))
+        .otherwise(size(split(trim(col("t")), "\\s+"))).as("n_words"),
+      size(regexp_extract_all(col("t"), lit(textfns.PunctPattern), lit(0))).as("n_punct"),
+      length(col("t")).as("n_chars"))
+    val kernelSide = d.select(col("id") +:
+      Seq("s_en", "s_de", "s_fr", "s_es", "s_zh", "n_words", "n_punct", "n_chars")
+        .map(f => textfns.textStats(col("t")).getField(f).as(f)): _*)
+    val r = regexSide.orderBy("id").collect().map(_.toSeq)
+    val k = kernelSide.orderBy("id").collect().map(_.toSeq)
+    r.zip(k).zipWithIndex.foreach { case ((rr, kk), i) =>
+      assert(rr == kk, s"input '${inputs(i)}': regex $rr vs kernel $kk")
+    }
+  }
+
   test("repetitionRatio: 0 for unique or short text, rises with duplicated n-grams") {
     val d = Seq(
       ("a b c d e f",          "unique"),   // 4 trigrams, all distinct
