@@ -311,5 +311,7 @@ object GraftFunctions {
       es => SimHash64(c(es.head, longArr)), "built-in")
     registry.createOrReplaceTempFunction("graft_fingerprint64",
       es => PolyFingerprint(c(es.head, StringType)), "built-in")
+    registry.createOrReplaceTempFunction("graft_text_stats",
+      es => TextStats(c(es.head, StringType)), "built-in")
   }
 }

@@ -132,6 +132,10 @@ class ExpressionsSpec extends AnyFunSuite {
       "SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c"
     ).collect()(0).getDouble(0)
     assert(math.abs(c - 1.0) < 1e-12)
+    val st = spark.sql(
+      """SELECT s.st.s_en, s.st.n_words, s.st.n_punct
+         FROM (SELECT graft_text_stats('the cat, to be!') AS st) s""").collect()(0)
+    assert(st.getInt(0) == 2 && st.getInt(1) == 4 && st.getInt(2) == 2)
   }
 
   test("SQL registry casts arguments to kernel element types") {
