@@ -924,14 +924,18 @@ object SparkEntry {
     }),
 
     "cur4_split" -> ((s, dir) =>
-      // reproducible 80/10/10 train/valid/test split: assignment by the
-      // same overflow-safe affine hash as cur3, so any engine (and any
-      // rerun) reproduces the exact membership — a seeded randomSplit
-      // cannot cross engines. Thresholds are floor(0.8p)/floor(0.9p)
-      // for p = 2^31-1, hardcoded so both sides agree to the integer.
+      // reproducible 80/10/10 train/valid/test split: assignment by an
+      // overflow-safe affine hash, so any engine (and any rerun)
+      // reproduces the exact membership — a seeded randomSplit cannot
+      // cross engines. The multiplier (MINSTD 48271) deliberately
+      // DIFFERS from cur3's sampler hash: with the same constants the
+      // split would be perfectly correlated with the mixture
+      // keep-filter (every kept row of a rate<=0.8 source would land
+      // in train). Thresholds are floor(0.8p)/floor(0.9p) for
+      // p = 2^31-1, hardcoded so both sides agree to the integer.
       t(s, dir, "documents")
         .withColumn("h",
-          ((col("doc_id") % lit(2147483647L)) * lit(1103515245L) + lit(12345L))
+          ((col("doc_id") % lit(2147483647L)) * lit(48271L) + lit(11213L))
             % lit(2147483647L))
         .withColumn("split",
           when(col("h") < lit(1717986917L), lit("train"))
@@ -1624,7 +1628,7 @@ object SparkEntry {
     "cur4_split" ->
       """WITH h AS (
            SELECT source,
-             ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS h
+             ((doc_id % 2147483647) * 48271 + 11213) % 2147483647 AS h
            FROM documents)
          SELECT source,
            CASE WHEN h < 1717986917 THEN 'train'

@@ -47,6 +47,14 @@ object Kernels {
     math.sqrt(s)
   }
 
+  /** Java/RE2 regex `\s`: [ \t\n\x0B\f\r] — the EXACT whitespace
+    * set the oracle-replayed `regexp_replace(text, '\s+', ' ')`
+    * formulations split on. Character.isWhitespace and String.trim
+    * accept supersets (Unicode spaces; all control chars <= 0x20) and
+    * would silently diverge on adversarial corpus bytes. */
+  @inline private[expressions] def isJavaWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   private final val MersennePrime = (1L << 61) - 1
 
   /** Reduce x (any non-negative 64-bit value) mod 2^61-1. */
@@ -87,7 +95,7 @@ object Kernels {
     var inWord = false
     var i = 0
     while (i < len) {
-      val ws = Character.isWhitespace(text.charAt(i))
+      val ws = isJavaWs(text.charAt(i))
       if (!ws && !inWord) { wordCount += 1; inWord = true }
       else if (ws) inWord = false
       i += 1
@@ -98,7 +106,7 @@ object Kernels {
     var h = 0xcbf29ce484222325L // FNV offset
     while (i < len) {
       val c = text.charAt(i)
-      if (!Character.isWhitespace(c)) {
+      if (!isJavaWs(c)) {
         if (!inWord) { h = 0xcbf29ce484222325L; inWord = true }
         h = (h ^ c.toLong) * 0x100000001b3L // FNV prime
       } else if (inWord) {
@@ -218,21 +226,32 @@ object Kernels {
     * repetition measures) need, where the dedup variant would skew
     * counts. */
   def wordShingleStrings(s: UTF8String, n: Int, keepDuplicates: Boolean): ArrayData = {
-    val words = s.toString.toLowerCase(java.util.Locale.ROOT)
-      .trim.split("\\s+")
-    if (words.length < n || (words.length == 1 && words(0).isEmpty))
-      return new GenericArrayData(Array.empty[Any])
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    // tokenize on the strict regex \s set, matching the oracle-replayed
+    // lower/collapse/trim/split normalization — String.trim would also
+    // strip non-\s control chars and shift token boundaries
+    val words = new java.util.ArrayList[String]()
+    var ti = 0; var start = -1
+    val slen = str.length
+    while (ti < slen) {
+      if (isJavaWs(str.charAt(ti))) {
+        if (start >= 0) { words.add(str.substring(start, ti)); start = -1 }
+      } else if (start < 0) start = ti
+      ti += 1
+    }
+    if (start >= 0) words.add(str.substring(start, slen))
+    if (words.size < n) return new GenericArrayData(Array.empty[Any])
     val seen: java.util.Collection[String] =
-      if (keepDuplicates) new java.util.ArrayList[String](words.length)
+      if (keepDuplicates) new java.util.ArrayList[String](words.size)
       else new java.util.LinkedHashSet[String]()
     val sb = new java.lang.StringBuilder(64)
     var i = 0
-    while (i <= words.length - n) {
+    while (i <= words.size - n) {
       sb.setLength(0)
       var j = 0
       while (j < n) {
         if (j > 0) sb.append(' ')
-        sb.append(words(i + j))
+        sb.append(words.get(i + j))
         j += 1
       }
       seen.add(sb.toString)
@@ -245,14 +264,15 @@ object Kernels {
     new GenericArrayData(out)
   }
 
-  // stopword tables for the one-pass text-stats kernel — MUST stay in
-  // sync with graft.functions.textfns.stopwords (the regex twin the
-  // oracles replay). All entries are <= 3 ASCII chars by design.
-  private val StopEn = Array("the", "of", "and", "to", "in")
-  private val StopDe = Array("der", "die", "das", "und", "ist")
-  private val StopFr = Array("le", "les", "une", "et", "est")
-  private val StopEs = Array("el", "los", "las", "una", "es")
-  private val ZhChars = Array('的', '是', '了', '在', '和')
+  // CANONICAL stopword tables — graft.functions.textfns.stopwords (the
+  // regex twin the oracles replay) derives from these, so the kernel
+  // and the regex formulations cannot drift apart. All entries are
+  // <= 3 ASCII chars by design (the run-buffer match depends on it).
+  val StopEn = Array("the", "of", "and", "to", "in")
+  val StopDe = Array("der", "die", "das", "und", "ist")
+  val StopFr = Array("le", "les", "une", "et", "est")
+  val StopEs = Array("el", "los", "las", "una", "es")
+  val ZhChars = Array('的', '是', '了', '在', '和')
 
   /** One-pass corpus text statistics — the fused scan-side kernel
     * behind langId / qualityScore / wsTokenCount. Replaces ~25

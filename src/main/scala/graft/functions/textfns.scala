@@ -42,14 +42,19 @@ object textfns {
 
   /** Language-ID stopword tables. Deliberately small, disjoint,
     * ASCII-word-boundary-safe marker sets; zh uses raw substring counts
-    * (CJK has no \b boundary in either regex engine). */
-  val stopwords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "of", "and", "to", "in"),
-    "de" -> Seq("der", "die", "das", "und", "ist"),
-    "fr" -> Seq("le", "les", "une", "et", "est"),
-    "es" -> Seq("el", "los", "las", "una", "es"),
-    "zh" -> Seq("的", "是", "了", "在", "和")
-  )
+    * (CJK has no \b boundary in either regex engine). Derived from the
+    * kernel's canonical arrays so the one-pass kernel and these regex
+    * formulations share one source of truth. */
+  val stopwords: Seq[(String, Seq[String])] = {
+    import graft.expressions.Kernels
+    Seq(
+      "en" -> Kernels.StopEn.toSeq,
+      "de" -> Kernels.StopDe.toSeq,
+      "fr" -> Kernels.StopFr.toSeq,
+      "es" -> Kernels.StopEs.toSeq,
+      "zh" -> Kernels.ZhChars.map(_.toString).toSeq
+    )
+  }
 
   /** Per-language stopword-hit score — kernel field; semantically
     * `wordHits(text, words)` (resp. zh substring counts), pinned equal

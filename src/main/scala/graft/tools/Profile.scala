@@ -37,9 +37,9 @@ object Profile {
       size(hashfns.distinctWordShingles(col("text"), 7)).as("n"))
       .agg(sum("n")).collect()(0).getLong(0))
     time("explode toks")(docs.select(col("doc_id"),
-      explode(array_distinct(hashfns.wordShingles(col("text"), 7))).as("sh")).count())
+      explode(hashfns.distinctWordShingles(col("text"), 7)).as("sh")).count())
     val toks = docs.select(col("doc_id").as("id"),
-      explode(array_distinct(hashfns.wordShingles(col("text"), 7))).as("sh"))
+      explode(hashfns.distinctWordShingles(col("text"), 7)).as("sh"))
     time("self-join pairs") {
       val a = toks.alias("a"); val b = toks.alias("b")
       a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))

@@ -73,7 +73,8 @@ class TextFnsSpec extends AnyFunSuite {
       " \t mixed  \n ws ",
       "", " ", "\t", "one",
       "a.b,c;d:e!f?g....",
-      "est est une les el los"
+      "est est une les el los",
+      "the \ud83d\ude00 cat \ud83d\ude00\ud83d\ude00 of? \ud83c\udf55"  // astral-plane code points
     )
     import spark.implicits._
     val d = inputs.zipWithIndex.map(_.swap).toDF("id", "t")
