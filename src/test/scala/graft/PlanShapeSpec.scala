@@ -153,6 +153,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("fused text stats: one kernel call per row under CSE") {
+    // langId + qualityScore + wsTokenCount expand to dozens of
+    // textStats field reads in the expression tree; whole-stage
+    // codegen's common-subexpression elimination must collapse them to
+    // a SINGLE kernel invocation per row — the entire point of the
+    // fused kernel
+    val d = SparkT.table("documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("lang", graft.functions.textfns.langId(col("text")))
+      .withColumn("quality", graft.functions.textfns.qualityScore(col("text")))
+      .withColumn("n", graft.functions.textfns.wsTokenCount(col("text")))
+    val codegen = org.apache.spark.sql.execution.debug.codegenString(
+      d.queryExecution.executedPlan)
+    val calls = "Kernels\\.textStats".r.findAllIn(codegen).length
+    assert(calls == 1, s"expected 1 textStats call site in generated code, got $calls")
+  }
+
   test("mixture sampling: rate table broadcasts to a scan-side filter") {
     val q = SparkEntry.queries("cur3_mixture")(spark, SparkT.sfDir)
     val p = plan(q)
