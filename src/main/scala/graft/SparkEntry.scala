@@ -286,6 +286,15 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)),
 
+    "q41_cube" -> ((s, dir) =>
+      // full grouping-set lattice (cube): every (flag, status) subtotal
+      // combination — one Expand + one aggregate, like rollup
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_last,
+          col("l_linestatus").asc_nulls_last)),
+
     "q22_pivot" -> ((s, dir) =>
       t(s, dir, "orders")
         .withColumn("y", year(col("o_orderdate").cast("timestamp")))
@@ -1126,6 +1135,12 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY ROLLUP(1, 2)
+         ORDER BY 1 NULLS LAST, 2 NULLS LAST""",
+
+    "q41_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY CUBE(1, 2)
          ORDER BY 1 NULLS LAST, 2 NULLS LAST""",
 
     "q22_pivot" ->
