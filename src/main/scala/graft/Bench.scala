@@ -66,7 +66,26 @@ object Bench {
       s"""{"query":"$k","error":${jsonStr(e)}}"""
     }.mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"reps":$reps,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"reps":$reps,"sf":"$sfDir"}"""
+    // The harness capturing this output keeps only a bounded tail; with
+    // ~80 queries the one-line detail object outgrows it and the front
+    // of the line (including "total") is cut, leaving nothing parseable.
+    // So: full detail goes to a file AND to stdout first (for logs),
+    // then a short self-contained summary line goes LAST — it fits the
+    // tail window whole and parses on its own.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // detail file is best-effort
+    println(full)
+    val failedN = results.count(r => r._3.isDefined && r._2.isEmpty)
+    val flakyN = results.count(r => r._3.isDefined && r._2.nonEmpty)
+    // names only (no error text) and capped at 8 so the summary line
+    // stays well under the tail window even in a pathological run
+    val failedNames = results.collect { case (k, None, Some(_)) => "\"" + k + "\"" }
+      .take(8).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size},"failed_n":$failedN,"flaky_n":$flakyN,"failed":$failedNames,"reps":$reps,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
     if (results.exists(r => r._3.isDefined && r._2.isEmpty)) sys.exit(1)
   }
