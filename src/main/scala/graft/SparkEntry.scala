@@ -385,6 +385,22 @@ object SparkEntry {
         .arrange(asc("l_returnflag"), asc("l_linestatus"))
         .df),
 
+    "q42_complete_grouped" -> ((s, dir) =>
+      // tidyr GROUPED complete: with the frame grouped by returnflag,
+      // the (linestatus × shipmode) grid is built WITHIN each group
+      // from that group's own observed values — q40's ungrouped twin
+      // builds one global grid
+      GraftFrame(t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"),
+            month(col("l_shipdate")).as("ship_month")))
+        .groupBy("l_returnflag", "l_linestatus", "ship_month")
+        .summarise("n" -> count(lit(1)))
+        .groupBy("l_returnflag")
+        .complete(Seq("l_linestatus", "ship_month"),
+          fill = Map("n" -> lit(0L)))
+        .arrange(asc("l_returnflag"), asc("l_linestatus"), asc("ship_month"))
+        .df),
+
     "q38_asof_native" -> ((s, dir) => {
       // q27's as-of join on the NATIVE sorted-merge physical operator
       // (AsofJoinExec via SparkSessionExtensions) — same oracle; the
@@ -737,6 +753,36 @@ object SparkEntry {
         .orderBy(col("doc_id").asc, col("chunk_id").asc)
     }),
 
+    "txt13_paragraph_dedup" -> ((s, dir) => {
+      // paragraph-level dedup over a paragraph-structured corpus built
+      // deterministically from `documents`: a per-source header
+      // paragraph (the boilerplate that repeats across distinct docs)
+      // + the doc's words in 12-word paragraphs. The header recurs
+      // once per doc of its source (≫5), so dedup strips it; unique
+      // body paragraphs survive in order. Only (fingerprint, count)
+      // pairs shuffle; the rewrite is a scan-side higher-order filter
+      // against one broadcast banned-set row.
+      val P = 12
+      val sep = "\n\n"
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          split(textfns.normalizeText(col("text")), " ").as("w"))
+        .withColumn("nw", size(col("w")))
+      val nPar = when(col("nw") <= P, lit(1L))
+        .otherwise(ceil(col("nw").cast("double") / P).cast("long"))
+      val docs = d
+        .withColumn("ptext",
+          concat_ws(sep,
+            concat(array(col("source")),
+              transform(sequence(lit(0L), nPar - 1),
+                i => concat_ws(" ", slice(col("w"), (i.cast("int") * P) + 1, lit(P)))))))
+        .select(col("doc_id"), col("ptext"))
+      graft.dedup.Dedup.paragraphDedup(docs, "doc_id", "ptext",
+          sep = sep, maxOccurrences = 5L)
+        .select(col("doc_id"), col("ptext").as("text"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     "txt8_tfidf" -> ((s, dir) => {
       // TF-IDF: tf from one explode+count, df from the distinct
       // doc-word pairs of the SAME aggregate, N broadcast as a scalar.
@@ -819,6 +865,14 @@ object SparkEntry {
       Streams.tumblingAgg(t(s, dir, "events"), "1 hour")
         .orderBy(col("window_start").asc, col("event_type").asc)),
 
+    "ev5_tumbling_stream" -> ((s, dir) =>
+      // ev1's transform executed end-to-end BY the Structured
+      // Streaming engine (readStream → window agg → AvailableNow
+      // backfill → memory sink); same oracle as ev1 — the
+      // batch/stream equivalence contract, checked by the gate
+      Streams.tumblingAggStreamOnce(s, s"$dir/events.parquet", "1 hour")
+        .orderBy(col("window_start").asc, col("event_type").asc)),
+
     "ev2_sessionize" -> ((s, dir) =>
       Streams.sessionize(t(s, dir, "events"), gapMinutes = 30)
         .orderBy(col("user_id").asc, col("session_seq").asc)),
@@ -828,19 +882,16 @@ object SparkEntry {
       // is the user's first qualifying event strictly after the prior
       // stage. Timestamps compared internally only (raw nanos order ==
       // timestamp order), output is engine-neutral counts.
-      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("t1"))
-      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
-        .filter(col("ts") > col("t1"))
-        .groupBy("user_id").agg(min("ts").as("t2"))
-      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
-        .filter(col("ts") > col("t2"))
-        .groupBy("user_id").agg(min("ts").as("t3"))
-      v.select(col("user_id"), lit(1).as("stage"))
-        .unionByName(c.select(col("user_id"), lit(2).as("stage")))
-        .unionByName(p.select(col("user_id"), lit(3).as("stage")))
-        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      //
+      // ONE exchange on user_id: a single grouped aggregate collects
+      // min view time plus the (sorted) click/purchase times per user;
+      // the stage-2/3 entry times are then array lookups — the first
+      // element strictly after the prior stage. The join formulation
+      // (filter→join→agg per stage) scans and shuffles the fact table
+      // three times; this shuffles it once, and only view/click/
+      // purchase rows at that.
+      Streams.funnel(t(s, dir, "events"),
+          Seq("view", "click", "purchase"))
         .orderBy(col("stage").asc)
     }),
 
@@ -1216,6 +1267,25 @@ object SparkEntry {
            coalesce(c.n, 0) AS n
          FROM grid g LEFT JOIN counts c USING (l_returnflag, l_linestatus)
          ORDER BY l_returnflag, l_linestatus""",
+
+    "q42_complete_grouped" ->
+      """WITH base AS (
+           SELECT l_returnflag, l_linestatus,
+             CAST(month(l_shipdate) AS INTEGER) AS ship_month
+           FROM lineitem),
+         counts AS (
+           SELECT l_returnflag, l_linestatus, ship_month, count(*) AS n
+           FROM base GROUP BY 1, 2, 3),
+         grid AS (
+           SELECT s.l_returnflag, s.l_linestatus, m.ship_month
+           FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM base) s
+           JOIN (SELECT DISTINCT l_returnflag, ship_month FROM base) m
+             USING (l_returnflag))
+         SELECT g.l_returnflag, g.l_linestatus, g.ship_month,
+           coalesce(c.n, 0) AS n
+         FROM grid g
+         LEFT JOIN counts c USING (l_returnflag, l_linestatus, ship_month)
+         ORDER BY l_returnflag, l_linestatus, ship_month""",
 
     "q38_asof_native" ->
       """WITH e AS (
@@ -1604,6 +1674,37 @@ object SparkEntry {
          FROM bi JOIN model USING (bigram)
          GROUP BY doc_id ORDER BY doc_id""",
 
+    "txt13_paragraph_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM documents),
+         pd AS (
+           SELECT doc_id,
+             source || chr(10) || chr(10) ||
+             array_to_string(
+               list_transform(
+                 range(0, CASE WHEN len(w) <= 12 THEN 1
+                               ELSE CAST(ceil(len(w) / 12.0) AS BIGINT) END),
+                 i -> array_to_string(w[(i*12+1):(i*12+12)], ' ')),
+               chr(10) || chr(10)) AS ptext
+           FROM d),
+         paras AS (
+           SELECT unnest(string_split(ptext, chr(10) || chr(10))) AS p FROM pd),
+         banned AS (
+           SELECT coalesce(list(fp), CAST([] AS VARCHAR[])) AS bl FROM (
+             SELECT md5(lower(trim(regexp_replace(p, '\s+', ' ', 'g')))) AS fp,
+                    count(*) AS c
+             FROM paras GROUP BY 1) WHERE c > 5)
+         SELECT pd.doc_id,
+           array_to_string(
+             list_filter(string_split(pd.ptext, chr(10) || chr(10)),
+               x -> NOT list_contains(b.bl,
+                 md5(lower(trim(regexp_replace(x, '\s+', ' ', 'g')))))),
+             chr(10) || chr(10)) AS text
+         FROM pd CROSS JOIN banned b
+         ORDER BY doc_id""",
+
     "txt11_chunks" ->
       """WITH words AS (
            SELECT doc_id,
@@ -1814,6 +1915,13 @@ object SparkEntry {
          ORDER BY id_a, id_b""",
 
     "ev1_tumbling" ->
+      """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "ev5_tumbling_stream" ->
       """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start,
            event_type,
            count(*) AS n_events,

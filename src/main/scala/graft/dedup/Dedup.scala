@@ -420,4 +420,43 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
+
+  /** Paragraph-level dedup: drop every paragraph whose normalized
+    * fingerprint occurs more than `maxOccurrences` times corpus-wide,
+    * keeping each document's surviving paragraphs in original order.
+    * The curation granularity document-level near-dedup misses:
+    * boilerplate blocks (navigation, cookie banners, license headers)
+    * repeat across DISTINCT pages, so no whole-document comparison
+    * ever flags them.
+    *
+    * Scale shape — document text never moves:
+    *  1. a scan-side split+explode feeds a fingerprint count; only
+    *     (16-byte md5, count) pairs shuffle.
+    *  2. fingerprints above the threshold — boilerplate cardinality,
+    *     small by construction — fold into ONE broadcast row, and each
+    *     document is rewritten scan-side by a higher-order filter over
+    *     its own split array. No join touches the corpus, no driver
+    *     collect: the whole operator is one lazy Catalyst plan.
+    *
+    * `sep` is treated literally (regex-quoted for the split). A
+    * document whose every paragraph is banned becomes the empty
+    * string — callers drop or re-score as policy dictates.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n\n",
+                     maxOccurrences: Long = 1): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val fpOf = (p: Column) => textfns.contentFingerprint(p)
+    val bannedList = docs
+      .select(explode(split(col(textCol), sepRe)).as("__p"))
+      .select(fpOf(col("__p")).as("__fp"))
+      .groupBy("__fp").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > maxOccurrences)
+      .agg(collect_list(col("__fp")).as("__banned")) // one row, even when empty
+    docs.crossJoin(broadcast(bannedList))
+      .withColumn(textCol,
+        concat_ws(sep, filter(split(col(textCol), sepRe),
+          p => !array_contains(col("__banned"), fpOf(p)))))
+      .drop("__banned")
+  }
 }

@@ -58,24 +58,34 @@ case class BoundedTopK(
 
   @transient private lazy val proj = UnsafeProjection.create(payloadSchema)
 
+  // Reused per-row key scratch: update() is called sequentially within
+  // a task, and the array is cloned before ownership passes to the
+  // buffer — so one allocation serves the whole scan instead of one
+  // per input row.
+  @transient private lazy val scratchKeys = new Array[Double](keys.length)
+
   override def createAggregationBuffer(): BoundedTopK.Buffer =
     new BoundedTopK.Buffer(k)
 
   override def update(buf: BoundedTopK.Buffer, input: InternalRow): BoundedTopK.Buffer = {
-    val p = payload.eval(input)
-    if (p != null) {
-      val ks = new Array[Double](keys.length)
-      var i = 0
-      while (i < keys.length) {
-        val v = keys(i).eval(input)
-        // a null ordering key sorts last IN ITS OWN SLOT (+∞), like
-        // asc_nulls_last per sort level — a null tiebreak must not
-        // erase a non-null primary key
-        ks(i) = if (v == null) Double.PositiveInfinity else v.asInstanceOf[Double]
-        i += 1
-      }
-      if (buf.wouldAccept(ks))
-        buf.offer(ks, proj(p.asInstanceOf[InternalRow]).copy())
+    // Keys first, acceptance check second, and only THEN the payload:
+    // once a group's heap is warm, almost every row is rejected, and a
+    // rejected row must cost key evaluation only — not the struct
+    // construction + unsafe projection + copy of the carried columns.
+    val ks = scratchKeys
+    var i = 0
+    while (i < keys.length) {
+      val v = keys(i).eval(input)
+      // a null ordering key sorts last IN ITS OWN SLOT (+∞), like
+      // asc_nulls_last per sort level — a null tiebreak must not
+      // erase a non-null primary key
+      ks(i) = if (v == null) Double.PositiveInfinity else v.asInstanceOf[Double]
+      i += 1
+    }
+    if (buf.wouldAccept(ks)) {
+      val p = payload.eval(input)
+      if (p != null)
+        buf.offer(ks.clone(), proj(p.asInstanceOf[InternalRow]).copy())
     }
     buf
   }

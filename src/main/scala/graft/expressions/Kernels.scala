@@ -284,9 +284,14 @@ object Kernels {
     * Exact semantic twins of the regex formulations (which the DuckDB
     * oracles replay):
     *   - s_xx = count of `\b(w1|..|w5)\b` matches on lower(text):
-    *     a match occurs iff a MAXIMAL word-char run ([a-zA-Z0-9_],
-    *     Java/RE2 `\b` semantics) equals a stopword — tracked here by
-    *     buffering runs up to 3 lowercased chars.
+    *     a match occurs iff a MAXIMAL word-char run equals a stopword
+    *     — tracked here by buffering runs up to 3 lowercased chars.
+    *     Word chars are the ASCII set [a-zA-Z0-9_] — RE2's `\b`
+    *     flavor, which the DuckDB oracles replay. (Java's `\b` is
+    *     Unicode-aware: a non-ASCII letter like σ EXTENDS a run there
+    *     instead of breaking it, so a Spark regexp formulation
+    *     diverges from both this kernel and RE2 on inputs where an
+    *     ASCII run abuts a non-ASCII letter.)
     *   - s_zh = total occurrences of the five CJK marker chars.
     *   - n_words = `length(trim(s))==0 ? 0 : size(split(trim(s),"\s+"))`
     *     with Spark's space-only trim and split(limit=-1) semantics
@@ -294,9 +299,13 @@ object Kernels {
     *     fields — reproduced bug-for-bug).
     *   - n_punct = count of [.,;:!?]; n_chars = code points.
     *
-    * Assumes lowercasing preserves word-char structure — true for all
-    * ASCII and CJK input; exotic one-to-many lowercasings (U+0130)
-    * would diverge from the lower()-then-regex order of operations.
+    * Lowercasing here is per-char, with the one structural exception
+    * handled explicitly: U+0130 (İ, Unicode's only unconditional
+    * one-to-many lowercase mapping) full-lowercases to "i"+U+0307, so
+    * under lower()-then-regex the i extends a word run and the
+    * combining mark then breaks it — reproduced below. Context-
+    * sensitive mappings (final sigma) never map into [a-zA-Z0-9_], so
+    * they cannot alter run structure.
     *
     * Output: struct(s_en, s_de, s_fr, s_es, s_zh, n_words, n_punct,
     * n_chars) — all ints. */
@@ -349,12 +358,21 @@ object Kernels {
       if (cc == 1) {
         val c = str.charAt(i)
         // stopword runs (on the lowercased view)
-        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else Character.toLowerCase(c)
-        if (isWordChar(lc)) {
+        if (c == 'İ') {
+          // İ full-lowercases to "i" + combining dot above: the i
+          // extends the current run, the combining mark ends it
           runLen += 1
-          if (runLen == 1) r0 = lc else if (runLen == 2) r1 = lc
-          else if (runLen == 3) r2 = lc
-        } else endRun()
+          if (runLen == 1) r0 = 'i' else if (runLen == 2) r1 = 'i'
+          else if (runLen == 3) r2 = 'i'
+          endRun()
+        } else {
+          val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else Character.toLowerCase(c)
+          if (isWordChar(lc)) {
+            runLen += 1
+            if (runLen == 1) r0 = lc else if (runLen == 2) r1 = lc
+            else if (runLen == 3) r2 = lc
+          } else endRun()
+        }
         // zh markers
         var z = 0
         while (z < ZhChars.length) { if (c == ZhChars(z)) sZh += 1; z += 1 }

@@ -73,6 +73,53 @@ object Streams {
         round(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** Staged conversion funnel (e.g. view → click → purchase): stage 1's
+    * entry time is the user's first stage-1 event; stage i's is the
+    * user's first stage-i event STRICTLY after their stage-(i-1) entry.
+    * Returns (stage, n_users), one row per stage with ≥1 user — the
+    * same contract as the per-stage filter→join→agg SQL definition.
+    *
+    * Plan shape: ONE exchange on `userCol`. A single grouped aggregate
+    * collects the first-stage min plus a sorted timestamp array per
+    * later stage (only funnel event types survive the scan filter);
+    * each later entry time is then a per-user array probe — first
+    * element greater than the previous entry. The join formulation
+    * scans and shuffles the fact table once PER STAGE; at scale the
+    * repeated exchanges of the dominant table are the whole cost.
+    * Per-user state is bounded by that user's later-stage activity
+    * (the heavy first stage folds to one min), not by table size.
+    *
+    * Timestamps are compared raw (any ordered type) — never rescaled,
+    * so nanosecond inputs keep strict-inequality semantics.
+    */
+  def funnel(events: DataFrame, stages: Seq[String],
+             typeCol: String = "event_type", tsCol: String = "ts",
+             userCol: String = "user_id"): DataFrame = {
+    require(stages.nonEmpty, "funnel: need at least one stage")
+    val ev = events
+      .filter(col(typeCol).isin(stages.map(s => s: Any): _*))
+      .select(col(userCol), col(typeCol), col(tsCol).as("__ts"))
+    val firstAgg = min(when(col(typeCol) === stages.head, col("__ts"))).as("t0")
+    val laterAggs = stages.tail.zipWithIndex.map { case (st, i) =>
+      sort_array(collect_list(when(col(typeCol) === st, col("__ts"))))
+        .as(s"__a${i + 1}")
+    }
+    var perUser = ev.groupBy(col(userCol)).agg(firstAgg, laterAggs: _*)
+    stages.tail.indices.foreach { i =>
+      val prev = col(s"t$i")
+      // null prev ⇒ predicate null ⇒ empty array ⇒ null entry: a user
+      // can't reach stage i without stage i-1
+      perUser = perUser.withColumn(s"t${i + 1}",
+        get(filter(col(s"__a${i + 1}"), x => x > prev), lit(0)))
+    }
+    val countCols = stages.indices.map(i => count(col(s"t$i")).as(s"__c$i"))
+    perUser.agg(countCols.head, countCols.tail: _*)
+      .select(explode(array(stages.indices.map(i =>
+        struct(lit(i + 1).as("stage"), col(s"__c$i").as("n_users"))): _*)).as("r"))
+      .select(col("r.stage"), col("r.n_users"))
+      .filter(col("n_users") > 0)
+  }
+
   /** Streaming twin of [[tumblingAgg]]: watermark bounds the window
     * state store; late data beyond the watermark is dropped. Returns
     * the streaming DataFrame — callers attach a sink. */
@@ -84,6 +131,45 @@ object Streams {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** Run the tumbling-window aggregate end-to-end THROUGH the
+    * Structured Streaming engine as a bounded backfill — AvailableNow
+    * trigger over the parquet source, complete-mode memory sink — and
+    * return the final result as a batch DataFrame.
+    *
+    * This is the batch/stream equivalence contract made executable:
+    * the transform is literally [[tumblingAgg]] lifted onto
+    * `readStream`, so its output must match the batch oracle row for
+    * row. AvailableNow processes everything currently in the source
+    * and stops, which is also the production shape for scheduled
+    * incremental backfills (state + exactly-once bookkeeping handled
+    * by the engine, unbounded runs just swap the trigger).
+    */
+  def tumblingAggStreamOnce(spark: SparkSession, sourcePath: String,
+                            windowLen: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(sourcePath).schema
+    // The file streaming source monitors a DIRECTORY. Production
+    // passes one; when handed a single parquet FILE (the test fixture
+    // layout) wrap it in a temp dir via symlink so the source has a
+    // valid basePath.
+    val srcFile = new java.io.File(sourcePath)
+    val inputPath =
+      if (srcFile.isFile) {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(srcFile.getName), srcFile.toPath.toAbsolutePath)
+        d.toString
+      } else sourcePath
+    val qn = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = spark.readStream.schema(schema).parquet(inputPath)
+    val q = tumblingAgg(src, windowLen)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    spark.table(qn)
+  }
 
   /** Custom streaming state: gap-based sessionization via
     * `flatMapGroupsWithState` — the arbitrary-state path for semantics

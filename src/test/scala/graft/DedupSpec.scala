@@ -154,4 +154,30 @@ class DedupSpec extends AnyFunSuite {
     // identical vectors share every SRP bucket → all 50 pairs found
     assert(pairs.filter(col("id_b") === col("id_a") + 10000L).count() == 50)
   }
+
+  test("paragraphDedup drops corpus-recurring paragraphs, keeps document order") {
+    import spark.implicits._
+    val sep = "\n\n"
+    val docs = Seq(
+      (1L, Seq("Boiler", "alpha beta", "gamma").mkString(sep)),
+      (2L, Seq("Boiler", "delta").mkString(sep)),
+      (3L, Seq("Boiler", "alpha beta").mkString(sep)), // "alpha beta" ×2 ≤ t: kept
+      (4L, " boiler ")                                 // normalization-equal to Boiler; all paragraphs banned
+    ).toDF("doc_id", "text")
+    // fingerprints are whitespace/case-normalized, so Boiler/" boiler "
+    // count as ONE paragraph occurring 4 > 3 times
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text",
+        sep = sep, maxOccurrences = 3L)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq(
+      1L -> ("alpha beta" + sep + "gamma"),
+      2L -> "delta",
+      3L -> "alpha beta",
+      4L -> ""))
+    // below threshold nothing is banned — documents pass unchanged
+    val loose = Dedup.paragraphDedup(docs, "doc_id", "text",
+        sep = sep, maxOccurrences = 10L)
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(loose == docs.orderBy("doc_id").collect().map(_.getString(1)).toSeq)
+  }
 }

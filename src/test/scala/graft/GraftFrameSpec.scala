@@ -413,13 +413,20 @@ class GraftFrameSpec extends AnyFunSuite {
     graft.api.GraftSession.gc(spark)
     assert(kept.df.storageLevel.useMemory, "gc() cleared a live frame's cache")
     // ...and must eventually reclaim the dropped one (weak-ref clearing
-    // needs a JVM collection; retry a few times, as with R's gc())
+    // needs a JVM collection; retry a few times, as with R's gc()).
+    // System.gc() alone is a hint some collectors ignore
+    // (-XX:+DisableExplicitGC, some G1 configs), so each attempt also
+    // applies real allocation pressure to force a collection cycle.
     var tries = 0
-    while (droppedDf.storageLevel.useMemory && tries < 20) {
-      System.gc(); Thread.sleep(50)
+    var sink = 0 // consumed below so the churn can't be dead-code-eliminated
+    while (droppedDf.storageLevel.useMemory && tries < 40) {
+      var i = 0
+      while (i < 64) { sink ^= new Array[Byte](1 << 20).length; i += 1 }
+      System.gc(); Thread.sleep(25)
       graft.api.GraftSession.gc(spark)
       tries += 1
     }
+    assert(sink >= 0)
     assert(!droppedDf.storageLevel.useMemory,
       "gc() never reclaimed an unreferenced computed frame")
     graft.api.GraftSession.gcAll(spark)

@@ -28,6 +28,28 @@ class StreamsSpec extends AnyFunSuite {
     assert(s(2).getAs[Long]("user_id") == 2L)
   }
 
+  test("funnel: stage entry strictly after prior stage; one hash exchange total") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L), // full funnel
+      (2L, "click", 50L), (2L, "view", 100L), (2L, "purchase", 150L),  // click precedes view: stage 2 never entered
+      (3L, "view", 10L),                                               // stage 1 only
+      (4L, "click", 10L),                                              // no view: no stages
+      (5L, "view", 100L), (5L, "purchase", 200L), (5L, "click", 400L), // purchase precedes click: stage 3 not reached
+      (6L, "view", 100L), (6L, "click", 100L),                         // simultaneous: strict > excludes
+      (7L, "browse", 10L)                                              // non-funnel event type ignored
+    ).toDF("user_id", "event_type", "ts")
+    val f = Streams.funnel(rows, Seq("view", "click", "purchase"))
+    val got = f.orderBy("stage").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == Seq((1, 5L), (2, 2L), (3, 1L)))
+    // the whole point of this formulation: the fact table shuffles
+    // ONCE (hash on user_id); the only other exchange is the final
+    // single-row count
+    val plan = f.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      "funnel must shuffle the events side exactly once:\n" + plan.take(1500))
+  }
+
   test("stateful streaming sessionize emits exactly the closed sessions") {
     import org.apache.spark.sql.expressions.Window
     // materialize (user_id, event_id, ts_ms, value) and replay as a stream

@@ -74,7 +74,12 @@ class TextFnsSpec extends AnyFunSuite {
       "", " ", "\t", "one",
       "a.b,c;d:e!f?g....",
       "est est une les el los",
-      "the \ud83d\ude00 cat \ud83d\ude00\ud83d\ude00 of? \ud83c\udf55"  // astral-plane code points
+      "the \ud83d\ude00 cat \ud83d\ude00\ud83d\ude00 of? \ud83c\udf55", // astral-plane code points
+      // U+0130: lower() full-maps \u0130\u2192"i"+U+0307, so the combining mark
+      // splits what looks like one word run \u2014 "\u0130n" must NOT count as
+      // "in", and a lone "\u0130" yields run "i"
+      "\u0130n the \u0130stanbul \u0130 i\u0130n n\u0130 \u0130?",
+      "\u212aelvin in K"               // Kelvin sign: lowercases to ASCII k both ways
     )
     import spark.implicits._
     val d = inputs.zipWithIndex.map(_.swap).toDF("id", "t")
@@ -101,6 +106,22 @@ class TextFnsSpec extends AnyFunSuite {
     r.zip(k).zipWithIndex.foreach { case ((rr, kk), i) =>
       assert(rr == kk, s"input '${inputs(i)}': regex $rr vs kernel $kk")
     }
+  }
+
+  test("textStats word boundaries are RE2/ASCII-flavored (the oracle engine's \\b)") {
+    // Java's \b is Unicode-aware (σ counts as a word char, so "σto"
+    // is ONE run), RE2's is ASCII ([A-Za-z0-9_], so σ BREAKS a run
+    // and "to" matches). The kernel follows RE2 because that is what
+    // the DuckDB oracles replay; the Spark-regex parity test above
+    // therefore only uses inputs where ASCII runs aren't flanked by
+    // non-ASCII letters. Pin the RE2 behavior directly: "ΣTO" must
+    // count one 'to' hit, final-sigma lowering must not invent one.
+    import spark.implicits._
+    val r = Seq("ΣTO der ΣΟΦΟΣ").toDF("t")
+      .select(textfns.textStats(col("t")).getField("s_en").as("en"),
+        textfns.textStats(col("t")).getField("s_de").as("de"))
+      .collect()(0)
+    assert(r.getInt(0) == 1 && r.getInt(1) == 1)
   }
 
   test("repetitionRatio: 0 for unique or short text, rises with duplicated n-grams") {
