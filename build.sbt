@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes through sbt's logger by default, prefixing
+// every line with "[info] " — which makes the Bench/Verify JSON lines
+// unparseable to anything doing a strict json parse on captured
+// stdout. StdoutOutput inherits the parent's streams: raw lines.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and suppress the trailing "[success] Total time: ..." line so
+// the LAST line of a `sbt runMain` is the program's own final output
+// (Bench/Verify end with a machine-readable JSON summary line).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

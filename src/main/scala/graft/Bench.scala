@@ -34,18 +34,32 @@ object Bench {
     // Per-query host-contention noise on a shared box is ±50% on any
     // single run, so report the MEDIAN over `reps` runs (min would
     // understate; mean lets one stall dominate).
+    //
+    // Reps are ROUND-ROBIN over the whole suite (run every query once,
+    // then repeat), not back-to-back per query: a multi-minute
+    // contention window on a shared box covers all back-to-back reps
+    // of a contiguous block of queries and garbages their medians
+    // (observed: a 24x phantom "regression" on queries whose code
+    // hadn't changed), whereas round-robin spreads each query's reps
+    // minutes apart so the window inflates at most one rep per query
+    // and the median survives.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val err = try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          None
-        } catch {
-          case t: Throwable => Some(Option(t.getMessage).getOrElse(t.getClass.getName))
-        }
-        if (err.isDefined) Seq(Left(err.get)) else Seq(Right((System.nanoTime() - t0) / 1e9))
+    // fixed alphabetical order: run-to-run and round-to-round
+    // comparability (Map iteration order reshuffles on every insert)
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, List[Either[String, Double]]]
+    for (_ <- 1 to reps; (name, fn) <- named) {
+      val t0 = System.nanoTime()
+      val sample = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case t: Throwable => Left(Option(t.getMessage).getOrElse(t.getClass.getName))
       }
+      samples(name) = samples.getOrElse(name, Nil) :+ sample
+    }
+    val results = named.map { case (name, _) =>
+      val times = samples(name)
       val firstErr = times.collectFirst { case Left(e) => e }
       val ok = times.collect { case Right(v) => v }.sorted
       // median: middle element (odd n) or lower-middle (even n — the
