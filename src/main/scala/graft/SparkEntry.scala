@@ -1004,6 +1004,79 @@ object SparkEntry {
         .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
         .orderBy(col("source").asc, col("split").asc)),
 
+    "cur5_resample" -> ((s, dir) => {
+      // quality-weighted importance resampling: each doc survives with
+      // probability equal to its quality score — the per-ROW-rate
+      // counterpart to cur3's per-source rates (upweights clean text
+      // without a hard threshold). Same deterministic affine-hash
+      // sampler discipline; constants (69069/362437) differ from BOTH
+      // cur3's sampler and cur4's splitter so the three decisions are
+      // pairwise independent. Scan-side end to end: score (fused
+      // kernel), hash, and keep-filter all fold into the scan; only
+      // (source, counts) reach the one aggregate shuffle.
+      val docs = t(s, dir, "documents")
+        .withColumn("q", textfns.qualityScore(col("text")))
+        .withColumn("h",
+          ((col("doc_id") % lit(2147483647L)) * lit(69069L) + lit(362437L))
+            % lit(2147483647L))
+      val kept = docs
+        .filter(col("h") < floor(col("q") * lit(2147483647.0)).cast("long"))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"),
+          round(avg(col("q")), 4).as("avg_q_kept"))
+      docs.groupBy("source").agg(count(lit(1)).as("n_before"),
+          round(avg(col("q")), 4).as("avg_q_before"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_before"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          col("avg_q_before"), col("avg_q_kept"))
+        .orderBy(col("source").asc)
+    }),
+
+    "txt14_pack" -> ((s, dir) => {
+      // sequence packing: docs concatenate in deterministic order
+      // within their source shard and split at a fixed token budget; a
+      // doc belongs to the sequence its FIRST token lands in (greedy
+      // concat-then-split — the standard pretraining packing shape,
+      // complementing txt11's per-doc chunking). Scale: embarrassingly
+      // parallel per shard — ONE hash exchange on source, an in-shard
+      // ordered cumsum window, no global order anywhere; at 100 TB
+      // "source" is the shard key and shards pack independently.
+      val budget = 256L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("doc_id").asc)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          textfns.wsTokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        // cum - n_tok < 2^53 ⇒ the double floor is exact
+        .withColumn("seq_id",
+          floor((col("cum") - col("n_tok")).cast("double") / budget).cast("long"))
+        .groupBy("source", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source").asc, col("seq_id").asc)
+    }),
+
+    "txt15_decontam_bloom" -> ((s, dir) => {
+      // txt10's decontamination on the Bloom scale path: the benchmark
+      // shingle sketch is built DISTRIBUTED (partial blooms OR-merge
+      // map-side), corpus shingles probe it scan-side in codegen, and
+      // survivors are exact-verified — so the output (and the oracle)
+      // is row-identical to txt10 while the shuffle carries only the
+      // bloom-surviving (id, shingle) pairs. Same planted fixture.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") < 5)
+      val b0 = bench.filter(col("doc_id") === 0)
+        .select(col("text").as("bench_text"))
+      val spliced = d.filter(col("doc_id") % 20 === 0 && col("doc_id") >= 20)
+        .crossJoin(broadcast(b0))
+        .select((col("doc_id") + 20000L).as("doc_id"),
+          concat(col("text"), lit(" "), col("bench_text")).as("text"))
+      Decontam.contaminatedBloom(d.unionByName(spliced), bench, "doc_id", "text",
+          threshold = 0.25, shingleN = 5, expectedItems = 1L << 20)
+        .orderBy(col("doc_id").asc)
+    }),
+
     "dd9_cross_dedup" -> ((s, dir) => {
       // incremental-crawl dedup: drop from the corpus whatever a
       // reference corpus (here: every 10th doc, standing in for "the
@@ -1629,6 +1702,36 @@ object SparkEntry {
          WHERE CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(t.n_sh AS DOUBLE) >= 0.25
          ORDER BY doc_id""",
 
+    // the Bloom scale path is exact by construction (survivors are
+    // verified against the true shingle set), so its oracle is
+    // txt10's, verbatim
+    "txt15_decontam_bloom" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT d.doc_id + 20000, d.text || ' ' || b.text
+           FROM documents d, (SELECT text FROM documents WHERE doc_id = 0) b
+           WHERE d.doc_id % 20 = 0 AND d.doc_id >= 20),
+         words AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM all_docs),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+                 FROM words WHERE len(w) >= 5)),
+         probe AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+         tot AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         hit AS (SELECT doc_id, count(*) AS n_hits FROM sh
+                 WHERE s IN (SELECT s FROM probe) GROUP BY 1)
+         SELECT t.doc_id,
+           CAST(t.n_sh AS INTEGER) AS n_sh,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(t.n_sh AS DOUBLE) AS containment
+         FROM tot t LEFT JOIN hit h USING (doc_id)
+         WHERE CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(t.n_sh AS DOUBLE) >= 0.25
+         ORDER BY doc_id""",
+
     "cur2_source_stats" ->
       """WITH s AS (
            SELECT doc_id, text, source,
@@ -1752,6 +1855,52 @@ object SparkEntry {
                 ELSE 'test' END AS split,
            count(*) AS n_docs
          FROM h GROUP BY 1, 2 ORDER BY source, split""",
+
+    "cur5_resample" ->
+      """WITH s AS (
+           SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+             len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS stop_hits,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS punct_hits,
+             length(text) AS n_chars
+           FROM documents),
+         scored AS (
+           SELECT doc_id, source,
+             least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+               + least(CAST(stop_hits AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) * 5.0, 1.0) * 0.3
+               + (1.0 - least(CAST(punct_hits AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0)) * 0.2 AS q,
+             ((doc_id % 2147483647) * 69069 + 362437) % 2147483647 AS h
+           FROM s),
+         kept AS (
+           SELECT source, count(*) AS n_kept, round(avg(q), 4) AS avg_q_kept
+           FROM scored WHERE h < CAST(floor(q * 2147483647.0) AS BIGINT)
+           GROUP BY 1),
+         base AS (
+           SELECT source, count(*) AS n_before, round(avg(q), 4) AS avg_q_before
+           FROM scored GROUP BY 1)
+         SELECT b.source, b.n_before,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           b.avg_q_before, k.avg_q_kept
+         FROM base b LEFT JOIN kept k USING (source)
+         ORDER BY b.source""",
+
+    "txt14_pack" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+           FROM d)
+         SELECT source,
+           CAST(floor(CAST(cum - n_tok AS DOUBLE) / 256.0) AS BIGINT) AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY 1, 2 ORDER BY source, seq_id""",
 
     "dd9_cross_dedup" ->
       """WITH words AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.hashfns
 
@@ -56,5 +56,82 @@ object Decontam {
                    idCol: String, textCol: String,
                    threshold: Double, shingleN: Int = 5): DataFrame =
     containment(corpus, bench, idCol, textCol, shingleN)
+      .filter(col("containment") >= threshold)
+
+  /** [[containment]] for benchmark sets too large to broadcast raw.
+    *
+    * [[containment]] broadcasts the benchmark's distinct shingles as
+    * strings — fine for eval sets, wrong once the probe side is itself
+    * large (decontaminating against a whole held-out corpus, or
+    * thousands of benchmarks): a multi-GB broadcast of strings, and a
+    * per-row hash probe of a giant set. This variant keeps the result
+    * EXACT while shrinking what ships and what shuffles:
+    *
+    *  1. a Bloom filter of the benchmark shingles' xxhash64s is built
+    *     DISTRIBUTED (`BloomFilterAggregate`: per-partition blooms
+    *     OR-merge map-side; only the final fixed-size sketch reaches
+    *     the driver — MBs for billions of shingles, vs GBs raw);
+    *  2. corpus shingles probe the sketch scan-side in codegen
+    *     (`BloomFilterMightContain`) — ~(fpp + true-hit rate) of them
+    *     survive;
+    *  3. survivors are verified with an exact join against the
+    *     benchmark shingles, so Bloom false positives NEVER reach the
+    *     hit counts — the one shuffle carries only bloom-surviving
+    *     (id, shingle) pairs.
+    *
+    * Output is row-identical to [[containment]]; `fpp` trades shuffle
+    * volume, not correctness.
+    */
+  def containmentBloom(corpus: DataFrame, bench: DataFrame,
+                       idCol: String, textCol: String,
+                       shingleN: Int = 5,
+                       expectedItems: Long = 4L * 1000 * 1000,
+                       fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    val probe = bench
+      .select(explode(hashfns.distinctWordShingles(col(textCol), shingleN)).as("sh"))
+      .distinct()
+    // optimal bit count for the target fpp: -n ln(p) / (ln 2)^2,
+    // capped at 2^26 bits (8 MB) — the engine's own runtime-filter cap
+    val numBits = math.min(1L << 26,
+      math.max(64L, (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
+    val buildAgg = new BloomFilterAggregate(
+      Bridge.expression(xxhash64(col("sh"))),
+      Literal(expectedItems), Literal(numBits), 0, 0).toAggregateExpression()
+    val bloomBytes = probe.select(Bridge.column(buildAgg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    def mightContain(c: Column): Column = Bridge.column(
+      BloomFilterMightContain(Literal.create(bloomBytes, BinaryType),
+        Bridge.expression(xxhash64(c))))
+
+    // totals scan-side (one row per doc, never shuffles text); the
+    // shingle kernel runs twice (totals + explode) — same documented
+    // recompute-vs-materialize tradeoff as minHashLshPairs
+    val totals = corpus.select(col(idCol),
+      size(hashfns.distinctWordShingles(col(textCol), shingleN)).as("n_sh"))
+    val survivors = corpus
+      .select(col(idCol), explode(hashfns.distinctWordShingles(col(textCol), shingleN)).as("sh"))
+      .filter(mightContain(col("sh")))
+    val hits = survivors.join(probe, Seq("sh"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_sh"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("n_sh") <= 0, lit(0.0))
+          .otherwise(coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_sh").cast("double")).as("containment"))
+  }
+
+  /** [[contaminated]] on the Bloom-prefiltered scale path. */
+  def contaminatedBloom(corpus: DataFrame, bench: DataFrame,
+                        idCol: String, textCol: String,
+                        threshold: Double, shingleN: Int = 5,
+                        expectedItems: Long = 4L * 1000 * 1000,
+                        fpp: Double = 0.01): DataFrame =
+    containmentBloom(corpus, bench, idCol, textCol, shingleN, expectedItems, fpp)
       .filter(col("containment") >= threshold)
 }
