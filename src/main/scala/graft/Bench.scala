@@ -45,8 +45,11 @@ object Bench {
     // and the median survives.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // fixed alphabetical order: run-to-run and round-to-round
-    // comparability (Map iteration order reshuffles on every insert)
+    // comparability (Map iteration order reshuffles on every insert).
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts to a subset (dev loop).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples = scala.collection.mutable.Map.empty[String, List[Either[String, Double]]]
     for (_ <- 1 to reps; (name, fn) <- named) {
       val t0 = System.nanoTime()

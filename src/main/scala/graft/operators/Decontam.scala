@@ -79,7 +79,17 @@ object Decontam {
     *     hit counts — the one shuffle carries only bloom-surviving
     *     (id, shingle) pairs.
     *
-    * Output is row-identical to [[containment]]; `fpp` trades shuffle
+    * The sketch is built as an uncorrelated SCALAR SUBQUERY — the same
+    * idiom Spark's own `InjectRuntimeFilter` uses — so constructing
+    * this DataFrame launches no job (the operator keeps the library's
+    * construction-is-lazy contract), the bloom build executes once as
+    * part of the main query, and the probe side's distinct-aggregate
+    * exchange canonicalizes identically in the subquery and in the
+    * exact-verify join, making it eligible for `ReuseExchange` instead
+    * of being scanned twice as two separate jobs.
+    *
+    * Output is row-identical to [[containment]] (duplicate `idCol`
+    * values fold into one row per id, as there); `fpp` trades shuffle
     * volume, not correctness.
     */
   def containmentBloom(corpus: DataFrame, bench: DataFrame,
@@ -88,9 +98,8 @@ object Decontam {
                        expectedItems: Long = 4L * 1000 * 1000,
                        fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.types.BinaryType
 
     val probe = bench
       .select(explode(hashfns.distinctWordShingles(col(textCol), shingleN)).as("sh"))
@@ -102,17 +111,19 @@ object Decontam {
     val buildAgg = new BloomFilterAggregate(
       Bridge.expression(xxhash64(col("sh"))),
       Literal(expectedItems), Literal(numBits), 0, 0).toAggregateExpression()
-    val bloomBytes = probe.select(Bridge.column(buildAgg).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val bloomSub = ScalarSubquery(
+      Bridge.analyzed(probe.select(Bridge.column(buildAgg).as("bf"))))
     def mightContain(c: Column): Column = Bridge.column(
-      BloomFilterMightContain(Literal.create(bloomBytes, BinaryType),
-        Bridge.expression(xxhash64(c))))
+      BloomFilterMightContain(bloomSub, Bridge.expression(xxhash64(c))))
 
-    // totals scan-side (one row per doc, never shuffles text); the
-    // shingle kernel runs twice (totals + explode) — same documented
-    // recompute-vs-materialize tradeoff as minHashLshPairs
+    // totals scan-side then folded per id (duplicate ids collapse to
+    // max, matching [[containment]]'s grouped totals — without the
+    // groupBy, duplicate-id inputs would emit duplicate output rows);
+    // the shingle kernel runs twice (totals + explode) — same
+    // documented recompute-vs-materialize tradeoff as minHashLshPairs
     val totals = corpus.select(col(idCol),
       size(hashfns.distinctWordShingles(col(textCol), shingleN)).as("n_sh"))
+      .groupBy(idCol).agg(max(col("n_sh")).as("n_sh"))
     val survivors = corpus
       .select(col(idCol), explode(hashfns.distinctWordShingles(col(textCol), shingleN)).as("sh"))
       .filter(mightContain(col("sh")))

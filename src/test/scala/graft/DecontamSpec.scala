@@ -36,6 +36,25 @@ class DecontamSpec extends AnyFunSuite {
     assert(flagged == Seq(1L))
   }
 
+  test("containmentBloom: row-identical to containment incl. duplicate ids; lazy subquery build") {
+    val corpus = Seq(
+      (1L, benchText),
+      (2L, "one two three four five six seven eight"),
+      (3L, s"one two three four five six $benchText"),
+      (3L, benchText), // duplicate id — must fold into ONE output row, as containment does
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val exact = Decontam.containment(corpus, bench, "doc_id", "text", shingleN = 5)
+    val bloom = Decontam.containmentBloom(corpus, bench, "doc_id", "text",
+      shingleN = 5, expectedItems = 1024)
+    // construction-is-lazy contract: the sketch is an uncorrelated scalar
+    // subquery executed WITH the query, not a driver-built plan literal
+    assert(bloom.queryExecution.analyzed.toString.contains("scalar-subquery"),
+      "bloom must be built as a lazy scalar subquery")
+    assert(bloom.orderBy("doc_id").collect().toSeq ==
+      exact.orderBy("doc_id").collect().toSeq)
+  }
+
   test("probe side broadcasts; corpus text never reaches an exchange") {
     val q = SparkEntry.queries("txt10_decontam")(spark, SparkT.sfDir)
     val p = q.queryExecution.executedPlan.toString
