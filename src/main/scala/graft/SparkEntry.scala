@@ -847,16 +847,22 @@ object SparkEntry {
       // media near-dedup end-to-end: binary payload → embedding stub →
       // SRP-LSH embedding near-dup — no media-specific dedup machinery.
       // Oracle-exact despite the engine-specific embedder: identical
-      // payloads embed identically (cosine 1.0, recalled with
-      // probability 1 by SRP buckets), and no distinct payloads reach
-      // 0.999 in 64-dim stub space, so the pair set equals the
-      // identical-payload pairs — replayable as text equality
-      // (payload = utf8(text)). A real vision tower swaps in without
-      // touching the pipeline.
+      // payloads embed identically (cosine 1.0, so they land in the
+      // SAME bucket at ANY nBits — recall 1.0 independent of bucket
+      // granularity), and no distinct payloads reach 0.999 in 64-dim
+      // stub space, so the pair set equals the identical-payload pairs
+      // — replayable as text equality (payload = utf8(text)). A real
+      // vision tower swaps in without touching the pipeline.
+      //
+      // nBits=16 keeps expected bucket occupancy O(1) (the FINITE
+      // bucketCap is a guardrail that never triggers here): exact
+      // recall comes from shrinking buckets, not from uncapping the
+      // per-bucket candidate fan-out — an uncapped popular bucket is
+      // quadratic, the one shape that melts at corpus scale.
       val media = Multimodal.asMediaTable(docsWithExactDups(s, dir))
       val emb = Multimodal.embedStub(media)
       Dedup.embeddingDupPairs(emb, "vec_id", "embedding", dim = 64,
-          threshold = 0.999, nBits = 10, tables = 2, bucketCap = Int.MaxValue)
+          threshold = 0.999, nBits = 16, tables = 2, bucketCap = 2000)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a").asc, col("id_b").asc)
     }),

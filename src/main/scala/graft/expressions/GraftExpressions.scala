@@ -194,6 +194,23 @@ object TextStats {
     StructField("n_chars", IntegerType, nullable = false)))
 }
 
+/** lsh_bands(array<bigint> signature) → array<bigint> of band keys. */
+case class LshBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_lsh_bands"
+
+  override def nullSafeEval(a: Any): Any =
+    Kernels.lshBandKeys(a.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.Kernels.lshBandKeys($a, $bands, $rowsPerBand);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** minhash_agreement(array<bigint>, array<bigint>) → double ∈ [0,1]. */
 case class MinHashAgreement(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -262,6 +279,8 @@ object GraftFunctions {
   def graft_hamming64(a: Column, b: Column): Column = Bridge.column(HammingDistance64(Bridge.expression(a), Bridge.expression(b)))
   def graft_minhash(hashes: Column, k: Int, seed: Long): Column =
     Bridge.column(MinHashSignature(Bridge.expression(hashes.cast("array<bigint>")), k, seed))
+  def graft_lsh_bands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    Bridge.column(LshBandKeys(Bridge.expression(sig.cast("array<bigint>")), bands, rowsPerBand))
   def graft_simhash64(hashes: Column): Column = Bridge.column(SimHash64(Bridge.expression(hashes)))
   def graft_srp_bucket(vec: Column, nBits: Int, seed: Long): Column =
     Bridge.column(SrpBucket(Bridge.expression(asFloatArr(vec)), nBits, seed))

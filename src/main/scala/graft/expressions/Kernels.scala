@@ -141,24 +141,38 @@ object Kernels {
     * every executor derives the same coefficients, so signatures are
     * reproducible cluster-wide with no broadcast state.
     */
+  // (k, seed) → packed coefficient pairs [a0,b0,a1,b1,…]. The family
+  // is a pure function of (k, seed), so derive it ONCE per executor
+  // instead of once per ROW — the per-row SplittableRandom spin-up
+  // (2k nextLong calls) and two array allocations otherwise rival the
+  // O(n·k) permutation loop itself for short documents.
+  private val minHashCoeffs =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[Long]]()
+  private def coeffsFor(k: Int, seed: Long): Array[Long] =
+    minHashCoeffs.computeIfAbsent((k, seed), { case (kk, s) =>
+      val rnd = new java.util.SplittableRandom(s)
+      val cs = new Array[Long](2 * kk)
+      var j = 0
+      while (j < kk) {
+        cs(2 * j) = (rnd.nextLong() & Long.MaxValue) % (MersennePrime - 1) + 1
+        cs(2 * j + 1) = (rnd.nextLong() & Long.MaxValue) % MersennePrime
+        j += 1
+      }
+      cs
+    })
+
   def minHashSignature(hashes: ArrayData, k: Int, seed: Long): ArrayData = {
-    val rnd = new java.util.SplittableRandom(seed)
+    val cs = coeffsFor(k, seed)
     val sig = new Array[Long](k)
-    val as = new Array[Long](k); val bs = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
     var j = 0
-    while (j < k) {
-      as(j) = (rnd.nextLong() & Long.MaxValue) % (MersennePrime - 1) + 1
-      bs(j) = (rnd.nextLong() & Long.MaxValue) % MersennePrime
-      sig(j) = Long.MaxValue
-      j += 1
-    }
     val n = hashes.numElements()
     var i = 0
     while (i < n) {
       val h = mod61(hashes.getLong(i) & Long.MaxValue)
       j = 0
       while (j < k) {
-        val v = mod61(mulmod61(as(j), h) + bs(j))
+        val v = mod61(mulmod61(cs(2 * j), h) + cs(2 * j + 1))
         if (v < sig(j)) sig(j) = v
         j += 1
       }
@@ -166,6 +180,36 @@ object Kernels {
     }
     if (n == 0) java.util.Arrays.fill(sig, 0L)
     new GenericArrayData(sig)
+  }
+
+  /** LSH band keys from a minhash signature: one 64-bit mixed hash per
+    * band over that band's `r` signature values (+ the band index, so
+    * equal slices in different bands never co-bucket). Replaces the
+    * composed slice→cast-to-string→concat_ws→xxhash64 Column chain,
+    * which allocated ~bands slices and ~80 chars of decimal strings
+    * per ROW and dominated the whole LSH pipeline. Key values differ
+    * from the old derivation but bucketing semantics are identical:
+    * rows co-bucket iff their band slices are equal (64-bit mix
+    * collisions only ever ADD candidates, which exact verification
+    * then removes — never drop them).
+    */
+  def lshBandKeys(sig: ArrayData, bands: Int, r: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0x9e3779b97f4a7c15L ^ b.toLong
+      var i = 0
+      while (i < r) {
+        var x = sig.getLong(b * r + i)
+        x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
+        h = (h ^ x) * 0xc4ceb9fe1a85ec53L
+        h ^= h >>> 29
+        i += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Distinct 64-bit hashes of CHARACTER n-gram shingles — the dedup

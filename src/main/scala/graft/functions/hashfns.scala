@@ -56,11 +56,12 @@ object hashfns {
   /** LSH band keys: the signature split into `bands` bands of
     * `rowsPerBand` values, each band hashed to one 64-bit key. Two docs
     * collide on a band key iff their signatures agree on that whole
-    * band — the classic (b, r) S-curve knob. */
+    * band — the classic (b, r) S-curve knob. Native one-pass kernel:
+    * the composed slice/cast-to-string/concat/xxhash64 chain it
+    * replaces allocated per-band slices and decimal strings per row
+    * and was the single hottest step of the whole LSH pipeline. */
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      xxhash64(lit(b), concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)))
-    }: _*)
+    GraftFunctions.graft_lsh_bands(sig, bands, rowsPerBand)
 
   /** 64-bit SimHash of the shingle set. */
   def simHashSig(text: Column, n: Int): Column =

@@ -161,6 +161,24 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r(1).isEmpty)
   }
 
+  test("lsh band keys: equal band slices co-bucket, unequal/cross-band never") {
+    // sig2 agrees with sig1 on band 0 ([1,2,3,4]) and differs on band 1;
+    // sig3's band-1 slice equals sig1's band-0 slice — the band index is
+    // mixed into the key, so equal values in DIFFERENT bands must not
+    // collide
+    val d = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)),
+      (2L, Seq(1L, 2L, 3L, 4L, 9L, 9L, 9L, 9L)),
+      (3L, Seq(0L, 0L, 0L, 0L, 1L, 2L, 3L, 4L))
+    ).toDF("id", "sig")
+    val keys = d.select(col("id"), hashfns.lshBandKeys(col("sig"), 2, 4).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(keys(1L)(0) == keys(2L)(0), "equal band-0 slices must share a key")
+    assert(keys(1L)(1) != keys(2L)(1), "differing band-1 slices must not")
+    assert(keys(1L)(0) != keys(3L)(1), "band index must be part of the key")
+    assert(keys.values.forall(_.size == 2))
+  }
+
   test("wordShingles keeps duplicate occurrences; distinctWordShingles dedups") {
     val d = Seq(Tuple1("a b a b a")).toDF("t")
     val all = d.select(hashfns.wordShingles(col("t"), 2).as("s"))

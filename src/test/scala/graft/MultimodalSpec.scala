@@ -62,4 +62,21 @@ class MultimodalSpec extends AnyFunSuite {
     val found = pairs.filter(col("id_b") === col("id_a") + 10000L).count()
     assert(found >= 18, s"found only $found of 20 planted twins")
   }
+
+  test("embeddingDupPairs bounds per-bucket candidate fan-out (bucketCap)") {
+    // pathological bucket: N identical embeddings all co-bucket, in
+    // every table; with bucketCap=c the candidate self-join must emit
+    // at most C(c,2) pairs, not C(N,2) — the guardrail that keeps a
+    // popular embedding neighborhood from going quadratic at corpus
+    // scale (mm2 relies on small buckets via nBits for recall, never
+    // on an unbounded cap)
+    import spark.implicits._
+    val n = 100
+    val rows = (0 until n).toSeq.map(i => (i.toLong, Array.fill(8)(1.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = graft.dedup.Dedup.embeddingDupPairs(df, "vec_id", "embedding",
+      dim = 8, threshold = 0.9, nBits = 4, tables = 2, bucketCap = 10)
+    val cnt = pairs.count()
+    assert(cnt == 45L, s"expected C(10,2)=45 capped pairs, got $cnt")
+  }
 }
