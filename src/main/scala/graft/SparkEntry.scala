@@ -883,6 +883,20 @@ object SparkEntry {
       Streams.sessionize(t(s, dir, "events"), gapMinutes = 30)
         .orderBy(col("user_id").asc, col("session_seq").asc)),
 
+    "ev6_sessionize_stateful" -> ((s, dir) =>
+      // ev2's sessionization THROUGH the streaming engine's
+      // arbitrary-state path (flatMapGroupsWithState, AvailableNow
+      // backfill, memory sink). Append mode emits CLOSED sessions
+      // only — each user's tail session is still open in the state
+      // store when the bounded input ends — so the oracle is ev2's
+      // SQL minus each user's max session_seq row: the batch/stream
+      // equivalence contract for custom state, checked by the gate.
+      Streams.sessionizeStatefulOnce(s, s"$dir/events.parquet", gapMinutes = 30)
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          col("session_start_ms"), col("session_end_ms"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .orderBy(col("user_id").asc, col("session_seq").asc)),
+
     "ev3_funnel" -> ((s, dir) => {
       // staged funnel view → click → purchase: each stage's entry time
       // is the user's first qualifying event strictly after the prior
@@ -2103,6 +2117,34 @@ object SparkEntry {
            min(ts_ms) AS session_start_ms,
            max(ts_ms) AS session_end_ms,
            round(sum(value), 4) AS sum_value
-         FROM x GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "ev6_sessionize_stateful" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value,
+             epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events),
+         m AS (
+           SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ms
+           FROM e),
+         s AS (
+           SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+                          THEN 1 ELSE 0 END AS new_session
+           FROM m),
+         x AS (
+           SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+             ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM s),
+         g AS (
+           SELECT user_id, session_seq,
+             count(*) AS n_events,
+             min(ts_ms) AS session_start_ms,
+             max(ts_ms) AS session_end_ms,
+             round(sum(value), 4) AS sum_value
+           FROM x GROUP BY 1, 2),
+         w AS (
+           SELECT *, max(session_seq) OVER (PARTITION BY user_id) AS mx FROM g)
+         SELECT user_id, session_seq, n_events, session_start_ms,
+           session_end_ms, sum_value
+         FROM w WHERE session_seq < mx ORDER BY 1, 2"""
   )
 }

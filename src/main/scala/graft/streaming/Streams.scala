@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
 object Streams {
 
   case class SessionEvent(user_id: Long, event_id: Long, ts_ms: Long, value: Double)
-  case class OpenSession(start_ms: Long, last_ms: Long, n: Long, sum: Double)
-  case class ClosedSession(user_id: Long, session_start_ms: Long,
+  case class OpenSession(seq: Long, start_ms: Long, last_ms: Long, n: Long, sum: Double)
+  case class ClosedSession(user_id: Long, session_seq: Long, session_start_ms: Long,
                            session_end_ms: Long, n_events: Long, sum_value: Double)
 
   import org.apache.spark.sql.types.{LongType, TimestampType}
@@ -153,14 +153,7 @@ object Streams {
     // passes one; when handed a single parquet FILE (the test fixture
     // layout) wrap it in a temp dir via symlink so the source has a
     // valid basePath.
-    val srcFile = new java.io.File(sourcePath)
-    val inputPath =
-      if (srcFile.isFile) {
-        val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
-        java.nio.file.Files.createSymbolicLink(
-          d.resolve(srcFile.getName), srcFile.toPath.toAbsolutePath)
-        d.toString
-      } else sourcePath
+    val inputPath = asStreamDir(sourcePath)
     val qn = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val src = spark.readStream.schema(schema).parquet(inputPath)
     val q = tumblingAgg(src, windowLen)
@@ -171,6 +164,19 @@ object Streams {
     spark.table(qn)
   }
 
+  /** Wrap a single parquet FILE in a temp dir (symlink) so the file
+    * streaming source — which monitors a DIRECTORY — has a valid
+    * basePath; directories pass through. */
+  private def asStreamDir(sourcePath: String): String = {
+    val srcFile = new java.io.File(sourcePath)
+    if (srcFile.isFile) {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve(srcFile.getName), srcFile.toPath.toAbsolutePath)
+      d.toString
+    } else sourcePath
+  }
+
   /** Custom streaming state: gap-based sessionization via
     * `flatMapGroupsWithState` — the arbitrary-state path for semantics
     * windowed aggregates can't express (cuplyr has no streaming story;
@@ -178,21 +184,25 @@ object Streams {
     *
     * Emits CLOSED sessions only (append mode); the open tail session
     * per user stays in the state store. State is O(1) per user (one
-    * open-session record), so a 100 TB stream's state is bounded by
-    * cardinality of active users, not event volume. Events inside a
-    * micro-batch arrive unsorted — the group handler sorts its batch
-    * slice; cross-batch ordering is the caller's watermark contract.
+    * open-session record carrying its session sequence number), so a
+    * 100 TB stream's state is bounded by cardinality of active users,
+    * not event volume. Events inside a micro-batch arrive unsorted —
+    * the group handler sorts its batch slice; cross-batch ordering is
+    * the caller's watermark contract.
+    *
+    * `events` must be a streaming DataFrame projected to
+    * (user_id, event_id, ts_ms, value).
     */
-  def sessionizeStateful(spark: SparkSession, sourceDir: String,
-                         schema: org.apache.spark.sql.types.StructType,
-                         gapMinutes: Int = 30): org.apache.spark.sql.Dataset[Streams.ClosedSession] = {
+  def sessionizeStatefulDs(events: DataFrame, gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[Streams.ClosedSession] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60L * 1000L
 
-    def handle(userId: Long, events: Iterator[SessionEvent],
+    def handle(userId: Long, evs: Iterator[SessionEvent],
                state: GroupState[OpenSession]): Iterator[ClosedSession] = {
-      val sorted = events.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+      val sorted = evs.toSeq.sortBy(e => (e.ts_ms, e.event_id))
       var open = state.getOption
       val closed = scala.collection.mutable.ListBuffer[ClosedSession]()
       sorted.foreach { e =>
@@ -200,20 +210,54 @@ object Streams {
           case Some(s) if e.ts_ms - s.last_ms <= gapMs =>
             Some(s.copy(last_ms = e.ts_ms, n = s.n + 1, sum = s.sum + e.value))
           case Some(s) =>
-            closed += ClosedSession(userId, s.start_ms, s.last_ms, s.n, s.sum)
-            Some(OpenSession(e.ts_ms, e.ts_ms, 1L, e.value))
+            closed += ClosedSession(userId, s.seq, s.start_ms, s.last_ms, s.n, s.sum)
+            Some(OpenSession(s.seq + 1, e.ts_ms, e.ts_ms, 1L, e.value))
           case None =>
-            Some(OpenSession(e.ts_ms, e.ts_ms, 1L, e.value))
+            Some(OpenSession(1L, e.ts_ms, e.ts_ms, 1L, e.value))
         }
       }
       open.foreach(state.update)
       closed.iterator
     }
 
-    spark.readStream.schema(schema).parquet(sourceDir)
-      .selectExpr("user_id", "event_id", "ts_ms", "value").as[SessionEvent]
+    events.as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(handle)
+  }
+
+  /** [[sessionizeStatefulDs]] over a parquet directory of
+    * (user_id, event_id, ts_ms, value) rows. */
+  def sessionizeStateful(spark: SparkSession, sourceDir: String,
+                         schema: org.apache.spark.sql.types.StructType,
+                         gapMinutes: Int = 30): org.apache.spark.sql.Dataset[Streams.ClosedSession] =
+    sessionizeStatefulDs(
+      spark.readStream.schema(schema).parquet(sourceDir)
+        .selectExpr("user_id", "event_id", "ts_ms", "value"), gapMinutes)
+
+  /** Run stateful sessionization end-to-end THROUGH the Structured
+    * Streaming engine as a bounded backfill (AvailableNow + memory
+    * sink) over the raw events table and return the emitted CLOSED
+    * sessions as a batch DataFrame — the arbitrary-state analogue of
+    * [[tumblingAggStreamOnce]]'s batch/stream equivalence contract:
+    * the emitted rows must equal the batch [[sessionize]] result MINUS
+    * each user's last session (which is still open in the state store
+    * when the bounded input ends).
+    */
+  def sessionizeStatefulOnce(spark: SparkSession, sourcePath: String,
+                             gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(sourcePath).schema
+    val inputPath = asStreamDir(sourcePath)
+    val raw = spark.readStream.schema(schema).parquet(inputPath)
+    val ev = raw.select(col("user_id"), col("event_id"),
+      eventTsMs(raw, "ts").as("ts_ms"), col("value"))
+    val qn = "graft_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessionizeStatefulDs(ev, gapMinutes)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    spark.table(qn)
   }
 
   /** Streaming exact dedup — the continuous form of [[graft.dedup.Dedup.exact]]
