@@ -401,6 +401,26 @@ object SparkEntry {
         .arrange(asc("l_returnflag"), asc("l_linestatus"), asc("ship_month"))
         .df),
 
+    "q43_skew_agg" -> ((s, dir) =>
+      // q05's aggregate through the SALTED two-phase path — the
+      // mitigation for single-key aggregation skew AQE cannot split
+      // (one hot key still lands on one reducer). The deterministic
+      // row salt spreads each key over `salts` partial reducers; the
+      // final phase merges `salts` rows per key. Same oracle as the
+      // plain groupBy: the salted plan is an algebraic identity, and
+      // sum(l_quantity) is exact (integer-valued doubles), so the
+      // result is bit-equal to the direct aggregation. Plan shape
+      // (exactly two hash exchanges) is spec-asserted.
+      graft.operators.Skew.saltedSummarise(
+          t(s, dir, "lineitem")
+            .select("l_returnflag", "l_linestatus", "l_quantity", "l_discount"),
+          keys = Seq("l_returnflag", "l_linestatus"), salts = 32,
+          ("sum_qty", "l_quantity", "sum"),
+          ("n", "l_quantity", "count"),
+          ("min_disc", "l_discount", "min"),
+          ("max_disc", "l_discount", "max"))
+        .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)),
+
     "q38_asof_native" -> ((s, dir) => {
       // q27's as-of join on the NATIVE sorted-merge physical operator
       // (AsofJoinExec via SparkSessionExtensions) — same oracle; the
@@ -644,6 +664,34 @@ object SparkEntry {
       Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
           nCells = 16, nProbe = 4, m = 8, ksub = 16)
         .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+
+    "ann6_recall" -> ((s, dir) => {
+      // MEASURED recall gate for the approximate ANN tiers: fraction
+      // of ann1's exact top-10 recovered per query (fixed seeds, same
+      // params as the declared ann2/ann5 queries), averaged over the
+      // query set. Declared so the recall number lands in the
+      // driver's correctness dump each round instead of only inside
+      // ScalaTest; rows-only because the LSH/codebook seeds are
+      // engine-specific (AnnSpec pins per-method floors).
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 20)
+      val exact = Ann.bruteForceTopK(emb, qs, k = 10, quantized = true)
+        .select(col("query_id"), col("neighbor_id"))
+      def recallOf(name: String, approx: DataFrame): DataFrame =
+        exact.join(approx.select(col("query_id"), col("neighbor_id"),
+              lit(1).as("__hit")),
+            Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg((count(col("__hit")) / lit(10.0)).as("recall"))
+          .agg(count(lit(1)).as("n_queries"),
+            round(avg(col("recall")), 4).as("recall_at_10"))
+          .select(lit(name).as("method"), col("n_queries"), col("recall_at_10"))
+      recallOf("ann2_lsh",
+          Ann.lshTopK(emb, qs, k = 10, dim = 64, nBits = 8, tables = 4))
+        .unionByName(recallOf("ann5_ivfpq",
+          Ann.ivfPqTopK(emb, qs, k = 10, nCells = 16, nProbe = 4, m = 8, ksub = 16)))
+        .orderBy(col("method").asc)
     }),
 
     "txt1_tokens" -> ((s, dir) =>
@@ -1379,6 +1427,14 @@ object SparkEntry {
          FROM grid g
          LEFT JOIN counts c USING (l_returnflag, l_linestatus, ship_month)
          ORDER BY l_returnflag, l_linestatus, ship_month""",
+
+    "q43_skew_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           count(l_quantity) AS n,
+           min(l_discount) AS min_disc,
+           max(l_discount) AS max_disc
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q38_asof_native" ->
       """WITH e AS (

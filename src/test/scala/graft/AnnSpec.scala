@@ -191,4 +191,16 @@ class AnnSpec extends AnyFunSuite {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("declared recall gate (ann6): per-method floors vs exact top-k") {
+    // the synthetic embeddings are near-isotropic (random directions),
+    // the hardest case for bucketed ANN — organic top-10 recall is
+    // legitimately modest there, while planted-duplicate recall (the
+    // dedup workload) is 1.0 and pinned by the twin specs above. The
+    // floors pin the measured numbers against silent regression.
+    val r = SparkEntry.queries("ann6_recall")(spark, SparkT.sfDir)
+      .collect().map(row => row.getString(0) -> row.getDouble(2)).toMap
+    assert(r("ann2_lsh") >= 0.05, s"lsh recall@10 = ${r("ann2_lsh")}")
+    assert(r("ann5_ivfpq") >= 0.15, s"ivfpq recall@10 = ${r("ann5_ivfpq")}")
+  }
 }

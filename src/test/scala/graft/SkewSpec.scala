@@ -19,6 +19,21 @@ class SkewSpec extends AnyFunSuite {
     assert(direct.exceptAll(salted).count() == 0)
   }
 
+  test("saltedSummarise plan is exactly two hash exchanges (partial spread + merge)") {
+    // the declared q43 query without its final sort: one exchange on
+    // (keys, salt) for the spread phase, one on keys for the merge —
+    // no third shuffle, no collect
+    val salted = Skew.saltedSummarise(
+      SparkT.table("lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_discount"),
+      Seq("l_returnflag", "l_linestatus"), salts = 32,
+      ("sum_qty", "l_quantity", "sum"), ("n", "l_quantity", "count"),
+      ("min_disc", "l_discount", "min"), ("max_disc", "l_discount", "max"))
+    val plan = salted.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2,
+      "salted aggregate must shuffle exactly twice:\n" + plan.take(1500))
+  }
+
   test("saltedSummarise rejects non-algebraic ops") {
     val li = SparkT.table("lineitem")
     intercept[IllegalArgumentException] {
