@@ -945,6 +945,21 @@ object SparkEntry {
           round(col("sum_value"), 4).as("sum_value"))
         .orderBy(col("user_id").asc, col("session_seq").asc)),
 
+    "ev7_dedup_stream" -> ((s, dir) =>
+      // streaming exact dedup through the engine against a simulated
+      // at-least-once source (every record delivered twice via two
+      // symlinks — no write job): dropDuplicatesWithinWatermark must
+      // reduce the doubled delivery back to the source's distinct
+      // rows, which the oracle replays as a plain SELECT (event_id is
+      // a unique key in the fixture). State expires with the
+      // watermark, so the gate exercises the bounded-state contract,
+      // not an ever-growing dropDuplicates.
+      Streams.dedupStreamOnce(s, s"$dir/events.parquet",
+          keyCols = Seq("event_id"), watermark = "2 hours")
+        .select(col("event_id"), col("event_type"),
+          unix_millis(col("__ts_t")).as("ts_ms"), col("value"))
+        .orderBy(col("event_id").asc)),
+
     "ev3_funnel" -> ((s, dir) => {
       // staged funnel view → click → purchase: each stage's entry time
       // is the user's first qualifying event strictly after the prior
@@ -2201,6 +2216,12 @@ object SparkEntry {
            SELECT *, max(session_seq) OVER (PARTITION BY user_id) AS mx FROM g)
          SELECT user_id, session_seq, n_events, session_start_ms,
            session_end_ms, sum_value
-         FROM w WHERE session_seq < mx ORDER BY 1, 2"""
+         FROM w WHERE session_seq < mx ORDER BY 1, 2""",
+
+    "ev7_dedup_stream" ->
+      """SELECT event_id, event_type,
+           CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_ms,
+           value
+         FROM events ORDER BY event_id"""
   )
 }

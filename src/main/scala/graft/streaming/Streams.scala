@@ -276,6 +276,41 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Run streaming dedup end-to-end THROUGH the engine against a
+    * simulated at-least-once source and return the surviving rows as
+    * a batch DataFrame. Redelivery costs no write job: the source dir
+    * holds TWO symlinks to the same parquet file, so every record is
+    * delivered exactly twice. Duplicates are bit-identical copies, so
+    * whichever arrival the state store keeps, the output row set is
+    * deterministic — it must equal the source's distinct rows (= the
+    * source itself when `keyCols` is a unique key), which is the
+    * oracle the gate replays.
+    */
+  def dedupStreamOnce(spark: SparkSession, sourcePath: String,
+                      keyCols: Seq[String],
+                      watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(sourcePath).schema
+    val srcFile = new java.io.File(sourcePath)
+    require(srcFile.isFile, s"dedupStreamOnce expects a parquet file, got $sourcePath")
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_redeliver")
+    Seq("delivery1.parquet", "delivery2.parquet").foreach { n =>
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve(n), srcFile.toPath.toAbsolutePath)
+    }
+    val raw = spark.readStream.schema(schema).parquet(d.toString)
+    val ev = raw
+      .withColumn("__ts_t", eventTs(raw, "ts"))
+      .withWatermark("__ts_t", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+    val qn = "graft_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = ev.writeStream.format("memory").queryName(qn)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    spark.table(qn)
+  }
+
   /** Rolling per-user running totals (batch window-function form used
     * by the q18_window oracle query). */
   def runningTotals(events: DataFrame): DataFrame = {
