@@ -7,7 +7,7 @@ import graft.api.GraftFrame.{asc, desc}
 import graft.dedup.Dedup
 import graft.functions.{hashfns, textfns}
 import graft.multimodal.Multimodal
-import graft.operators.Decontam
+import graft.operators.{Decontam, Freq}
 import graft.similarity.Ann
 import graft.streaming.Streams
 
@@ -831,6 +831,23 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    "txt16_heavy_hitters" -> ((s, dir) =>
+      // exact heavy hitters over the word stream via the
+      // sketch-then-verify scale path: Misra-Gries candidates (fixed
+      // 2000 counters, guaranteed superset at this threshold) →
+      // broadcast semi-join → exact count → threshold. Oracle replays
+      // it as plain GROUP BY ... HAVING — sketch error never reaches
+      // the output, so the result is exact at any corpus size while
+      // the plan never shuffles the long-tail vocabulary.
+      Freq.heavyHitters(
+          t(s, dir, "documents")
+            .select(explode(split(
+              lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
+              .as("word"))
+            .filter(col("word") =!= ""),
+          itemCol = "word", minFraction = 0.002)
+        .orderBy(col("n").desc, col("word").asc)),
+
     "txt8_tfidf" -> ((s, dir) => {
       // TF-IDF: tf from one explode+count, df from the distinct
       // doc-word pairs of the SAME aggregate, N broadcast as a scalar.
@@ -1582,6 +1599,18 @@ object SparkEntry {
          GROUP BY word
          ORDER BY n DESC, word
          LIMIT 100""",
+
+    "txt16_heavy_hitters" ->
+      """WITH words AS (
+           SELECT unnest(regexp_split_to_array(
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS word
+           FROM documents),
+         w AS (SELECT word FROM words WHERE word <> ''),
+         t AS (SELECT count(*) AS n_total FROM w)
+         SELECT word, CAST(count(*) AS BIGINT) AS n
+         FROM w GROUP BY word
+         HAVING count(*) >= (SELECT ceil(n_total * 0.002) FROM t)
+         ORDER BY n DESC, word""",
 
     "txt5_clean" ->
       """WITH dirty AS (

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import graft.expressions.FreqSketch
+
+/** Heavy-hitter (frequent-items) analysis for high-cardinality
+  * columns — the curation primitive behind domain/boilerplate
+  * blocklist candidates, hot-key detection, and vocabulary heads.
+  *
+  * The naive plan (groupBy item → count → filter) shuffles ONE ROW
+  * PER DISTINCT ITEM — at 100 TB a URL or shingle column has billions
+  * of distinct values, almost all of them singletons that exist only
+  * to be discarded by the threshold. The sketch-then-verify plan
+  * never shuffles the long tail:
+  *
+  *  1. a Misra–Gries sketch ([[FreqSketch]], fixed `capacity`
+  *     counters) aggregates partially per task and merges to ONE row
+  *     — candidates are a guaranteed SUPERSET of every item with
+  *     frequency > N/capacity;
+  *  2. candidates (≤ capacity strings) broadcast back, and a
+  *     left-semi join keeps only candidate rows — the exact count
+  *     aggregate then shuffles ≤ capacity distinct keys instead of
+  *     the full item cardinality;
+  *  3. the exact counts are thresholded, so sketch error NEVER
+  *     reaches the output: same exactness discipline as the Bloom
+  *     decontamination path (the sketch trades shuffle volume, not
+  *     correctness).
+  *
+  * Whole pipeline is one lazy Catalyst plan; no driver collect.
+  */
+object Freq {
+
+  /** Items occurring at least `ceil(minFraction · N)` times, with
+    * their EXACT counts: (itemCol, n). Correctness needs
+    * `capacity ≥ 1/minFraction`; the default 4/minFraction keeps the
+    * sketch's N/capacity error at a 4× margin below the threshold.
+    */
+  def heavyHitters(df: DataFrame, itemCol: String, minFraction: Double,
+                   capacity: Int = 0): DataFrame = {
+    require(minFraction > 0.0 && minFraction <= 1.0,
+      s"heavyHitters: minFraction must be in (0,1], got $minFraction")
+    val cap =
+      if (capacity > 0) capacity
+      else math.max(16, math.ceil(4.0 / minFraction).toInt)
+    require(cap >= math.ceil(1.0 / minFraction).toInt,
+      s"heavyHitters: capacity $cap cannot guarantee recall at minFraction $minFraction")
+    val sketch = FreqSketch(Bridge.expression(col(itemCol)), cap)
+      .toAggregateExpression()
+    val summary = df.agg(Bridge.column(sketch).as("__cands"),
+      count(lit(1)).as("__n_total"))
+    val cands = summary.select(explode(col("__cands")).as(itemCol))
+    df.join(broadcast(cands), Seq(itemCol), "left_semi")
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(summary.select(col("__n_total"))))
+      .filter(col("n") >= ceil(col("__n_total") * minFraction))
+      .select(col(itemCol), col("n"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Freq
+
+class FreqSpec extends AnyFunSuite {
+  lazy val spark = SparkT.spark
+  import spark.implicits._
+
+  // skewed stream: 3 planted heavy items over a 20k-distinct singleton
+  // tail — the shape where a naive groupBy shuffles 20k rows to
+  // discard them and a too-small sketch would lose the heavy items
+  private def skewed = {
+    val heavy = Seq.fill(500)("hot1") ++ Seq.fill(300)("hot2") ++ Seq.fill(120)("warm")
+    val tail = (0 until 20000).map(i => s"tail_$i")
+    (heavy ++ tail).toDF("w")
+  }
+
+  test("heavyHitters equals exact GROUP BY ... HAVING on a skewed stream") {
+    val df = skewed
+    val total = df.count()
+    val thresh = math.ceil(total * 0.005).toLong
+    val exact = df.groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= thresh)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Freq.heavyHitters(df, "w", minFraction = 0.005)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact)
+    assert(got.keySet == Set("hot1", "hot2", "warm"))
+  }
+
+  test("sketch keeps candidates bounded; recall survives a forced tight capacity") {
+    // capacity explicitly 400 (< distinct count / 50): candidates must
+    // stay ≤ 2·capacity while still recalling every item above
+    // N/capacity — the Misra-Gries superset guarantee under pruning
+    import org.apache.spark.sql.graftbridge.Bridge
+    val cap = 400
+    val sketch = graft.expressions.FreqSketch(
+      Bridge.expression(col("w")), cap).toAggregateExpression()
+    val cands = skewed.agg(Bridge.column(sketch).as("c"))
+      .collect()(0).getSeq[String](0)
+    assert(cands.size <= 2 * cap, s"unbounded sketch: ${cands.size}")
+    assert(Set("hot1", "hot2", "warm").subsetOf(cands.toSet),
+      "sketch lost a guaranteed-heavy item")
+  }
+
+  test("heavyHitters rejects a capacity that cannot guarantee recall") {
+    intercept[IllegalArgumentException] {
+      Freq.heavyHitters(skewed, "w", minFraction = 0.001, capacity = 10)
+    }
+  }
+}
