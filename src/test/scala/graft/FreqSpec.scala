@@ -45,6 +45,14 @@ class FreqSpec extends AnyFunSuite {
       "sketch lost a guaranteed-heavy item")
   }
 
+  test("declared txt16 plan: sketch aggregate, broadcast candidates, semi-join verify") {
+    val q = SparkEntry.queries("txt16_heavy_hitters")(spark, SparkT.sfDir)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("graft_freq_sketch"), "sketch aggregate missing from plan")
+    assert(p.contains("LeftSemi"), "exact verify must be a semi join")
+    assert(p.contains("BroadcastExchange"), "candidate set must broadcast")
+  }
+
   test("heavyHitters rejects a capacity that cannot guarantee recall") {
     intercept[IllegalArgumentException] {
       Freq.heavyHitters(skewed, "w", minFraction = 0.001, capacity = 10)
