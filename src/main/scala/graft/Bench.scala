@@ -46,8 +46,17 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // fixed alphabetical order: run-to-run and round-to-round
     // comparability (Map iteration order reshuffles on every insert).
-    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts to a subset (dev loop).
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts to a subset (dev loop);
+    // names are trimmed and must all exist — a typo or stray space
+    // failing silently would bench the wrong set and report it as
+    // healthy.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples = scala.collection.mutable.Map.empty[String, List[Either[String, Double]]]

@@ -676,21 +676,25 @@ object SparkEntry {
       // engine-specific (AnnSpec pins per-method floors).
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 20)
-      val exact = Ann.bruteForceTopK(emb, qs, k = 10, quantized = true)
+      val k = 10
+      val exact = Ann.bruteForceTopK(emb, qs, k = k, quantized = true)
         .select(col("query_id"), col("neighbor_id"))
       def recallOf(name: String, approx: DataFrame): DataFrame =
+        // denominator = the EXACT list's actual size per query (= k
+        // when the corpus has ≥ k eligible neighbors), so the number
+        // stays honest if k or the fixture ever changes
         exact.join(approx.select(col("query_id"), col("neighbor_id"),
               lit(1).as("__hit")),
             Seq("query_id", "neighbor_id"), "left")
           .groupBy("query_id")
-          .agg((count(col("__hit")) / lit(10.0)).as("recall"))
+          .agg((count(col("__hit")).cast("double") / count(lit(1))).as("recall"))
           .agg(count(lit(1)).as("n_queries"),
             round(avg(col("recall")), 4).as("recall_at_10"))
           .select(lit(name).as("method"), col("n_queries"), col("recall_at_10"))
       recallOf("ann2_lsh",
-          Ann.lshTopK(emb, qs, k = 10, dim = 64, nBits = 8, tables = 4))
+          Ann.lshTopK(emb, qs, k = k, dim = 64, nBits = 8, tables = 4))
         .unionByName(recallOf("ann5_ivfpq",
-          Ann.ivfPqTopK(emb, qs, k = 10, nCells = 16, nProbe = 4, m = 8, ksub = 16)))
+          Ann.ivfPqTopK(emb, qs, k = k, nCells = 16, nProbe = 4, m = 8, ksub = 16)))
         .orderBy(col("method").asc)
     }),
 

@@ -39,7 +39,8 @@ case class FreqSketch(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[FreqSketch.Buffer] {
 
-  require(capacity > 0, "freq_sketch: capacity must be positive")
+  require(capacity > 0 && capacity <= FreqSketch.MaxCapacity,
+    s"freq_sketch: capacity must be in [1, ${FreqSketch.MaxCapacity}], got $capacity")
 
   override def children: Seq[Expression] = child :: Nil
 
@@ -107,6 +108,13 @@ case class FreqSketch(
 }
 
 object FreqSketch {
+
+  /** Upper bound on counters: a frequent-items sketch above 2^24
+    * entries has stopped being a sketch, and the bound keeps
+    * 2·capacity arithmetic and prune() indices safely inside Int
+    * (an unchecked Int.MaxValue capacity would overflow `2*capacity`
+    * negative and index prune()'s array below zero). */
+  val MaxCapacity: Int = 1 << 24
 
   final class Buffer(capacity: Int) {
     // UTF8String keys hash/compare by bytes; values stored at insert

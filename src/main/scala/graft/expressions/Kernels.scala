@@ -194,12 +194,19 @@ object Kernels {
     * then removes — never drop them).
     */
   def lshBandKeys(sig: ArrayData, bands: Int, r: Int): ArrayData = {
+    val n = sig.numElements()
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
       var h = 0x9e3779b97f4a7c15L ^ b.toLong
       var i = 0
-      while (i < r) {
+      // clamp to the signature's actual length: a sig shorter than
+      // bands*r (public-API misuse) mixes only the available elements
+      // — like the old slice()-based chain, which truncated past-end
+      // slices — instead of reading out of bounds (silent garbage on
+      // UnsafeArrayData, throw on GenericArrayData)
+      val end = math.min(r, n - b * r)
+      while (i < end) {
         var x = sig.getLong(b * r + i)
         x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
         h = (h ^ x) * 0xc4ceb9fe1a85ec53L

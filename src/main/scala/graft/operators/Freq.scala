@@ -19,10 +19,11 @@ import graft.expressions.FreqSketch
   *     counters) aggregates partially per task and merges to ONE row
   *     — candidates are a guaranteed SUPERSET of every item with
   *     frequency > N/capacity;
-  *  2. candidates (≤ capacity strings) broadcast back, and a
-  *     left-semi join keeps only candidate rows — the exact count
-  *     aggregate then shuffles ≤ capacity distinct keys instead of
-  *     the full item cardinality;
+  *  2. candidates (≤ 2·capacity strings — the amortized-prune buffer
+  *     runs up to twice the nominal counter budget) broadcast back,
+  *     and a left-semi join keeps only candidate rows — the exact
+  *     count aggregate then shuffles ≤ 2·capacity distinct keys
+  *     instead of the full item cardinality;
   *  3. the exact counts are thresholded, so sketch error NEVER
   *     reaches the output: same exactness discipline as the Bloom
   *     decontamination path (the sketch trades shuffle volume, not
@@ -41,10 +42,16 @@ object Freq {
                    capacity: Int = 0): DataFrame = {
     require(minFraction > 0.0 && minFraction <= 1.0,
       s"heavyHitters: minFraction must be in (0,1], got $minFraction")
+    // Long math before narrowing: a tiny minFraction would saturate
+    // .toInt at Int.MaxValue and sail past every guard
+    val want = math.ceil(4.0 / minFraction).toLong
+    require(want <= FreqSketch.MaxCapacity || capacity > 0,
+      s"heavyHitters: minFraction $minFraction needs $want counters " +
+        s"(max ${FreqSketch.MaxCapacity}) — pass an explicit capacity to override")
     val cap =
       if (capacity > 0) capacity
-      else math.max(16, math.ceil(4.0 / minFraction).toInt)
-    require(cap >= math.ceil(1.0 / minFraction).toInt,
+      else math.max(16L, want).toInt
+    require(cap.toLong >= math.ceil(1.0 / minFraction).toLong,
       s"heavyHitters: capacity $cap cannot guarantee recall at minFraction $minFraction")
     val sketch = FreqSketch(Bridge.expression(col(itemCol)), cap)
       .toAggregateExpression()

@@ -161,7 +161,7 @@ object Streams {
       .outputMode("complete").trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally if (q.isActive) q.stop()
-    spark.table(qn)
+    detachedTable(spark, qn)
   }
 
   /** Wrap a single parquet FILE in a temp dir (symlink) so the file
@@ -171,10 +171,23 @@ object Streams {
     val srcFile = new java.io.File(sourcePath)
     if (srcFile.isFile) {
       val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
-      java.nio.file.Files.createSymbolicLink(
+      val link = java.nio.file.Files.createSymbolicLink(
         d.resolve(srcFile.getName), srcFile.toPath.toAbsolutePath)
+      link.toFile.deleteOnExit(); d.toFile.deleteOnExit()
       d.toString
     } else sourcePath
+  }
+
+  /** Detach a completed memory-sink query's result from the session
+    * catalog: the returned (already-analyzed) DataFrame holds the sink
+    * plan directly, so dropping the temp view keeps repeated
+    * invocations (bench reps) from accumulating registered tables for
+    * the session's lifetime — the sink's rows are then freed when the
+    * caller's DataFrame becomes unreachable, not never. */
+  private def detachedTable(spark: SparkSession, qn: String): DataFrame = {
+    val df = spark.table(qn) // analysis resolves + captures the sink plan
+    spark.catalog.dropTempView(qn)
+    df
   }
 
   /** Custom streaming state: gap-based sessionization via
@@ -257,7 +270,7 @@ object Streams {
       .outputMode("append").trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally if (q.isActive) q.stop()
-    spark.table(qn)
+    detachedTable(spark, qn)
   }
 
   /** Streaming exact dedup — the continuous form of [[graft.dedup.Dedup.exact]]
@@ -308,7 +321,7 @@ object Streams {
       .outputMode("append").trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally if (q.isActive) q.stop()
-    spark.table(qn)
+    detachedTable(spark, qn)
   }
 
   /** Rolling per-user running totals (batch window-function form used
