@@ -83,10 +83,14 @@ object Decontam {
     * idiom Spark's own `InjectRuntimeFilter` uses — so constructing
     * this DataFrame launches no job (the operator keeps the library's
     * construction-is-lazy contract), the bloom build executes once as
-    * part of the main query, and the probe side's distinct-aggregate
-    * exchange canonicalizes identically in the subquery and in the
-    * exact-verify join, making it eligible for `ReuseExchange` instead
-    * of being scanned twice as two separate jobs.
+    * part of the main query (both `might_contain` sites share one
+    * subquery instance), and no multi-MB bloom literal is baked into
+    * the plan. The probe side is still computed twice — once feeding
+    * the subquery's aggregate, once as the exact-verify join input —
+    * the same documented recompute-vs-materialize tradeoff as the
+    * corpus shingle kernel below (executed plan verified: the two
+    * probe exchanges do not ReuseExchange across the subquery
+    * boundary).
     *
     * Output is row-identical to [[containment]] (duplicate `idCol`
     * values fold into one row per id, as there); `fpp` trades shuffle
