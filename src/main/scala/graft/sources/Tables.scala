@@ -39,6 +39,11 @@ object Tables {
   def json(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** ORC reader — the other mainstream columnar format (Hive-ecosystem
+    * warehouses); same pushdown/pruning properties as parquet. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   // ---- sinks --------------------------------------------------------------
   // Every sink writes a DIRECTORY of part files (one per partition) —
   // the only write shape that scales: N executors stream their
@@ -61,6 +66,12 @@ object Tables {
   def writeJson(df: DataFrame, path: String,
                 mode: String = "overwrite"): Unit =
     df.write.mode(mode).json(path)
+
+  /** ORC sink — for Hive-ecosystem consumers; columnar, compressed,
+    * splittable, predicate-pushdown-capable on read. */
+  def writeOrc(df: DataFrame, path: String,
+               mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
 
   /** Partitioned parquet sink: `partitionBy` columns become directory
     * keys (hive layout), so downstream reads with a filter on those

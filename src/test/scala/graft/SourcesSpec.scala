@@ -63,19 +63,35 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("sinks round-trip: csv and json preserve values, parquet preserves schema") {
+  test("sinks round-trip: csv and json preserve values, parquet/orc preserve schema") {
     val d = SparkT.table("nation")
     val base = java.nio.file.Files.createTempDirectory("graft_sinks").toString
     Tables.writeCsv(d, s"$base/csv")
     Tables.writeJson(d, s"$base/json")
     Tables.writeParquet(d, s"$base/parquet")
+    Tables.writeOrc(d, s"$base/orc")
     val fromCsv = Tables.csv(spark, s"$base/csv")
     val fromJson = Tables.json(spark, s"$base/json")
     val fromParquet = spark.read.parquet(s"$base/parquet")
+    val fromOrc = Tables.orc(spark, s"$base/orc")
     assert(fromCsv.count() == d.count() && fromJson.count() == d.count())
     assert(fromParquet.schema == d.schema)
-    // values survive the typed round-trip (parquet)
+    assert(fromOrc.schema == d.schema)
+    // values survive the typed round-trips (parquet, orc)
     assert(fromParquet.exceptAll(d).count() == 0)
+    assert(fromOrc.exceptAll(d).count() == 0)
+  }
+
+  test("orc scans push filters down like parquet") {
+    val d = SparkT.table("lineitem")
+    val base = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Tables.writeOrc(d, s"$base/li")
+    val q = Tables.orc(spark, s"$base/li")
+      .filter(col("l_quantity") >= 30).select("l_orderkey", "l_quantity")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_quantity"),
+      "filter must reach the ORC scan:\n" + scan.take(800))
+    assert(q.count() == d.filter(col("l_quantity") >= 30).count())
   }
 
   test("partitioned sink lays out hive directories that prune on read") {
