@@ -417,16 +417,52 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
 
   /** tidyr `fill(cols, .direction = "down")` — replace nulls with the
     * most recent non-null value in `orderBy` order within the current
-    * groups. One shuffle + one sort; all filled columns share the
-    * window. */
+    * groups. Grouped: one shuffle + one sort; all filled columns share
+    * the window. Ungrouped: an empty window partition spec would
+    * funnel the entire dataset through ONE task (the hazard sliceMax
+    * documents), so the ungrouped form is a scalable two-phase
+    * carry-forward instead — range-partition by the sort key, fill
+    * within each (globally ordered) partition, then propagate each
+    * partition's last filled value forward via a tiny
+    * one-row-per-partition boundary table broadcast back. Equal sort
+    * keys land in one range partition, so tie behavior matches the
+    * single-window form (arbitrary within ties, as there). */
   def fillDown(orderBy: Seq[Column], cols: String*): GraftFrame = {
-    val base = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols.map(col): _*)
-      .orderBy(orderBy: _*)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    copy(df = cols.foldLeft(df) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(base))
-    })
+    import org.apache.spark.sql.expressions.Window
+    if (groupCols.nonEmpty) {
+      val base = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(orderBy: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      copy(df = cols.foldLeft(df) { (d, c) =>
+        d.withColumn(c, last(col(c), ignoreNulls = true).over(base))
+      })
+    } else {
+      require(orderBy.nonEmpty, "fillDown: need at least one ordering column")
+      val originalCols = df.columns.toSeq
+      val ranged = df.repartitionByRange(orderBy: _*)
+        .sortWithinPartitions(orderBy: _*)
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__rid", monotonically_increasing_id())
+      val w = Window.partitionBy("__pid").orderBy(col("__rid"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val filled = cols.foldLeft(ranged)((d, c) =>
+        d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      // carry-out per partition = the filled values on its last row
+      // (max __rid); one row per partition, so everything downstream
+      // of this aggregate is sized by partition COUNT, not data
+      val lastRow = filled.groupBy("__pid")
+        .agg(max(struct(col("__rid") +: cols.map(col): _*)).as("__s"))
+      val bounds = cols.foldLeft(lastRow)((d, c) =>
+        d.withColumn(c, col("__s").getField(c))).drop("__s")
+      val wp = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+      val carries = cols.foldLeft(bounds)((d, c) =>
+          d.withColumn(c, last(col(c), ignoreNulls = true).over(wp)))
+        .select(col("__pid") +: cols.map(c => col(c).as(s"__carry_$c")): _*)
+      val out = cols.foldLeft(
+          filled.join(broadcast(carries), Seq("__pid"), "left"))((d, c) =>
+        d.withColumn(c, coalesce(col(c), col(s"__carry_$c"))))
+      copy(df = out.select(originalCols.map(col): _*))
+    }
   }
 
   /** dplyr/tidyr `drop_na(cols)` — drop rows with nulls in `cols` (all

@@ -3,7 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
 import graft.functions.{hashfns, textfns, vecfns}
 
 /** Deduplication operators for document corpora.
@@ -79,6 +79,11 @@ object Dedup {
                       bucketCap: Int = 1000,
                       charLevel: Boolean = false,
                       materializeSigs: Boolean = false): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"minHashLshPairs: k ($k) must be a positive multiple of bands ($bands) — " +
+        "bands > k would give every row the same constant band keys (one giant " +
+        "bucket, recall silently truncated at bucketCap); a non-multiple would " +
+        "silently ignore the signature tail")
     val rowsPerBand = k / bands
     // charLevel: code-point n-grams for scripts without word boundaries
     // (whitespace shingling sees CJK text as ONE word → zero shingles);
@@ -217,7 +222,15 @@ object Dedup {
     // is free — `edges` is already materialized by the checkpoint. The
     // distributed loop below remains the path for graphs that outgrow
     // the driver (set driverThreshold=0 to force it; specs pin both).
-    if (edges.count() <= driverThreshold) return driverClusters(edges)
+    // driver union-find casts ids to long — route only INTEGRAL id
+    // types through it (a string/decimal id would cast to null and NPE
+    // at collect); the distributed loop below handles any orderable id
+    val idIsIntegral = edges.schema("src").dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (idIsIntegral && edges.count() <= driverThreshold)
+      return driverClusters(edges)
     var labels = trunc(edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")))
     var i = 0
@@ -330,6 +343,8 @@ object Dedup {
                         bucketCap: Int = 1000,
                         charLevel: Boolean = false,
                         materializeSigs: Boolean = false): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"crossNearDupPairs: k ($k) must be a positive multiple of bands ($bands)")
     val rowsPerBand = k / bands
     // same knobs as minHashLshPairs: charLevel for scripts without
     // word boundaries; materializeSigs checkpoints each side's
@@ -455,8 +470,12 @@ object Dedup {
       .agg(collect_list(col("__fp")).as("__banned")) // one row, even when empty
     docs.crossJoin(broadcast(bannedList))
       .withColumn(textCol,
-        concat_ws(sep, filter(split(col(textCol), sepRe),
-          p => !array_contains(col("__banned"), fpOf(p)))))
+        // preserve null text: concat_ws(null_array) returns "" (non-null),
+        // which would silently merge 'never had text' into 'all
+        // paragraphs banned' — two states the contract distinguishes
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(sep, filter(split(col(textCol), sepRe),
+            p => !array_contains(col("__banned"), fpOf(p))))))
       .drop("__banned")
   }
 }

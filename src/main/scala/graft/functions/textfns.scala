@@ -35,10 +35,14 @@ object textfns {
     size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
 
   /** Count whole-word occurrences of any of `words` (ASCII word
-    * boundaries — identical semantics in Java regex and RE2). */
+    * boundaries — identical semantics in Java regex and RE2). Words
+    * are regex-quoted (\Q…\E, supported by both engines): an unquoted
+    * "c++" would throw at execution and "a.b" would silently match
+    * "axb". */
   def wordHits(text: Column, words: Seq[String]): Column =
     size(regexp_extract_all(lower(text),
-      lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+      lit("\\b(" + words.map(java.util.regex.Pattern.quote).mkString("|") + ")\\b"),
+      lit(0)))
 
   /** Language-ID stopword tables. Deliberately small, disjoint,
     * ASCII-word-boundary-safe marker sets; zh uses raw substring counts

@@ -55,13 +55,18 @@ object Freq {
       s"heavyHitters: capacity $cap cannot guarantee recall at minFraction $minFraction")
     val sketch = FreqSketch(Bridge.expression(col(itemCol)), cap)
       .toAggregateExpression()
-    val summary = df.agg(Bridge.column(sketch).as("__cands"),
-      count(lit(1)).as("__n_total"))
-    val cands = summary.select(explode(col("__cands")).as(itemCol))
+    // candidates and the total row count come from SEPARATE aggregates:
+    // one plan using both outputs of a combined aggregate would embed
+    // the sketch scan twice (the differing projections above it defeat
+    // ReuseExchange), doubling the dominant stage — this way the sketch
+    // runs once and the total is a plain count scan
+    val cands = df.agg(Bridge.column(sketch).as("__cands"))
+      .select(explode(col("__cands")).as(itemCol))
+    val total = df.agg(count(lit(1)).as("__n_total"))
     df.join(broadcast(cands), Seq(itemCol), "left_semi")
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(summary.select(col("__n_total"))))
+      .crossJoin(broadcast(total))
       .filter(col("n") >= ceil(col("__n_total") * minFraction))
       .select(col(itemCol), col("n"))
   }

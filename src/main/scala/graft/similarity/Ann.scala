@@ -33,13 +33,17 @@ object Ann {
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      quantized: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
+    // cast to array<float> like every other tier (pq/ivf/Column paths):
+    // an uncast array<double> input would ClassCastException per row in
+    // getSeq[Float] below
     val qRows: Array[(Long, Array[Float])] = queries
-      .select(col(idCol).cast("long"), col(vecCol))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val bc = spark.sparkContext.broadcast(qRows)
 
-    val candidates = corpus.select(col(idCol).cast("long"), col(vecCol)).rdd
+    val candidates = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>")).rdd
       .mapPartitions { it =>
         val qs = bc.value
         // quantized mode pre-derives each query's integer vector and

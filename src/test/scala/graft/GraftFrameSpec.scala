@@ -250,6 +250,28 @@ class GraftFrameSpec extends AnyFunSuite {
     assert(rep == 3)
   }
 
+  test("ungrouped fillDown carries across range partitions without a global window") {
+    // values only at sparse positions: carry-forward must cross every
+    // partition boundary of the range-partitioned two-phase plan
+    val n = 5000
+    val d = (1 to n).map(i =>
+        (i.toLong, if (i % 997 == 1) Some(i.toDouble) else None))
+      .toDF("t", "v")
+    val filled = GraftFrame(d).fillDown(Seq(col("t")), "v")
+    val plan = filled.df.queryExecution.executedPlan.toString
+    // the DATA takes a range exchange, not a single-partition funnel
+    // (the one SinglePartition sort in the plan is the tiny
+    // one-row-per-partition boundary table)
+    assert(plan.contains("rangepartitioning"),
+      "ungrouped fill must range-partition the data:\n" + plan.take(1200))
+    val got = filled.df.orderBy("t").collect()
+      .map(r => Option(r.get(1)).map(_.asInstanceOf[Double]))
+    (1 to n).foreach { i =>
+      val expected = if (i < 1) None else Some((((i - 1) / 997) * 997 + 1).toDouble)
+      assert(got(i - 1) == expected, s"row $i")
+    }
+  }
+
   test("countBy tallies and sorts; pull collects one column") {
     val d = Seq("a", "b", "b", "c", "b", "c").toDF("k")
     val counted = GraftFrame(d).countBy(Seq("k"), sort = true).df.collect()
