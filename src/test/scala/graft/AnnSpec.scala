@@ -192,6 +192,15 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("bruteForceTopK accepts array<double> input like the other tiers") {
+    import spark.implicits._
+    val rows = (0L until 30L).map(i =>
+      (i, Array.fill(8)(((i % 7) + 1).toDouble / 7.0)))
+    val d = rows.toDF("vec_id", "embedding") // array<double>, not float
+    val out = graft.similarity.Ann.bruteForceTopK(d, d.filter(col("vec_id") < 2), k = 3)
+    assert(out.count() == 6, "2 queries x top-3 expected")
+  }
+
   test("declared recall gate (ann6): per-method floors vs exact top-k") {
     // the synthetic embeddings are near-isotropic (random directions),
     // the hardest case for bucketed ANN — organic top-10 recall is

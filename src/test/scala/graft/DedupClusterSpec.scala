@@ -84,4 +84,18 @@ class DedupClusterSpec extends AnyFunSuite {
         s"twin of $id should share its cluster")
     }
   }
+
+  test("duplicateClusters handles STRING ids (routes around the driver long-cast)") {
+    import spark.implicits._
+    // the driver union-find casts ids to long; string ids must take
+    // the distributed min-label path instead of NPE-ing at collect
+    val pairs = Seq(
+      ("url_a", "url_b"), ("url_b", "url_c"), ("url_x", "url_y")
+    ).toDF("id_a", "id_b")
+    val clusters = graft.dedup.Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(clusters("url_a") == "url_a" && clusters("url_b") == "url_a"
+      && clusters("url_c") == "url_a")
+    assert(clusters("url_x") == "url_x" && clusters("url_y") == "url_x")
+  }
 }

@@ -180,4 +180,25 @@ class DedupSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.getString(1)).toSeq
     assert(loose == docs.orderBy("doc_id").collect().map(_.getString(1)).toSeq)
   }
+
+  test("paragraphDedup preserves null text (does not rewrite it to empty)") {
+    import spark.implicits._
+    val docs = Seq((1L, Some("keep me")), (2L, None))
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "keep me")
+    assert(out(1).isNullAt(1), "null text must stay null, not become \"\"")
+  }
+
+  test("minHashLshPairs rejects k not a positive multiple of bands") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minHashLshPairs(d, "doc_id", "text", k = 16, bands = 32)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minHashLshPairs(d, "doc_id", "text", k = 100, bands = 32)
+    }
+  }
 }

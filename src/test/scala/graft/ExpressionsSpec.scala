@@ -161,6 +161,22 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r(1).isEmpty)
   }
 
+  test("wordHits treats caller words literally (regex metacharacters quoted)") {
+    import graft.functions.textfns
+    val d = Seq(Tuple1("use c++ not a.b or axb today")).toDF("t")
+    // unquoted, "c++" threw PatternSyntaxException at execution and
+    // "a.b" counted "axb" as a hit. (A trailing metachar like "+" can
+    // still never satisfy the \b word-boundary contract — the fix is
+    // about not crashing and not over-matching, not about redefining
+    // word boundaries.)
+    val hits = d.select(
+        textfns.wordHits(col("t"), Seq("c++")).as("cpp"),
+        textfns.wordHits(col("t"), Seq("a.b")).as("adotb"))
+      .collect()(0)
+    assert(hits.getInt(0) == 0, "quoted c++ must evaluate without throwing")
+    assert(hits.getInt(1) == 1, "a.b must match only itself, not axb")
+  }
+
   test("lsh band keys: equal band slices co-bucket, unequal/cross-band never") {
     // sig2 agrees with sig1 on band 0 ([1,2,3,4]) and differs on band 1;
     // sig3's band-1 slice equals sig1's band-0 slice — the band index is

@@ -156,4 +156,34 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("heavyHitters == exact GROUP BY HAVING over random zipf-ish streams") {
+    // random streams with planted skew: the Misra-Gries candidate
+    // superset + exact-verify pipeline must equal the direct
+    // aggregation for EVERY stream and capacity that satisfies the
+    // recall precondition — across partitionings (merge paths differ)
+    val streamGen: Gen[List[String]] = for {
+      nHot <- Gen.choose(1, 5)
+      hots <- Gen.listOfN(nHot, Gen.zip(
+        Gen.identifier.map(_.take(6)), Gen.choose(50, 300)))
+      tailN <- Gen.choose(500, 3000)
+    } yield {
+      val hot = hots.flatMap { case (w, n) => List.fill(n)("hot_" + w) }
+      val tail = (0 until tailN).map(i => s"t$i").toList
+      hot ++ tail
+    }
+    (1 to trials).foreach { s =>
+      val words = sample(streamGen, 3000L + s)
+      val parts = 1 + (s % 4) * 3 // exercise single- and multi-partition merges
+      val df = spark.createDataset(words).repartition(parts).toDF("w")
+      val frac = 0.01
+      val total = words.size
+      val thresh = math.ceil(total * frac).toLong
+      val expected = words.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= thresh).toMap
+      val got = graft.operators.Freq.heavyHitters(df, "w", minFraction = frac)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $s parts $parts total $total")
+    }
+  }
 }
