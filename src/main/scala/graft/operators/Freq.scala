@@ -21,7 +21,7 @@ import graft.expressions.FreqSketch
   *     frequency > N/capacity;
   *  2. candidates (≤ 2·capacity strings — the amortized-prune buffer
   *     runs up to twice the nominal counter budget) broadcast back,
-  *     and a left-semi join keeps only candidate rows — the exact
+  *     and a broadcast join keeps only candidate rows — the exact
   *     count aggregate then shuffles ≤ 2·capacity distinct keys
   *     instead of the full item cardinality;
   *  3. the exact counts are thresholded, so sketch error NEVER
@@ -55,19 +55,22 @@ object Freq {
       s"heavyHitters: capacity $cap cannot guarantee recall at minFraction $minFraction")
     val sketch = FreqSketch(Bridge.expression(col(itemCol)), cap)
       .toAggregateExpression()
-    // candidates and the total row count come from SEPARATE aggregates:
-    // one plan using both outputs of a combined aggregate would embed
-    // the sketch scan twice (the differing projections above it defeat
-    // ReuseExchange), doubling the dominant stage — this way the sketch
-    // runs once and the total is a plain count scan
-    val cands = df.agg(Bridge.column(sketch).as("__cands"))
-      .select(explode(col("__cands")).as(itemCol))
-    val total = df.agg(count(lit(1)).as("__n_total"))
-    df.join(broadcast(cands), Seq(itemCol), "left_semi")
+    // ONE summary aggregate (sketch + total in the same scan), consumed
+    // by ONE downstream projection: attaching __n_total to every
+    // exploded candidate row lets the whole operator run in two scans
+    // of `df` (summary + verify join). Splitting the two outputs into
+    // separate consumers would embed the sketch scan twice — the
+    // differing parent projections defeat ReuseExchange.
+    val summary = df.agg(Bridge.column(sketch).as("__cands"),
+      count(lit(1)).as("__n_total"))
+    val cands = summary.select(explode(col("__cands")).as(itemCol),
+      col("__n_total"))
+    // candidates are distinct (sketch map keys), so the broadcast inner
+    // join is the semi-join plus the carried total
+    df.join(broadcast(cands), Seq(itemCol), "inner")
       .groupBy(col(itemCol))
-      .agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(total))
-      .filter(col("n") >= ceil(col("__n_total") * minFraction))
+      .agg(count(lit(1)).as("n"), max(col("__n_total")).as("__nt"))
+      .filter(col("n") >= ceil(col("__nt") * minFraction))
       .select(col(itemCol), col("n"))
   }
 }

@@ -45,11 +45,15 @@ class FreqSpec extends AnyFunSuite {
       "sketch lost a guaranteed-heavy item")
   }
 
-  test("declared txt16 plan: sketch aggregate, broadcast candidates, semi-join verify") {
+  test("declared txt16 plan: ONE sketch scan, broadcast candidates, join verify") {
     val q = SparkEntry.queries("txt16_heavy_hitters")(spark, SparkT.sfDir)
     val p = q.queryExecution.executedPlan.toString
     assert(p.contains("graft_freq_sketch"), "sketch aggregate missing from plan")
-    assert(p.contains("LeftSemi"), "exact verify must be a semi join")
+    // the dominant stage must execute exactly once: one partial
+    // (map-side) sketch aggregate in the whole plan
+    assert("partial_graft_freq_sketch".r.findAllIn(p).length == 1,
+      "sketch scan must appear exactly once:\n" + p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), "exact verify must be a broadcast join")
     assert(p.contains("BroadcastExchange"), "candidate set must broadcast")
   }
 
