@@ -24,11 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * decrement per item is ≤ N/capacity; mergeable-summaries bound, so
   * it survives partial aggregation and merge too).
   *
-  * Implementation is the amortized O(1)/update MG variant: the counter
-  * map may grow to 2·capacity, and on overflow one O(k log k) prune
-  * subtracts the (capacity+1)-th largest count from everything and
-  * evicts the non-positive — each prune evicts ≥ capacity entries, so
-  * the sweep amortizes over the inserts that filled them. The classic
+  * Implementation is the batched-decrement MG variant (amortized
+  * O(log capacity) per update): the counter map may grow to
+  * 2·capacity, and on overflow one O(k log k) prune subtracts the
+  * (capacity+1)-th largest count from everything and evicts the
+  * non-positive — each prune evicts ≥ capacity entries, so the sweep
+  * amortizes over the inserts that filled them. The classic
   * decrement-all-by-1-per-overflow formulation is O(k) per non-resident
   * insert, which on a high-cardinality column degenerates to O(N·k).
   */
