@@ -591,9 +591,13 @@ object SparkEntry {
       // identical minhash signatures, hence identical keys in EVERY
       // band, so LSH recall for them is 1.0 by construction and the
       // result is hash-seed-independent; DuckDB replays it as
-      // shingle-set equality. bucketCap is lifted here because the
-      // oracle demands exact recall (the cap is the documented
-      // at-scale tradeoff); planted duplicates are exact copies.
+      // shingle-set equality. spanning=true keeps exact recall WITHOUT
+      // lifting bucketCap: each bucket emits occupancy−1 consecutive
+      // pairs under the set-fingerprint order (a duplicate class is
+      // contiguous, so its spanning pairs all verify), and the
+      // connected components — all dedupNear consumes — equal the
+      // clique path's. A boilerplate doc duplicated a million times
+      // costs 10^6−1 pairs, not 10^12/2.
       // k/bands are free knobs here: at threshold=1.0 the final pair
       // set is signature-size-INDEPENDENT (exact-Jaccard verification
       // keeps only set-equal pairs, and those collide in every band at
@@ -603,7 +607,7 @@ object SparkEntry {
       val docs = docsWithExactDups(s, dir)
       val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
         shingleN = 7, k = 32, bands = 8, threshold = 1.0,
-        bucketCap = Int.MaxValue)
+        spanning = true)
       Dedup.dedupNear(docs, "doc_id", pairs)
         .select(col("doc_id")).orderBy(col("doc_id").asc)
     }),
@@ -1187,11 +1191,16 @@ object SparkEntry {
       // existing training set") already contains. threshold=1.0 makes
       // the LSH path oracle-exact, as in dd8: shingle-set-equal pairs
       // are recalled with probability 1 at any signature size.
+      // spanning=true collapses the reference side to one
+      // representative per (bucket, set-fingerprint) — candidates stay
+      // linear in corpus occupancy with NO bucketCap lift, and every
+      // matched corpus id is still found (a match shares the
+      // representative's fingerprint group by construction).
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val ref = d.filter(col("doc_id") % 10 === 0)
       Dedup.crossDedup(d, ref, "doc_id", "text",
           shingleN = 7, k = 32, bands = 8, threshold = 1.0,
-          bucketCap = Int.MaxValue)
+          spanning = true)
         .select(col("doc_id")).orderBy(col("doc_id").asc)
     })
   )

@@ -57,6 +57,52 @@ object Dedup {
       .distinct()
   }
 
+  /** Linear (spanning) candidate pairs for threshold=1.0 dedup: each
+    * bucket emits CONSECUTIVE pairs under the order (fp1, fp2, id)
+    * instead of the full clique — occupancy−1 pairs per bucket, so no
+    * `bucketCap` is needed and a heavily duplicated document can never
+    * produce a quadratic bucket.
+    *
+    * Why consecutive-by-set-fingerprint rather than star-to-bucket-min:
+    * a duplicate class (identical shingle sets) has identical
+    * fingerprints, so its members form one CONTIGUOUS run in every
+    * bucket and the run's consecutive pairs — all of which pass exact
+    * verification — connect the whole class. A star to the bucket's
+    * minimum id has no such guarantee: near-identical sets share full
+    * minhash signatures at rate J^k (≈0.72 for J=0.99 at k=32), so a
+    * near-miss hub with the smallest id would fail verification against
+    * every true duplicate and disconnect the class. Boundary pairs
+    * between different fingerprint runs simply fail the exact-Jaccard
+    * verify and drop out. The only failure mode left is two DIFFERENT
+    * shingle sets colliding on both independent 64-bit fingerprints
+    * (2^-128), interleaving a run — negligible by the same standard as
+    * every other 128-bit content hash in this module.
+    */
+  private def spanningPairs(exploded: DataFrame): DataFrame = {
+    val w = Window.partitionBy("bk")
+      .orderBy(col("fp1").asc, col("fp2").asc, col("id").asc)
+    exploded
+      .withColumn("__prev", lag(col("id"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(least(col("__prev"), col("id")).as("id_a"),
+        greatest(col("__prev"), col("id")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+  }
+
+  /** Salt for the second, independent set fingerprint (golden-ratio
+    * odd constant; any fixed odd 64-bit value works). */
+  private val FpSalt = 0x9E3779B97F4A7C15L
+
+  /** Two independent 64-bit fingerprints of the canonical (sorted)
+    * shingle-hash set — the spanning-pair sort key. Equal sets always
+    * get equal fingerprints; unequal sets collide on BOTH with
+    * probability 2^-128. */
+  private def setFingerprints(shingleHashes: Column): Seq[Column] = {
+    val canon = sort_array(shingleHashes)
+    Seq(xxhash64(canon).as("fp1"), xxhash64(lit(FpSalt), canon).as("fp2"))
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * shingle → k-minhash signature → `bands` band keys → bucket
@@ -71,6 +117,15 @@ object Dedup {
     *        kernel passes over small text); at corpus scale the flag
     *        should be ON — it converts three full text scans into one
     *        scan plus k×8 bytes/doc of executor storage.
+    * @param spanning threshold=1.0 only: emit a SPANNING subset of the
+    *        duplicate-pair relation (consecutive pairs per bucket under
+    *        the set-fingerprint order — see [[spanningPairs]]) instead
+    *        of the per-bucket clique. Linear in bucket occupancy, no
+    *        `bucketCap` applied (none is needed), and the connected
+    *        components of the returned pairs equal the clique path's —
+    *        exactly what cluster-based dedup ([[duplicateClusters]] /
+    *        [[dedupNear]]) consumes. NOT the complete pair list: a
+    *        duplicate class of m docs yields m−1 pairs, not m(m−1)/2.
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
@@ -78,7 +133,13 @@ object Dedup {
                       threshold: Double = 0.5, seed: Long = 42L,
                       bucketCap: Int = 1000,
                       charLevel: Boolean = false,
-                      materializeSigs: Boolean = false): DataFrame = {
+                      materializeSigs: Boolean = false,
+                      spanning: Boolean = false): DataFrame = {
+    require(!spanning || threshold == 1.0,
+      s"minHashLshPairs: spanning pair generation is only sound at threshold=1.0 " +
+        s"(got $threshold) — duplicate-of is an equivalence relation there, so a " +
+        "spanning subset preserves connected components; below 1.0 similarity is " +
+        "not transitive and consecutive pairs would silently miss true pairs")
     require(bands > 0 && k % bands == 0,
       s"minHashLshPairs: k ($k) must be a positive multiple of bands ($bands) — " +
         "bands > k would give every row the same constant band keys (one giant " +
@@ -101,13 +162,22 @@ object Dedup {
     // cross-call storage leak — and this is a plain projection (no
     // self-join), the shape that is safe to checkpoint (see
     // duplicateClusters).
-    val sigPlan = df.select(col(idCol).as("id"),
+    // spanning mode additionally carries the two set fingerprints —
+    // computed scan-side in the same projection (the shingle-hash
+    // kernel output is CSE'd with the minhash input, no extra text
+    // pass), 16 bytes/doc of extra shuffle.
+    val sigCols = col(idCol).as("id") +:
       graft.expressions.GraftFunctions
-        .graft_minhash(shingleHashesOf(col(textCol)), k, seed).as("sig"))
+        .graft_minhash(shingleHashesOf(col(textCol)), k, seed).as("sig") +:
+      (if (spanning) setFingerprints(shingleHashesOf(col(textCol))) else Nil)
+    val sigPlan = df.select(sigCols: _*)
     val docs = if (materializeSigs) sigPlan.localCheckpoint(true) else sigPlan
-    val exploded = docs.select(col("id"),
-      explode(hashfns.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-    val candidates = boundedPairs(exploded, bucketCap)
+    val explodedCols = (col("id") +:
+      (if (spanning) Seq(col("fp1"), col("fp2")) else Nil)) :+
+      explode(hashfns.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk")
+    val exploded = docs.select(explodedCols: _*)
+    val candidates =
+      if (spanning) spanningPairs(exploded) else boundedPairs(exploded, bucketCap)
 
     // verification pyramid: the signature-agreement estimate (a k-long
     // compare in codegen) kills the bulk of low-similarity bucket
@@ -334,6 +404,18 @@ object Dedup {
     * back by id only for verification. No within-corpus or
     * within-reference pairs are produced.
     *
+    * @param spanning threshold=1.0 only: collapse the reference side to
+    *        ONE representative (min ref_id) per (bucket, set-fingerprint)
+    *        group and join the corpus side on (bucket, fingerprint) —
+    *        candidates become linear in corpus bucket occupancy, so a
+    *        reference document duplicated a million times costs one
+    *        representative instead of a million join partners, and no
+    *        `bucketCap` is applied (none is needed). Every matched
+    *        corpus_id is still returned (a matching corpus/ref pair has
+    *        identical sets, hence identical signatures, band keys AND
+    *        fingerprints), but paired with the representative ref_id
+    *        only — the full (corpus × matching refs) pair list is not
+    *        produced. Exactly what [[crossDedup]] consumes.
     * @return (corpus_id, ref_id, jaccard) with jaccard >= threshold.
     */
   def crossNearDupPairs(corpus: DataFrame, reference: DataFrame,
@@ -342,7 +424,12 @@ object Dedup {
                         threshold: Double = 0.5, seed: Long = 42L,
                         bucketCap: Int = 1000,
                         charLevel: Boolean = false,
-                        materializeSigs: Boolean = false): DataFrame = {
+                        materializeSigs: Boolean = false,
+                        spanning: Boolean = false): DataFrame = {
+    require(!spanning || threshold == 1.0,
+      s"crossNearDupPairs: spanning (representative-per-set) matching is only " +
+        s"sound at threshold=1.0 (got $threshold) — only there does 'matches the " +
+        "representative' imply 'matches every member of its fingerprint group'")
     require(bands > 0 && k % bands == 0,
       s"crossNearDupPairs: k ($k) must be a positive multiple of bands ($bands)")
     val rowsPerBand = k / bands
@@ -358,25 +445,42 @@ object Dedup {
       if (charLevel) hashfns.charShingleHashes(c, shingleN)
       else hashfns.distinctWordShingles(c, shingleN)
     def sigOf(df: DataFrame, as: String) = {
-      val plan = df.select(col(idCol).as(as),
+      val cols = col(idCol).as(as) +:
         graft.expressions.GraftFunctions.graft_minhash(
-          shingleHashesOf(col(textCol)), k, seed).as(s"sig_$as"))
+          shingleHashesOf(col(textCol)), k, seed).as(s"sig_$as") +:
+        (if (spanning) setFingerprints(shingleHashesOf(col(textCol))) else Nil)
+      val plan = df.select(cols: _*)
       if (materializeSigs) plan.localCheckpoint(true) else plan
     }
-    def bandsOf(sig: DataFrame, as: String) = sig.select(col(as),
-      explode(hashfns.lshBandKeys(col(s"sig_$as"), bands, rowsPerBand)).as("bk"))
+    def bandsOf(sig: DataFrame, as: String) = {
+      val cols = (col(as) +:
+        (if (spanning) Seq(col("fp1"), col("fp2")) else Nil)) :+
+        explode(hashfns.lshBandKeys(col(s"sig_$as"), bands, rowsPerBand)).as("bk")
+      sig.select(cols: _*)
+    }
     val sigC = sigOf(corpus, "corpus_id")
     val sigR = sigOf(reference, "ref_id")
-    // cap the REFERENCE side per bucket (deterministic lowest ids):
-    // a degenerate reference bucket (boilerplate) would otherwise
-    // multiply against every matching corpus row
-    val w = Window.partitionBy("bk").orderBy(col("ref_id").asc)
-    val bandsR = bandsOf(sigR, "ref_id")
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= bucketCap).drop("__rn")
-    val candidates = bandsOf(sigC, "corpus_id")
-      .join(bandsR, "bk")
-      .select("corpus_id", "ref_id").distinct()
+    val candidates = if (spanning) {
+      // one representative per (bucket, set-fingerprint) on the
+      // reference side; corpus rows join their OWN fingerprint group
+      // only — a candidate per (corpus row, band), never per ref copy
+      val repsR = bandsOf(sigR, "ref_id")
+        .groupBy("bk", "fp1", "fp2").agg(min(col("ref_id")).as("ref_id"))
+      bandsOf(sigC, "corpus_id")
+        .join(repsR, Seq("bk", "fp1", "fp2"))
+        .select("corpus_id", "ref_id").distinct()
+    } else {
+      // cap the REFERENCE side per bucket (deterministic lowest ids):
+      // a degenerate reference bucket (boilerplate) would otherwise
+      // multiply against every matching corpus row
+      val w = Window.partitionBy("bk").orderBy(col("ref_id").asc)
+      val bandsR = bandsOf(sigR, "ref_id")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= bucketCap).drop("__rn")
+      bandsOf(sigC, "corpus_id")
+        .join(bandsR, "bk")
+        .select("corpus_id", "ref_id").distinct()
+    }
     val estimated = candidates
       .join(sigC, "corpus_id").join(sigR, "ref_id")
       .withColumn("est", graft.expressions.GraftFunctions
@@ -403,9 +507,11 @@ object Dedup {
                  threshold: Double = 0.5, seed: Long = 42L,
                  bucketCap: Int = 1000,
                  charLevel: Boolean = false,
-                 materializeSigs: Boolean = false): DataFrame = {
+                 materializeSigs: Boolean = false,
+                 spanning: Boolean = false): DataFrame = {
     val matched = crossNearDupPairs(corpus, reference, idCol, textCol,
-      shingleN, k, bands, threshold, seed, bucketCap, charLevel, materializeSigs)
+      shingleN, k, bands, threshold, seed, bucketCap, charLevel,
+      materializeSigs, spanning)
       .select(col("corpus_id").as(idCol)).distinct()
     corpus.join(matched, Seq(idCol), "left_anti")
   }

@@ -23,7 +23,7 @@ object ProfileDd8 {
     def pairs(k: Int, bands: Int) =
       Dedup.minHashLshPairs(docs, "doc_id", "text",
         shingleN = 7, k = k, bands = bands, threshold = 1.0,
-        bucketCap = Int.MaxValue)
+        spanning = true)
 
     time("pairs k=128 b=32")(pairs(128, 32).count())
     time("pairs k=32 b=8")(pairs(32, 8).count())

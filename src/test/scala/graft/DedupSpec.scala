@@ -56,7 +56,7 @@ class DedupSpec extends AnyFunSuite {
     // must equal exact-text dedup's on a corpus of exact copies
     val pairs = Dedup.minHashLshPairs(withExact, "doc_id", "text",
       shingleN = 7, k = 128, bands = 32, threshold = 1.0,
-      bucketCap = Int.MaxValue)
+      spanning = true)
     val survivors = Dedup.dedupNear(withExact, "doc_id", pairs)
       .select("doc_id")
     // exact-text dedup is the independent reference; docs too short to
@@ -72,6 +72,69 @@ class DedupSpec extends AnyFunSuite {
       "LSH path dropped a doc it should have kept")
   }
 
+  test("spanning pairs are linear in duplicate multiplicity: m copies → m−1 pairs") {
+    // the scale contract that replaced bucketCap=Int.MaxValue: a doc
+    // duplicated m times yields exactly m−1 spanning pairs (one
+    // contiguous run per bucket, deduped across bands), where the
+    // clique path yields m(m−1)/2 — the quadratic bucket the verdict
+    // flagged. 100 copies: 99 vs 4950.
+    import spark.implicits._
+    val m = 100
+    val copies = (1L to m.toLong)
+      .map(i => (i, "the same boilerplate sentence repeated across the corpus forever and ever"))
+      .toDF("doc_id", "text")
+    val distinctDocs = Seq(
+      (1000L, "a completely different document about spark partitioning at scale"),
+      (1001L, "yet another unrelated text concerning catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairs(copies.unionByName(distinctDocs),
+      "doc_id", "text", shingleN = 3, k = 32, bands = 8, threshold = 1.0,
+      spanning = true)
+    assert(pairs.count() == m - 1, s"expected ${m - 1} spanning pairs")
+    // and they connect the whole class: one cluster of all m copies
+    val clusters = Dedup.duplicateClusters(pairs)
+    assert(clusters.select("cluster_id").distinct().count() == 1)
+    assert(clusters.count() == m)
+  }
+
+  test("spanning connected components equal the clique path's") {
+    val spanningPairs = Dedup.minHashLshPairs(withExact, "doc_id", "text",
+      shingleN = 7, k = 32, bands = 8, threshold = 1.0, spanning = true)
+    val cliquePairs = Dedup.minHashLshPairs(withExact, "doc_id", "text",
+      shingleN = 7, k = 32, bands = 8, threshold = 1.0, bucketCap = 100000)
+    val a = Dedup.duplicateClusters(spanningPairs)
+      .groupBy("cluster_id").agg(sort_array(collect_list("id")).as("members"))
+      .select("members")
+    val b = Dedup.duplicateClusters(cliquePairs)
+      .groupBy("cluster_id").agg(sort_array(collect_list("id")).as("members"))
+      .select("members")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "spanning and clique paths must produce identical duplicate clusters")
+  }
+
+  test("spanning mode refuses threshold below 1.0 (non-transitive similarity)") {
+    intercept[IllegalArgumentException] {
+      Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5,
+        spanning = true)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.crossNearDupPairs(docs, docs, "doc_id", "text", threshold = 0.9,
+        spanning = true)
+    }
+  }
+
+  test("cross-corpus spanning matches the capped path's matched-id set") {
+    val ref = docs.filter(col("doc_id") % 10 === 0)
+    val viaSpanning = Dedup.crossDedup(withExact, ref, "doc_id", "text",
+      shingleN = 7, k = 32, bands = 8, threshold = 1.0, spanning = true)
+      .select("doc_id")
+    val viaCapped = Dedup.crossDedup(withExact, ref, "doc_id", "text",
+      shingleN = 7, k = 32, bands = 8, threshold = 1.0, bucketCap = 100000)
+      .select("doc_id")
+    assert(viaSpanning.exceptAll(viaCapped).count() == 0 &&
+      viaCapped.exceptAll(viaSpanning).count() == 0)
+  }
+
   test("crossDedup drops corpus docs the reference corpus already contains") {
     // corpus = originals ∪ exact copies; reference = the originals'
     // every-10th docs. Copies of reference docs (and the reference
@@ -79,7 +142,7 @@ class DedupSpec extends AnyFunSuite {
     val ref = docs.filter(col("doc_id") % 10 === 0)
     val survivors = Dedup.crossDedup(withExact, ref, "doc_id", "text",
       shingleN = 7, k = 32, bands = 8, threshold = 1.0,
-      bucketCap = Int.MaxValue)
+      spanning = true)
     val gone = withExact.join(survivors.select("doc_id"), Seq("doc_id"), "left_anti")
       .collect().map(_.getLong(0)).toSet
     // dropped ids = every %10 original and its +10000 copy (modulo
