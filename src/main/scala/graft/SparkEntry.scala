@@ -32,6 +32,61 @@ object SparkEntry {
   private def g(s: SparkSession, dir: String, name: String): GraftFrame =
     GraftFrame(t(s, dir, name))
 
+  private[graft] val Q45LineitemTable = "graft_q45_lineitem_b"
+  private[graft] val Q45OrdersTable = "graft_q45_orders_b"
+  private val bucketedWrittenFor = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** Write the q45 bucketed tables once per (JVM, sf dir): 16 buckets
+    * on the join key both sides, so the sort-merge join and the
+    * follow-on aggregate need no exchange. Re-runs only when the sf
+    * dir changes (the memo prevents Bench's reps from re-writing, and
+    * a dir switch from reading stale data). */
+  private[graft] def ensureBucketedTables(s: SparkSession, dir: String): Unit =
+    synchronized {
+      if (bucketedWrittenFor.get() != dir) {
+        // a managed table's DIRECTORY survives the in-memory catalog
+        // across JVMs; saveAsTable would then fail on the orphaned
+        // location — drop both the catalog entry and the stale dir
+        Seq(Q45LineitemTable, Q45OrdersTable).foreach { tbl =>
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          def rm(f: java.io.File): Unit = if (f.exists()) {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(new java.io.File(
+            s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl))
+        }
+        graft.sources.Tables.writeBucketed(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+          Q45LineitemTable, "l_orderkey", 16)
+        graft.sources.Tables.writeBucketed(
+          t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+            col("o_totalprice")),
+          Q45OrdersTable, "l_orderkey", 16)
+        bucketedWrittenFor.set(dir)
+      }
+    }
+
+  private val orcWrittenFor = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** Write lineitem as ORC once per (JVM, sf dir) — the q46 setup,
+    * same memo discipline as [[ensureBucketedTables]]. Returns the
+    * ORC directory. */
+  private[graft] def ensureOrcWritten(s: SparkSession, dir: String): String = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_q46_orc_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    synchronized {
+      if (orcWrittenFor.get() != dir) {
+        graft.sources.Tables.writeOrc(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity")),
+          path)
+        orcWrittenFor.set(dir)
+      }
+    }
+    path
+  }
+
   /** documents ∪ shifted copy — planted exact duplicates. */
   private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -421,6 +476,61 @@ object SparkEntry {
           ("max_disc", "l_discount", "max"))
         .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)),
 
+    "q44_skew_join" -> ((s, dir) => {
+      // lineitem ⋈ orders through the split-route skew join: keys the
+      // deterministic sample classifies as hot take a broadcast of the
+      // right side's matching slice, the tail takes the ordinary
+      // shuffle join, one union at the end — the mitigation for the
+      // case AQE's skew-join can't fix (the right side still shuffles
+      // under AQE). Oracle-safe BY CONSTRUCTION, not by seed: hot and
+      // tail paths PARTITION the left rows, so the union equals the
+      // plain inner join no matter which keys the sample flags —
+      // classification moves rows between physical strategies, never
+      // in or out of the result.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"),
+          col("o_totalprice"))
+      graft.operators.Skew.skewAwareJoin(li, ord, "l_orderkey",
+          hotThreshold = 100)
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+    }),
+
+    "q45_bucketed_join" -> ((s, dir) => {
+      // co-located join gate: both sides written bucketed on the join
+      // key (Tables.writeBucketed), read back, sort-merge joined and
+      // aggregated on the bucket key — at scale this is the
+      // pre-partitioning that removes the per-query shuffle of a
+      // repeatedly-joined fact table entirely (SourcesSpec asserts the
+      // exchange-free plan; the declared query gates row correctness
+      // against the plain-parquet oracle). The bucketed write runs
+      // once per (JVM, sf dir) — it is setup, like the parquet scan's
+      // existence, not part of the measured join.
+      ensureBucketedTables(s, dir)
+      s.table(Q45LineitemTable).hint("merge")
+        .join(s.table(Q45OrdersTable), "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          max(col("o_totalprice")).as("price"))
+        .orderBy(col("l_orderkey").asc)
+    }),
+
+    "q46_orc_roundtrip" -> ((s, dir) => {
+      // ORC round-trip gate: lineitem written as ORC (once per JVM/sf
+      // dir — setup, not the measured read), read back through the ORC
+      // source with the filter pushed to the scan (SourcesSpec asserts
+      // ORC PushedFilters), aggregated. Oracle replays the same
+      // pipeline from the original parquet — values must survive the
+      // typed round-trip bit-exactly.
+      graft.sources.Tables.orc(s, ensureOrcWritten(s, dir))
+        .filter(col("l_quantity") >= 30)
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc)
+    }),
+
     "q38_asof_native" -> ((s, dir) => {
       // q27's as-of join on the NATIVE sorted-merge physical operator
       // (AsofJoinExec via SparkSessionExtensions) — same oracle; the
@@ -538,6 +648,33 @@ object SparkEntry {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
           percentile_approx(col("l_extendedprice"), lit(0.99), lit(100)).as("p99_price"))
+        .orderBy(col("l_returnflag").asc)),
+
+    "q28b_sketch_error" -> ((s, dir) =>
+      // MEASURED estimator-quality gate for q28's sketches — the q28
+      // analogue of ann6_recall: the same HLL / approximate-percentile
+      // aggregates computed NEXT TO their exact twins in one grouped
+      // aggregate, emitting relative error per group so the sketch
+      // quality number lands in the driver's correctness dump each
+      // round. Rows-only because HLL values are engine-specific
+      // (hash-seeded); ApproxGateSpec pins the error ceilings (HLL
+      // default rsd 0.05; rsd=0.02 variant; KLL-style percentile at
+      // accuracy=100). Scale shape: still ONE two-phase aggregate —
+      // exact countDistinct expands the grouping, but that is the
+      // verification harness's cost, not the production q28 plan's.
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("__ap"),
+          countDistinct(col("l_partkey")).as("__ep"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("__ao"),
+          countDistinct(col("l_orderkey")).as("__eo"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(100)).as("__aq"),
+          expr("percentile(l_extendedprice, 0.99)").as("__eq"))
+        .select(col("l_returnflag"),
+          round(abs(col("__ap") - col("__ep")) / col("__ep"), 4).as("hll_parts_relerr"),
+          round(abs(col("__ao") - col("__eo")) / col("__eo"), 4).as("hll_orders_relerr"),
+          round(abs(col("__aq") - col("__eq")) / col("__eq"), 4).as("p99_relerr"))
         .orderBy(col("l_returnflag").asc)),
 
     // ---- §2.3 LLM-data-pipeline operators -------------------------------
@@ -1480,6 +1617,27 @@ object SparkEntry {
            min(l_discount) AS min_disc,
            max(l_discount) AS max_disc
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q44_skew_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+           o.o_custkey, o.o_totalprice
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         ORDER BY l.l_orderkey, l.l_linenumber""",
+
+    "q45_bucketed_join" ->
+      """SELECT l.l_orderkey,
+           sum(l.l_quantity) AS sum_qty,
+           count(*) AS n,
+           max(o.o_totalprice) AS price
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q46_orc_roundtrip" ->
+      """SELECT l_returnflag,
+           sum(l_quantity) AS sum_qty,
+           count(*) AS n
+         FROM lineitem WHERE l_quantity >= 30
+         GROUP BY 1 ORDER BY 1""",
 
     "q38_asof_native" ->
       """WITH e AS (

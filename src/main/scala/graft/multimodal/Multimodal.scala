@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   * Scala analogue of `mapInPandas`: one JVM-side batch loop, no
   * per-row closure dispatch), and pushdown-friendly metadata pruning.
   *
-  * The codec step itself is STUBBED — this container has no image or
-  * audio libraries — behind [[StubDecoder]], a deterministic fake that
-  * parses dimensions from the payload bytes. Swap in a real decoder
-  * per modality without touching any plumbing.
+  * The codec step is REAL for the image formats the JDK ships codecs
+  * for — PNG/BMP/GIF/JPEG via `javax.imageio` ([[ImageDecoder]]):
+  * decode, dims/channels, and bilinear resize all run on actual
+  * bytes. Formats needing external libraries (video, audio) fall back
+  * to [[StubDecoder]], a deterministic fake that derives dimensions
+  * from the payload bytes — swap in a real decoder per modality
+  * without touching any plumbing; the `codec` output column records
+  * which path ran.
   */
 object Multimodal {
 
@@ -25,16 +29,18 @@ object Multimodal {
   case class MediaRow(doc_id: Long, modality: String, payload: Array[Byte],
                       media_type: String, n_bytes: Long)
 
-  /** Decoded features emitted by the (stubbed) decoder. */
+  /** Decoded features. `codec` records which path produced the row:
+    * "imageio" = real JDK decode, "stub" = deterministic fallback. */
   case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Long,
                            width: Int, height: Int, n_frames: Int,
-                           sha256: String)
+                           channels: Int, codec: String, sha256: String)
 
-  /** DETERMINISTIC STUB — stands in for e.g. libjpeg/ffmpeg decode.
-    * Derives fake dimensions from payload length and first bytes so
-    * tests have stable expectations. A real implementation keeps the
-    * exact same signature: bytes in, features out, one call per row
-    * inside a partition-level batch loop. */
+  /** DETERMINISTIC STUB — stands in for decoders of formats the JVM
+    * has no codec for (video, audio, AVIF, ...). Derives fake
+    * dimensions from payload length and first bytes so tests have
+    * stable expectations. A real implementation keeps the exact same
+    * signature: bytes in, features out, one call per row inside a
+    * partition-level batch loop. */
   object StubDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
       val n = payload.length
@@ -44,6 +50,48 @@ object Multimodal {
       val frames = 1 + (lead % 8)
       (width, height, frames)
     }
+  }
+
+  /** Decode result: real dims/channels when a JVM codec handled the
+    * payload, stub-derived otherwise. */
+  case class Decoded(width: Int, height: Int, nFrames: Int,
+                     channels: Int, codec: String)
+
+  /** REAL decode for the formats the JDK ships codecs for — PNG, BMP,
+    * GIF, JPEG via `javax.imageio`, no external libraries. Magic-byte
+    * sniff first, so non-image payloads (the synthetic text corpus)
+    * never pay a codec attempt; unrecognized, truncated or corrupt
+    * payloads fall back to [[StubDecoder]] — the pipeline is total
+    * either way, the `codec` field says which path ran. */
+  object ImageDecoder {
+    private def isImage(p: Array[Byte]): Boolean =
+      p.length >= 8 && (
+        // PNG: 89 'P' 'N' 'G'
+        (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+        // BMP: 'B' 'M'
+        (p(0) == 'B' && p(1) == 'M') ||
+        // JPEG: FF D8
+        (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte) ||
+        // GIF: 'G' 'I' 'F'
+        (p(0) == 'G' && p(1) == 'I' && p(2) == 'F'))
+
+    /** Real image bytes → BufferedImage; None for anything else. */
+    def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (!isImage(payload)) None
+      else try {
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload)))
+      } catch { case _: Exception => None }
+
+    def decode(payload: Array[Byte]): Decoded =
+      readImage(payload) match {
+        case Some(img) =>
+          Decoded(img.getWidth, img.getHeight, 1,
+            img.getColorModel.getNumComponents, "imageio")
+        case None =>
+          val (w, h, f) = StubDecoder.decode(payload)
+          Decoded(w, h, f, 3, "stub")
+      }
   }
 
   /** Wrap a text table as fake media rows (the test corpus has no real
@@ -67,10 +115,11 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       rows.map { r =>
-        val (w, h, f) = StubDecoder.decode(r.payload)
+        val d = ImageDecoder.decode(r.payload)
         digest.reset()
         val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
-        MediaFeatures(r.doc_id, r.modality, r.n_bytes, w, h, f, sha)
+        MediaFeatures(r.doc_id, r.modality, r.n_bytes,
+          d.width, d.height, d.nFrames, d.channels, d.codec, sha)
       }
     }
   }
@@ -89,27 +138,45 @@ object Multimodal {
   case class ResizedMedia(doc_id: Long, modality: String,
                           width: Int, height: Int, payload: Array[Byte])
 
-  /** Batch resize: decode → resample → re-encode, stubbed with a
-    * deterministic byte down-sample (every k-th byte) standing in for
-    * a real resampler. Same partition-batch shape as [[decodeFeatures]]
-    * — swap the stub for libvips/ffmpeg without touching the plumbing.
-    * Payload size shrinks ~(targetW·targetH)/(w·h), which is the real
-    * scale lever: resize EARLY, before any shuffle carries payloads. */
+  /** Batch resize: decode → resample → re-encode. REAL for JDK-codec
+    * formats (PNG/BMP/GIF/JPEG): bilinear `Graphics2D` resample to
+    * (targetW, targetH), re-encoded as PNG. Other payloads take the
+    * deterministic byte down-sample stub (every k-th byte) standing in
+    * for libvips/ffmpeg. Same partition-batch shape as
+    * [[decodeFeatures]] — a native resampler swaps in without touching
+    * the plumbing. Payload size shrinks ~(targetW·targetH)/(w·h),
+    * which is the real scale lever: resize EARLY, before any shuffle
+    * carries payloads. */
   def resizeBatch(media: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, _) = StubDecoder.decode(r.payload)
-        val ratio = math.max(1.0, (w.toDouble * h) / (targetW.toDouble * targetH))
-        val step = math.max(1, math.round(ratio).toInt)
-        // primitive strided copy — this per-byte loop is the row hot
-        // path, so no Range/boxing allocation
-        val n = r.payload.length
-        val out = new Array[Byte]((n + step - 1) / step)
-        var i = 0; var j = 0
-        while (i < n) { out(j) = r.payload(i); j += 1; i += step }
-        ResizedMedia(r.doc_id, r.modality, targetW, targetH, out)
+        ImageDecoder.readImage(r.payload) match {
+          case Some(img) =>
+            val out = new java.awt.image.BufferedImage(targetW, targetH,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+            g.dispose()
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", baos)
+            ResizedMedia(r.doc_id, r.modality, targetW, targetH, baos.toByteArray)
+          case None =>
+            val (w, h, _) = StubDecoder.decode(r.payload)
+            val ratio = math.max(1.0, (w.toDouble * h) / (targetW.toDouble * targetH))
+            val step = math.max(1, math.round(ratio).toInt)
+            // primitive strided copy — this per-byte loop is the row
+            // hot path, so no Range/boxing allocation
+            val n = r.payload.length
+            val out = new Array[Byte]((n + step - 1) / step)
+            var i = 0; var j = 0
+            while (i < n) { out(j) = r.payload(i); j += 1; i += step }
+            ResizedMedia(r.doc_id, r.modality, targetW, targetH, out)
+        }
       }
     }
   }

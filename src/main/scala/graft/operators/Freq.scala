@@ -23,7 +23,12 @@ import graft.expressions.FreqSketch
   *     runs up to twice the nominal counter budget) broadcast back,
   *     and a broadcast join keeps only candidate rows — the exact
   *     count aggregate then shuffles ≤ 2·capacity distinct keys
-  *     instead of the full item cardinality;
+  *     instead of the full item cardinality. The broadcast therefore
+  *     carries up to 2·capacity·(item bytes) — bounded by
+  *     [[Freq.MaxCandidateBroadcastBytes]] via an up-front estimate,
+  *     since the counter-count ceiling alone
+  *     ([[FreqSketch.MaxCapacity]], 2^24) would admit a multi-GB
+  *     broadcast of long items;
   *  3. the exact counts are thresholded, so sketch error NEVER
   *     reaches the output: same exactness discipline as the Bloom
   *     decontamination path (the sketch trades shuffle volume, not
@@ -33,15 +38,39 @@ import graft.expressions.FreqSketch
   */
 object Freq {
 
+  /** Hard ceiling on the ESTIMATED candidate broadcast:
+    * 2·capacity·(estimatedItemBytes + per-row overhead) must stay
+    * under this, or [[heavyHitters]] refuses up front. 64 MB — within
+    * every production broadcast-size comfort zone (Spark warns at 1 GB,
+    * OOMs follow); a legitimate larger need should shrink `capacity`
+    * (raising `minFraction`'s guaranteed floor) rather than ship a
+    * multi-GB table to every executor. */
+  val MaxCandidateBroadcastBytes: Long = 64L << 20
+
+  /** Conservative per-candidate row overhead (UnsafeRow header + offset
+    * + broadcast hash-relation slot) added to `estimatedItemBytes`. */
+  private val RowOverheadBytes = 48L
+
   /** Items occurring at least `ceil(minFraction · N)` times, with
     * their EXACT counts: (itemCol, n). Correctness needs
     * `capacity ≥ 1/minFraction`; the default 4/minFraction keeps the
     * sketch's N/capacity error at a 4× margin below the threshold.
+    *
+    * @param estimatedItemBytes expected size of ONE item value (UTF-8
+    *        bytes for strings). Sizes the candidate-broadcast guard:
+    *        2·capacity·(estimatedItemBytes + 48) must stay under
+    *        [[MaxCandidateBroadcastBytes]]. Callers with long items
+    *        (URLs, shingles, paragraphs) must raise this to their real
+    *        size — understating it undersizes the check, not the
+    *        result (correctness never depends on it).
     */
   def heavyHitters(df: DataFrame, itemCol: String, minFraction: Double,
-                   capacity: Int = 0): DataFrame = {
+                   capacity: Int = 0,
+                   estimatedItemBytes: Int = 64): DataFrame = {
     require(minFraction > 0.0 && minFraction <= 1.0,
       s"heavyHitters: minFraction must be in (0,1], got $minFraction")
+    require(estimatedItemBytes > 0,
+      s"heavyHitters: estimatedItemBytes must be positive, got $estimatedItemBytes")
     // Long math before narrowing: a tiny minFraction would saturate
     // .toInt at Int.MaxValue and sail past every guard
     val want = math.ceil(4.0 / minFraction).toLong
@@ -53,6 +82,16 @@ object Freq {
       else math.max(16L, want).toInt
     require(cap.toLong >= math.ceil(1.0 / minFraction).toLong,
       s"heavyHitters: capacity $cap cannot guarantee recall at minFraction $minFraction")
+    // the candidate broadcast is 2·cap rows of item + row overhead;
+    // refuse a plan that would ship tens of MBs to every executor
+    // before any job runs (the counter ceiling alone allows 2^24
+    // counters — GBs of broadcast for long items)
+    val estBroadcast = 2L * cap * (estimatedItemBytes + RowOverheadBytes)
+    require(estBroadcast <= MaxCandidateBroadcastBytes,
+      s"heavyHitters: estimated candidate broadcast ${estBroadcast >> 20} MB " +
+        s"(2 x $cap candidates x ($estimatedItemBytes + $RowOverheadBytes) bytes) exceeds " +
+        s"${MaxCandidateBroadcastBytes >> 20} MB — lower capacity/raise minFraction, " +
+        "or correct estimatedItemBytes if items are smaller")
     val sketch = FreqSketch(Bridge.expression(col(itemCol)), cap)
       .toAggregateExpression()
     // ONE summary aggregate (sketch + total in the same scan), consumed

@@ -62,4 +62,24 @@ class FreqSpec extends AnyFunSuite {
       Freq.heavyHitters(skewed, "w", minFraction = 0.001, capacity = 10)
     }
   }
+
+  test("heavyHitters refuses a candidate broadcast estimated over the byte budget") {
+    // the counter ceiling alone (2^24) would admit a multi-GB
+    // broadcast; the byte guard must catch it before any job runs.
+    // 2^22 counters x 2 x (64+48)B ≈ 896 MB >> 64 MB
+    val e1 = intercept[IllegalArgumentException] {
+      Freq.heavyHitters(skewed, "w", minFraction = 1e-6, capacity = 1 << 22)
+    }
+    assert(e1.getMessage.contains("broadcast"))
+    // long items blow the budget at a capacity short strings survive:
+    // 300k counters x 2 x (4096+48)B ≈ 2.3 GB
+    val e2 = intercept[IllegalArgumentException] {
+      Freq.heavyHitters(skewed, "w", minFraction = 1e-5, capacity = 300000,
+        estimatedItemBytes = 4096)
+    }
+    assert(e2.getMessage.contains("estimatedItemBytes"))
+    // and the same capacity with honest small items is admissible —
+    // the guard keys on bytes, not counter count
+    Freq.heavyHitters(skewed, "w", minFraction = 1e-5, capacity = 262144)
+  }
 }

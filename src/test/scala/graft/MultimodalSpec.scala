@@ -31,6 +31,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  /** A real w×h image encoded with the JDK's own codec (no external
+    * libraries) — the planted payload for the real-decode specs. */
+  private def imageBytes(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, baos)
+    baos.toByteArray
+  }
+
+  test("real PNG/BMP payloads decode to true dimensions and channels") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "image", imageBytes(7, 5, "png"), "image/png",
+        imageBytes(7, 5, "png").length.toLong),
+      (2L, "image", imageBytes(13, 3, "bmp"), "image/bmp",
+        imageBytes(13, 3, "bmp").length.toLong),
+      (3L, "image", "not an image at all, just text".getBytes("UTF-8"),
+        "image/fake", 30L))
+      .toDF("doc_id", "modality", "payload", "media_type", "n_bytes")
+    val feats = Multimodal.decodeFeatures(rows).collect()
+      .map(f => f.doc_id -> f).toMap
+    // true dims from the real codec, channels from the color model
+    assert(feats(1L).width == 7 && feats(1L).height == 5)
+    assert(feats(1L).codec == "imageio" && feats(1L).channels == 3)
+    assert(feats(2L).width == 13 && feats(2L).height == 3)
+    assert(feats(2L).codec == "imageio")
+    // non-image payloads take the stub, never error
+    assert(feats(3L).codec == "stub")
+  }
+
+  test("real image resize re-encodes a true target-size PNG") {
+    import spark.implicits._
+    val src = imageBytes(64, 48, "png")
+    val rows = Seq((1L, "image", src, "image/png", src.length.toLong))
+      .toDF("doc_id", "modality", "payload", "media_type", "n_bytes")
+    val out = Multimodal.resizeBatch(rows, 16, 12).collect()(0)
+    assert(out.width == 16 && out.height == 12)
+    // the output payload is itself a decodable PNG with the target dims
+    val d = Multimodal.ImageDecoder.decode(out.payload)
+    assert(d.codec == "imageio" && d.width == 16 && d.height == 12)
+  }
+
   test("frame sample plan caps frames and strides deterministically") {
     val planned = Multimodal.frameSamplePlan(media, stride = 10, maxFrames = 8)
     val r = planned.select(size(col("sampled_frames")).as("n")).collect()

@@ -63,6 +63,30 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("declared q45_bucketed_join plan: sort-merge on bucketed scans, no hash exchange") {
+    // the declared-query version of the contract above: the join AND
+    // the follow-on aggregate ride the bucket partitioning (group key
+    // = bucket key), so the only exchange in the whole plan is the
+    // output ORDER BY's range partitioning
+    val q = SparkEntry.queries("q45_bucketed_join")(spark, SparkT.sfDir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "bucketed join/agg must not shuffle:\n" + p.take(1200))
+    assert("Bucketed: true".r.findAllIn(p).length >= 2, p.take(1200))
+  }
+
+  test("declared q44_skew_join plan: broadcast hot path + shuffle tail, result = plain join") {
+    val q = SparkEntry.queries("q44_skew_join")(spark, SparkT.sfDir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    // both routes must exist: a broadcast join for the hot slice and
+    // an ordinary join for the tail, unioned
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("Union"), p.take(1500))
+  }
+
   test("sinks round-trip: csv and json preserve values, parquet/orc preserve schema") {
     val d = SparkT.table("nation")
     val base = java.nio.file.Files.createTempDirectory("graft_sinks").toString
