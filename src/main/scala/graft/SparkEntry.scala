@@ -517,6 +517,20 @@ object SparkEntry {
         .orderBy(col("l_orderkey").asc)
     }),
 
+    "q47_epoch_shuffle" -> ((s, dir) =>
+      // deterministic epoch-stable corpus shuffle — the data-order
+      // primitive of a pretraining pipeline: a different but exactly
+      // reproducible permutation per epoch, independent of partition
+      // layout and executor count (ORDER BY rand(seed) is neither).
+      // Cost = ONE range exchange, the same shape as any sorted write.
+      // Epoch 3's permutation, key exposed so the oracle checks the
+      // hash values bit-for-bit, not just the ordering.
+      graft.operators.Shuffle.epochShuffle(
+        t(s, dir, "documents").select(col("doc_id"),
+          graft.operators.Shuffle.shuffleKey(col("doc_id"), 3)
+            .as("shuffle_key")),
+        "doc_id", 3)),
+
     "q46_orc_roundtrip" -> ((s, dir) => {
       // ORC round-trip gate: lineitem written as ORC (once per JVM/sf
       // dir — setup, not the measured read), read back through the ORC
@@ -1638,6 +1652,20 @@ object SparkEntry {
            count(*) AS n
          FROM lineitem WHERE l_quantity >= 30
          GROUP BY 1 ORDER BY 1""",
+
+    "q47_epoch_shuffle" ->
+      """WITH a AS (
+           SELECT doc_id,
+             ((doc_id % 2147483647) * 69621 + 344198) % 2147483647 AS t1
+           FROM documents),
+         b AS (
+           SELECT doc_id,
+             (xor(t1, t1 >> 15) * 1664525 + 1013904223) % 2147483647 AS h1
+           FROM a)
+         SELECT doc_id,
+           (xor(h1, h1 >> 13) * 22695477 + 77557187) % 2147483647 AS shuffle_key
+         FROM b
+         ORDER BY shuffle_key, doc_id""",
 
     "q38_asof_native" ->
       """WITH e AS (
