@@ -64,6 +64,12 @@ object Multimodal {
     * payloads fall back to [[StubDecoder]] — the pipeline is total
     * either way, the `codec` field says which path ran. */
   object ImageDecoder {
+    // ImageIO defaults to a DISK-backed stream cache: every read()
+    // from an InputStream creates (and deletes) a temp file — a
+    // per-row filesystem round-trip in the executor hot path. The
+    // payloads are already in memory; cache in memory.
+    javax.imageio.ImageIO.setUseCache(false)
+
     private def isImage(p: Array[Byte]): Boolean =
       p.length >= 8 && (
         // PNG: 89 'P' 'N' 'G'
