@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+import graft.operators.{Freq, Shuffle, Skew}
+
+/** Degenerate-input robustness: empty corpora and all-null columns are
+  * routine at scale (empty partitions, filtered-out shards, corrupt
+  * upstream batches) — every operator must return an empty/neutral
+  * result, never throw. */
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark = SparkT.spark
+
+  private def emptyDocs: DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  private def nullTextDocs: DataFrame = {
+    import spark.implicits._
+    Seq((1L, null: String), (2L, null: String), (3L, "real text here okay"))
+      .toDF("doc_id", "text")
+  }
+
+  test("dedup family returns empty results on an empty corpus") {
+    assert(Dedup.exact(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.minHashLshPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minHashLshPairs(emptyDocs, "doc_id", "text",
+      threshold = 1.0, spanning = true).count() == 0)
+    assert(Dedup.simHashPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.crossDedup(emptyDocs, emptyDocs, "doc_id", "text",
+      threshold = 1.0, spanning = true).count() == 0)
+    assert(Dedup.dedupNear(emptyDocs, "doc_id",
+      Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text")).count() == 0)
+  }
+
+  test("null text never pairs, never throws; non-null rows still process") {
+    val pairs = Dedup.minHashLshPairs(nullTextDocs, "doc_id", "text",
+      threshold = 1.0, spanning = true)
+    // null texts have no shingles: jaccard(∅,∅)=0 < 1.0 — no pairs
+    assert(pairs.count() == 0)
+    val kept = Dedup.exact(nullTextDocs, "text", "doc_id")
+    // exact dedup groups nulls by fingerprint(null); all three rows
+    // survive or nulls collapse to one — either way no throw and the
+    // real row survives
+    assert(kept.filter(col("doc_id") === 3L).count() == 1)
+  }
+
+  test("heavyHitters on an empty stream returns no hitters") {
+    assert(Freq.heavyHitters(emptyDocs.select(col("text")), "text", 0.01)
+      .count() == 0)
+  }
+
+  test("epochShuffle of an empty frame is empty; single row is itself") {
+    import spark.implicits._
+    assert(Shuffle.epochShuffle(emptyDocs, "doc_id", 1).count() == 0)
+    val one = Seq((42L, "x")).toDF("doc_id", "text")
+    assert(Shuffle.epochShuffle(one, "doc_id", 9).collect()
+      .map(_.getLong(0)).toSeq == Seq(42L))
+  }
+
+  test("saltedSummarise and skewAwareJoin handle empty inputs") {
+    import spark.implicits._
+    val empty = emptyDocs.select(col("doc_id"),
+      lit(1.0).as("v")).filter(lit(false))
+    assert(Skew.saltedSummarise(empty, Seq("doc_id"), salts = 4,
+      ("s", "v", "sum")).count() == 0)
+    val right = Seq((1L, "a")).toDF("doc_id", "tag")
+    assert(Skew.skewAwareJoin(emptyDocs, right, "doc_id",
+      hotThreshold = 10).count() == 0)
+  }
+}
