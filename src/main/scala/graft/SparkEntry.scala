@@ -32,8 +32,13 @@ object SparkEntry {
   private def g(s: SparkSession, dir: String, name: String): GraftFrame =
     GraftFrame(t(s, dir, name))
 
-  private[graft] val Q45LineitemTable = "graft_q45_lineitem_b"
-  private[graft] val Q45OrdersTable = "graft_q45_orders_b"
+  // pid-suffixed: the warehouse directory is shared host-wide (cwd
+  // relative), so concurrent JVMs must not overwrite each other's
+  // managed-table locations mid-read
+  private[graft] val Q45LineitemTable =
+    s"graft_q45_lineitem_b_${ProcessHandle.current().pid()}"
+  private[graft] val Q45OrdersTable =
+    s"graft_q45_orders_b_${ProcessHandle.current().pid()}"
   private val bucketedWrittenFor = new java.util.concurrent.atomic.AtomicReference[String]()
 
   /** Write the q45 bucketed tables once per (JVM, sf dir): 16 buckets
@@ -71,9 +76,12 @@ object SparkEntry {
 
   /** Write lineitem as ORC once per (JVM, sf dir) — the q46 setup,
     * same memo discipline as [[ensureBucketedTables]]. Returns the
-    * ORC directory. */
+    * ORC directory. The path carries the pid so two JVMs on one host
+    * (a Bench run beside a Verify run) can't race one process's
+    * overwrite against the other's read. */
   private[graft] def ensureOrcWritten(s: SparkSession, dir: String): String = {
     val path = s"${sys.props("java.io.tmpdir")}/graft_q46_orc_" +
+      s"${ProcessHandle.current().pid()}_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
     synchronized {
       if (orcWrittenFor.get() != dir) {
@@ -487,13 +495,20 @@ object SparkEntry {
       // plain inner join no matter which keys the sample flags —
       // classification moves rows between physical strategies, never
       // in or out of the result.
+      //
+      // hotThreshold = 20: at 5% sampling the hot cutoff is one
+      // sampled occurrence, so ~30% of orderkeys (≤7 lineitems each)
+      // classify hot and BOTH routes carry real rows — a higher
+      // threshold would leave the broadcast route empty on TPC-H's
+      // unskewed keys and gate it vacuously (SourcesSpec asserts both
+      // routes' runtime row counts are nonzero).
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       val ord = t(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"),
           col("o_totalprice"))
       graft.operators.Skew.skewAwareJoin(li, ord, "l_orderkey",
-          hotThreshold = 100)
+          hotThreshold = 20)
         .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
     }),
 
@@ -1668,15 +1683,19 @@ object SparkEntry {
     "q47_epoch_shuffle" ->
       """WITH a AS (
            SELECT doc_id,
-             ((doc_id % 2147483647) * 69621 + 344198) % 2147483647 AS t1
+             xor(doc_id, (doc_id >> 32) + 344198) AS t0
            FROM documents),
          b AS (
            SELECT doc_id,
+             ((t0 % 2147483647) * 69621 + 344198) % 2147483647 AS t1
+           FROM a),
+         c AS (
+           SELECT doc_id,
              (xor(t1, t1 >> 15) * 1664525 + 1013904223) % 2147483647 AS h1
-           FROM a)
+           FROM b)
          SELECT doc_id,
            (xor(h1, h1 >> 13) * 22695477 + 77557187) % 2147483647 AS shuffle_key
-         FROM b
+         FROM c
          ORDER BY shuffle_key, doc_id""",
 
     "q38_asof_native" ->

@@ -81,13 +81,37 @@ object Multimodal {
         // GIF: 'G' 'I' 'F'
         (p(0) == 'G' && p(1) == 'I' && p(2) == 'F'))
 
-    /** Real image bytes → BufferedImage; None for anything else. */
+    /** Refuse to decode anything claiming more pixels than this
+      * (64 MP ≈ 256 MB ARGB raster): garbage bytes that pass the
+      * 2-byte magic sniff (any text starting "BM…") would otherwise
+      * drive the codec to allocate a raster sized by garbage header
+      * fields — an OutOfMemoryError, which no Exception handler
+      * catches. Dimensions are read from the HEADER ONLY first. */
+    val MaxPixels: Long = 64L * 1024 * 1024
+
+    /** Real image bytes → BufferedImage; None for anything else
+      * (wrong magic, corrupt header, absurd dims, codec failure). */
     def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
       if (!isImage(payload)) None
       else try {
-        Option(javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload)))
-      } catch { case _: Exception => None }
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              // header-only: no pixel allocation happens here
+              val w = reader.getWidth(0).toLong
+              val h = reader.getHeight(0).toLong
+              if (w <= 0 || h <= 0 || w * h > MaxPixels) None
+              else Option(reader.read(0))
+            } finally reader.dispose()
+          }
+        } finally if (iis != null) iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
 
     def decode(payload: Array[Byte]): Decoded =
       readImage(payload) match {

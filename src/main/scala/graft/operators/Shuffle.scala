@@ -42,17 +42,34 @@ object Shuffle {
     * so a pure-LCG "shuffle" of consecutive ids is the identity order
     * locally. xor of a value with its own shifted self is not
     * expressible as an affine map mod P; two such rounds interleaved
-    * with mod-P multiplies give measured avalanche (0/499 adjacent-id
-    * pairs still adjacent after ordering; rank correlation ≈ −0.05;
-    * 4/500 positions shared between epochs — ShuffleSpec pins the
+    * with mod-P multiplies give measured avalanche (4/499 adjacent-id
+    * pairs still adjacent after ordering; rank correlation ≈ −0.04;
+    * 1/500 positions shared between epochs — ShuffleSpec pins the
     * contracts).
+    *
+    * The key is 31 bits, so distinct ids collide at the birthday rate
+    * (~N²/2^32 pairs corpus-wide); the epoch-keyed pre-mix makes the
+    * collision classes DIFFER per epoch, so a pair tied in one
+    * epoch's order (broken by ascending id) is unordered-biased in no
+    * other — without the pre-mix, ids congruent mod P would tie the
+    * same way in every epoch.
     *
     * Every intermediate stays under 2^63 (max t·mult ≈ 2^32·22695477
     * < 2^57): no Spark Long wrap, no DuckDB BIGINT overflow error —
     * bit-for-bit replayable. xor and >> agree across engines because
-    * every intermediate is non-negative. */
+    * every intermediate is non-negative (ids must be ≥ 0). */
   def shuffleKey(id: Column, epoch: Int): Column = {
-    val t1 = ((id % lit(P)) * lit(Mult) + lit(Add + epoch.toLong * EpochStride)) % lit(P)
+    // Fold the HIGH 32 id bits in (epoch-keyed) BEFORE the mod-P
+    // reduction: a bare `id % P` first step would give every pair of
+    // ids congruent mod P an identical key in EVERY epoch — with the
+    // ascending-id tiebreak, ids {x, x+P, x+2P, …} would emit in the
+    // same relative order every epoch, a systematic bias at corpora
+    // past 2^31 documents. Epoch inside the pre-mix also makes the
+    // residual 31-bit collision CLASSES differ per epoch, so no pair
+    // of ids ties in two different epochs' orders. id must be
+    // non-negative (engine >> semantics on negatives differ).
+    val t0 = id.bitwiseXOR(shiftright(id, 32) + lit(Add + epoch.toLong * EpochStride))
+    val t1 = ((t0 % lit(P)) * lit(Mult) + lit(Add + epoch.toLong * EpochStride)) % lit(P)
     val t2 = t1.bitwiseXOR(shiftright(t1, 15))
     val h1 = (t2 * lit(1664525L) + lit(1013904223L)) % lit(P)
     val t3 = h1.bitwiseXOR(shiftright(h1, 13))

@@ -1,11 +1,11 @@
 package graft.tools
 
-import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.SparkSession
-import graft.SparkEntry
+import graft.{SparkEntry, Verify}
 
 /** Dev tool: Verify for a SUBSET of queries — iterate on one operator
-  * without replaying the whole 88-query dump.
+  * without replaying the whole multi-minute dump. Same session, dump
+  * loop, and oracle-JSON escaping as the full `graft.Verify` (shared
+  * core), so the subset run cannot silently diverge from the gate.
   *
   * Usage: runMain graft.tools.QuickVerify <sfDir> <outDir> <query...>
   * Then:  python3 tools/oracle_check.py <outDir> <sfDir>
@@ -13,39 +13,13 @@ import graft.SparkEntry
 object QuickVerify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1); val names = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(q => names.contains(q._1)).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        println(f"[quick-verify] $name%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
-      } catch { case e: Throwable =>
-        System.err.println(s"[quick-verify] $name FAILED: ${e.getMessage}")
-      }
-    }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.filter(o => names.contains(o._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    // a typo'd name must fail loudly — silently matching nothing would
+    // dump an empty oracle set that oracle_check reports as a green
+    // "0/0 queries match"
+    val unknown = names.diff(SparkEntry.queries.keySet)
+    require(names.nonEmpty && unknown.isEmpty,
+      s"QuickVerify: unknown query names: ${unknown.mkString(", ")} " +
+        s"(valid: ${SparkEntry.queries.keySet.toSeq.sorted.take(8).mkString(", ")}, ...)")
+    Verify.run(sfDir, outDir, names, verbose = true)
   }
 }

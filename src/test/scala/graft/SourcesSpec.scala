@@ -79,12 +79,46 @@ class SourcesSpec extends AnyFunSuite {
 
   test("declared q44_skew_join plan: broadcast hot path + shuffle tail, result = plain join") {
     val q = SparkEntry.queries("q44_skew_join")(spark, SparkT.sfDir)
+    val n = q.count()
+    val plain = SparkT.table("lineitem")
+      .join(SparkT.table("orders"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(n == plain, s"skew join produced $n rows, plain join $plain")
     q.collect()
-    val p = q.queryExecution.executedPlan.toString
+    val exec = q.queryExecution.executedPlan
+    val finalPlan = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val p = finalPlan.toString
     // both routes must exist: a broadcast join for the hot slice and
     // an ordinary join for the tail, unioned
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
     assert(p.contains("Union"), p.take(1500))
+    // ...and both must CARRY rows at runtime — with a threshold the
+    // data never crosses, the hot route would be empty and the gate
+    // vacuous (a duplication/loss bug in either route invisible).
+    // AQE wraps materialized subtrees in QueryStageExec whose plan is
+    // not a child — traverse through them explicitly.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def allNodes(pl: SparkPlan): Seq[SparkPlan] = {
+      val kids = pl match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      pl +: kids.flatMap(allNodes)
+    }
+    val joinRows = allNodes(finalPlan).collect {
+      case j if j.nodeName.contains("Join") =>
+        j.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+    }
+    assert(joinRows.count(_ > 0) >= 2,
+      s"both skew-join routes must process rows, got join row counts: $joinRows")
   }
 
   test("sinks round-trip: csv and json preserve values, parquet/orc preserve schema") {
