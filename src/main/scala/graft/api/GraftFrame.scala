@@ -133,9 +133,14 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
       d.withColumn(name, expr)
     })
 
-  /** `transmute(...)` — mutate then keep only the new columns. */
-  def transmute(pairs: (String, Column)*): GraftFrame =
-    GraftFrame(mutate(pairs: _*).df.select(pairs.map(_._1).map(col): _*))
+  /** `transmute(...)` — mutate then keep only the new columns, PLUS
+    * the grouping variables: dplyr's transmute always retains them
+    * (dropping them would silently turn the next summarise global). */
+  def transmute(pairs: (String, Column)*): GraftFrame = {
+    val newNames = pairs.map(_._1)
+    val keep = groupCols.filterNot(newNames.contains) ++ newNames
+    copy(df = mutate(pairs: _*).df.select(keep.map(col): _*))
+  }
 
   /** `arrange(...)` — dplyr NA placement: nulls last when ascending,
     * nulls first when descending (reference: R/arrange.R). Build sort
@@ -304,6 +309,20 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
                        tieBreak: Seq[Column]): GraftFrame = {
     require(groupCols.nonEmpty,
       "sliceMaxAgg/sliceMinAgg need group context; ungrouped top-n is sort+limit (sliceMax)")
+    // encodeKey's cast("double") turns a non-castable key into null for
+    // EVERY row (all rows tie as class 2) — the aggregate would then
+    // silently keep arbitrary rows. Enforce the documented numeric
+    // contract up front; one analysis-only projection, no job.
+    (orderBy +: tieBreak).foreach { k =>
+      val dt = df.select(k).schema.head.dataType
+      val ok = dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.BooleanType ||
+        dt == org.apache.spark.sql.types.DateType ||
+        dt == org.apache.spark.sql.types.TimestampType
+      require(ok, s"sliceMaxAgg/sliceMinAgg: ordering key has type $dt — " +
+        "keys must be numeric (or boolean/date/timestamp); use the window " +
+        "twin sliceMax for arbitrary orderable types")
+    }
     val payload = struct(df.columns.map(col): _*)
     val keys = encodeKey(orderBy, descending) ++
       tieBreak.flatMap(encodeKey(_, desc = false))
@@ -385,14 +404,22 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
       val out = pairs.foldLeft(df) { case (d, (name, expr)) =>
         val aggCols = scala.collection.mutable.ArrayBuffer[Column]()
         val names = scala.collection.mutable.ArrayBuffer[String]()
-        val e2 = Bridge.expression(expr).transformUp {
-          case e if isAgg(e) =>
+        // explicit recursion, not transformUp: a subtree the USER
+        // already windowed (`sum(x).over(...)`) must be left whole —
+        // hoisting its inner aggregate into a scalar agg would move a
+        // window function into an aggregate context and fail analysis
+        def hoist(e: org.apache.spark.sql.catalyst.expressions.Expression)
+            : org.apache.spark.sql.catalyst.expressions.Expression = e match {
+          case w: WindowExpression => w
+          case a if isAgg(a) =>
             val nm = s"__graft_agg_$tempId"
             tempId += 1
-            aggCols += Bridge.column(e).as(nm)
+            aggCols += Bridge.column(a).as(nm)
             names += nm
             UnresolvedAttribute(nm)
+          case other => other.mapChildren(hoist)
         }
+        val e2 = hoist(Bridge.expression(expr))
         if (aggCols.isEmpty) d.withColumn(name, expr)
         else {
           d.crossJoin(broadcast(d.agg(aggCols.head, aggCols.tail.toSeq: _*)))
@@ -407,10 +434,16 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
         Nil,
         SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing))
       copy(df = pairs.foldLeft(df) { case (d, (name, expr)) =>
-        val wrapped = Bridge.expression(expr).transformUp {
-          case e if isAgg(e) => WindowExpression(e, spec)
+        // explicit recursion: an aggregate the user already windowed
+        // keeps its own spec — wrapping it again would nest window
+        // expressions, which analysis rejects
+        def wrap(e: org.apache.spark.sql.catalyst.expressions.Expression)
+            : org.apache.spark.sql.catalyst.expressions.Expression = e match {
+          case w: WindowExpression => w
+          case a if isAgg(a) => WindowExpression(a, spec)
+          case other => other.mapChildren(wrap)
         }
-        d.withColumn(name, Bridge.column(wrapped))
+        d.withColumn(name, Bridge.column(wrap(Bridge.expression(expr))))
       })
     }
   }
@@ -447,13 +480,22 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
         .rowsBetween(Window.unboundedPreceding, 0)
       val filled = cols.foldLeft(ranged)((d, c) =>
         d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-      // carry-out per partition = the filled values on its last row
-      // (max __rid); one row per partition, so everything downstream
-      // of this aggregate is sized by partition COUNT, not data
-      val lastRow = filled.groupBy("__pid")
-        .agg(max(struct(col("__rid") +: cols.map(col): _*)).as("__s"))
+      // carry-out per partition = the last NON-NULL value per column in
+      // __rid order — computed from `ranged` (pre-fill), NOT `filled`:
+      // carry-forward's last row per partition IS its last non-null,
+      // so the values are identical, but aggregating the pre-window
+      // branch means the expensive carry-forward window runs ONCE (the
+      // output branch) instead of once per branch; the bounds branch
+      // costs one partial max-aggregate over the ReuseExchange-shared
+      // shuffle. One row per partition either way, so everything
+      // downstream of this aggregate is sized by partition COUNT.
+      val lastNonNull = cols.map(c => max(when(col(c).isNotNull,
+        struct(col("__rid"), col(c)))).as(s"__s_$c"))
+      val lastRow = ranged.groupBy("__pid")
+        .agg(lastNonNull.head, lastNonNull.tail: _*)
       val bounds = cols.foldLeft(lastRow)((d, c) =>
-        d.withColumn(c, col("__s").getField(c))).drop("__s")
+        d.withColumn(c, col(s"__s_$c").getField(c)))
+        .drop(cols.map(c => s"__s_$c"): _*)
       val wp = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
       val carries = cols.foldLeft(bounds)((d, c) =>
           d.withColumn(c, last(col(c), ignoreNulls = true).over(wp)))
@@ -533,6 +575,8 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
     * alone would silently skip them AND their separator, making
     * ("x", null) and ("x",) indistinguishable. */
   def unite(newCol: String, cols: Seq[String], sep: String = "_"): GraftFrame = {
+    require(cols.nonEmpty,
+      "unite: need at least one source column (an empty list would silently not create the output column)")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"unite: no column(s) ${missing.mkString(", ")}")
     val united = concat_ws(sep,
@@ -697,7 +741,14 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
     val rightCols = rightNonKey.map { c =>
       r(c).as(if (rightClash(c)) c + suffix._2 else c)
     }
-    GraftFrame(joined.select(keyCols ++ leftCols ++ rightCols: _*))
+    // dplyr: mutating joins take the grouping from x. A grouping
+    // column that clashed follows its rename (dplyr regroups on the
+    // new name); key-named groups keep the left-key output name.
+    val regrouped = groupCols.map { c =>
+      if (leftNonKey.contains(c) && leftClash(c)) c + suffix._1 else c
+    }
+    copy(df = joined.select(keyCols ++ leftCols ++ rightCols: _*),
+      groupCols = regrouped)
   }
 
   private def sameName(keys: Seq[String]) = keys.map(k => (k, k))
@@ -748,8 +799,19 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
     */
   def bindCols(other: GraftFrame): GraftFrame = {
     val leftNames = df.columns
+    // the rename target must be fresh against left names, right names
+    // that stay, AND previously assigned renames — "x" → "x_rhs" when
+    // the right side already has an "x_rhs" column would emit two
+    // columns with one name (ambiguous-reference errors downstream)
+    val used = scala.collection.mutable.Set((leftNames ++ other.df.columns): _*)
     val rightNames = other.df.columns.map { c =>
-      if (leftNames.contains(c)) c + "_rhs" else c
+      if (!leftNames.contains(c)) c
+      else {
+        var n2 = c + "_rhs"
+        while (used.contains(n2)) n2 += "_rhs"
+        used += n2
+        n2
+      }
     }
     val l = GraftFrame.withRowIndex(df, "__graft_idx")
       .withColumn("__graft_l", lit(true))

@@ -34,6 +34,12 @@ object GraftSession {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.expressions.GraftFunctions.register(spark)
+    // getOrCreate may have returned a PRE-EXISTING session built
+    // without graft's extensions — withExtensions only applies at
+    // creation time, so the native strategies (as-of join) and the
+    // optimizer rule would silently be missing. Detect and retrofit
+    // via the post-creation route init() uses.
+    if (!graft.plans.GraftExtensions.isInstalled(spark)) init(spark)
     spark
   }
 
@@ -114,7 +120,10 @@ object GraftSession {
     val it = trackedPersists.iterator()
     while (it.hasNext) {
       val (ref, df) = it.next()
-      if (ref.get == null) { df.unpersist(); it.remove() }
+      // blocking: unpersist() defaults to async block removal, so the
+      // after-measurement below would run before anything was actually
+      // freed and report ~0 bytes reclaimed
+      if (ref.get == null) { df.unpersist(blocking = true); it.remove() }
       else if (!df.storageLevel.useMemory && !df.storageLevel.useDisk)
         it.remove() // caller unpersisted it themselves; stop tracking
     }
@@ -128,8 +137,14 @@ object GraftSession {
     * frames' cached state. */
   def gcAll(spark: SparkSession): Long = {
     val before = memoryState(spark)("storage_remaining")
-    spark.catalog.clearCache()
+    // tracked frames first, BLOCKING, so their bytes are observably
+    // freed before the after-measurement; catalog.clearCache() has no
+    // blocking variant, so non-graft caches may free asynchronously
+    // and the returned estimate is a lower bound for those
+    val it = trackedPersists.iterator()
+    while (it.hasNext) { it.next()._2.unpersist(blocking = true) }
     trackedPersists.clear()
+    spark.catalog.clearCache()
     System.gc()
     memoryState(spark)("storage_remaining") - before
   }

@@ -484,4 +484,67 @@ class GraftFrameSpec extends AnyFunSuite {
     assert(f.dims == (3L, 3))
     assert(f.schema.fieldNames.toSeq == Seq("id", "name", "v"))
   }
+
+  test("mutating joins preserve x's grouping (dplyr contract)") {
+    val left = Seq(("a", 1, 10), ("a", 2, 20), ("b", 3, 30)).toDF("g", "k", "v")
+    val dims = Seq((1, "one"), (2, "two"), (3, "three")).toDF("k", "lbl")
+    val out = GraftFrame(left).groupBy("g")
+      .leftJoin(GraftFrame(dims), Seq("k"))
+      .summarise("n" -> count(lit(1)))
+      .arrangeBy("g").df.collect()
+    // one row PER GROUP — not one global row
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 2L), ("b", 1L)))
+    // a suffixed grouping column follows its rename
+    val clash = Seq((1, "x")).toDF("k", "g") // right also has "g"
+    val j = GraftFrame(left).groupBy("g").innerJoin(GraftFrame(clash), Seq("k"))
+    assert(j.groupVars == Seq("g_x"))
+    assert(j.names.contains("g_x") && j.names.contains("g_y"))
+  }
+
+  test("transmute retains grouping variables (dplyr contract)") {
+    val d = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("g", "v")
+    val t = GraftFrame(d).groupBy("g").transmute("v2" -> col("v") * 2)
+    assert(t.names == Seq("g", "v2"))
+    val out = t.summarise("s" -> sum(col("v2"))).arrangeBy("g").df.collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1).toInt)).toSeq ==
+      Seq(("a", 6), ("b", 6)))
+  }
+
+  test("sliceMaxAgg rejects non-numeric ordering keys instead of silent nulls") {
+    val d = Seq(("a", "zed"), ("a", "alpha")).toDF("g", "name")
+    intercept[IllegalArgumentException] {
+      GraftFrame(d).groupBy("g").sliceMaxAgg(col("name"), 1)
+    }
+  }
+
+  test("mutateGrouped leaves user-windowed aggregates un-rewrapped") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 5.0))
+      .toDF("g", "t", "x")
+    // explicit running-sum window inside a grouped mutate: must not be
+    // wrapped in the group window again (nested windows fail analysis)
+    val out = GraftFrame(d).groupBy("g").mutateGrouped(
+        "cum" -> sum(col("x")).over(
+          Window.partitionBy(col("g")).orderBy(col("t"))))
+      .arrangeBy("g", "t").df.collect()
+    assert(out.map(_.getDouble(3)).toSeq == Seq(10.0, 30.0, 5.0))
+    // and the ungrouped hoist path tolerates a user window too
+    val out2 = GraftFrame(d).mutateGrouped(
+        "cum" -> sum(col("x")).over(Window.partitionBy(col("g")).orderBy(col("t"))))
+      .arrangeBy("g", "t").df.collect()
+    assert(out2.map(_.getDouble(3)).toSeq == Seq(10.0, 30.0, 5.0))
+  }
+
+  test("unite refuses an empty source list; bindCols uniquifies _rhs clashes") {
+    intercept[IllegalArgumentException] {
+      GraftFrame(df3).unite("key", Seq())
+    }
+    val l = Seq((1, 2)).toDF("x", "y")
+    val r = Seq((3, 4)).toDF("x", "x_rhs")
+    val bound = GraftFrame(l).bindCols(GraftFrame(r))
+    assert(bound.names.distinct.length == bound.names.length,
+      s"duplicate output names: ${bound.names}")
+    assert(bound.names.toSet == Set("x", "y", "x_rhs", "x_rhs_rhs"))
+  }
 }
