@@ -397,8 +397,10 @@ object Kernels {
     while (firstNonSpace < len && str.charAt(firstNonSpace) == ' ') firstNonSpace += 1
     var lastNonSpace = len - 1
     while (lastNonSpace >= firstNonSpace && str.charAt(lastNonSpace) == ' ') lastNonSpace -= 1
-    def isWs(c: Char): Boolean =
-      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    // the shared regex-\s set — one definition (isJavaWs) so the
+    // token-count semantics can never silently desynchronize from the
+    // shingling/normalization kernels
+    def isWs(c: Char): Boolean = isJavaWs(c)
     var nTokens = 0
     var inToken = false
     var i = 0

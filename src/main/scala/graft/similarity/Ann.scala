@@ -71,12 +71,24 @@ object Ann {
                   // EXACTLY the SQL twin's arithmetic (and operation
                   // order): integer dots cast to double, then
                   // sign(d)*d*d/(na*nb) — bit-identical across engines
+                  if (qv.length != qQuant(qi).length)
+                    throw new IllegalArgumentException(
+                      s"bruteForceTopK: corpus vector dim ${qv.length} != " +
+                        s"query vector dim ${qQuant(qi).length} — mixed-dimension " +
+                        "data is a pipeline bug; failing fast beats a silent " +
+                        "prefix dot product")
                   val d = longDot(qv, qQuant(qi)).toDouble
                   val nb = qNb(qi)
                   if (na == 0 || nb == 0) 0.0
                   else math.signum(d) * d * d / (na * nb)
                 } else {
                   val q = qs(qi)._2
+                  if (vec.length != q.length)
+                    throw new IllegalArgumentException(
+                      s"bruteForceTopK: corpus vector dim ${vec.length} != " +
+                        s"query vector dim ${q.length} — mixed-dimension data " +
+                        "is a pipeline bug; failing fast beats a silent prefix " +
+                        "dot product (or an out-of-bounds crash)")
                   var dot = 0.0; var sna = 0.0; var snb = 0.0; var i = 0
                   while (i < vec.length) {
                     val x = vec(i).toDouble; val y = q(i).toDouble
@@ -251,7 +263,13 @@ object Ann {
         else corpus.sample(withReplacement = false,
           math.min(1.0, maxTrainRows * 4.0 / n), seed)
       }
-    base.select(col(vecCol).cast("array<float>")).limit(maxTrainRows)
+    // shuffle BEFORE the limit: CollectLimit drains partitions in
+    // order, so `sample.limit(max)` would keep only the sampled rows
+    // from the FIRST partitions — reintroducing the head-of-table bias
+    // the uniform sample exists to remove. The rand sort touches only
+    // the ~4×maxTrainRows sampled rows, not the corpus.
+    base.select(col(vecCol).cast("array<float>"))
+      .orderBy(rand(seed + 1)).limit(maxTrainRows)
       .collect().map(_.getSeq[Float](0).toArray)
   }
 
@@ -352,6 +370,10 @@ object Ann {
     val spark = corpus.sparkSession
     val train = trainSample(corpus, vecCol, trainFraction, maxTrainRows, seed)
     require(train.nonEmpty, "pq: empty training sample")
+    require(ksub >= 2 && ksub <= 256,
+      s"pq: ksub=$ksub — codes are stored as one byte per subspace, so at " +
+        "most 256 sub-centroids (values past 255 would silently wrap and " +
+        "score against the wrong LUT entries)")
     val dim = train(0).length
     require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
     val sub = dim / m
@@ -481,6 +503,9 @@ object Ann {
     val spark = corpus.sparkSession
     val train = trainSample(corpus, vecCol, trainFraction, maxTrainRows, seed)
     require(train.nonEmpty, "ivfpq: empty training sample")
+    require(ksub >= 2 && ksub <= 256,
+      s"ivfpq: ksub=$ksub — byte codes cap sub-centroids at 256 (wrap would " +
+        "silently score against the wrong LUT entries)")
     val dim = train(0).length
     require(dim % m == 0, s"ivfpq: dim $dim not divisible by m=$m")
     val sub = dim / m

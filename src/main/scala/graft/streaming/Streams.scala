@@ -28,7 +28,13 @@ object Streams {
     */
   private def eventTs(events: DataFrame, tsCol: String): Column =
     events.schema(tsCol).dataType match {
-      case LongType => timestamp_micros(expr(s"$tsCol div 1000"))
+      // (x - pmod(x, d)) div d is true FLOOR division — bare `div`
+      // truncates toward zero, which rounds pre-epoch (negative)
+      // nanos the wrong way and could shift such an event across a
+      // window/gap boundary; identical for the non-negative common
+      // case, still pure integer arithmetic
+      case LongType =>
+        timestamp_micros(expr(s"($tsCol - pmod($tsCol, 1000)) div 1000"))
       case TimestampType => col(tsCol)
       case _ => col(tsCol).cast("timestamp")
     }
@@ -36,7 +42,8 @@ object Streams {
   /** Event-time as epoch millis (BIGINT, engine-neutral). */
   private def eventTsMs(events: DataFrame, tsCol: String): Column =
     events.schema(tsCol).dataType match {
-      case LongType => expr(s"$tsCol div 1000000")
+      case LongType =>
+        expr(s"($tsCol - pmod($tsCol, 1000000)) div 1000000")
       case _ => unix_millis(eventTs(events, tsCol))
     }
 

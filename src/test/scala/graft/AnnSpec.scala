@@ -212,4 +212,32 @@ class AnnSpec extends AnyFunSuite {
     assert(r("ann2_lsh") >= 0.05, s"lsh recall@10 = ${r("ann2_lsh")}")
     assert(r("ann5_ivfpq") >= 0.15, s"ivfpq recall@10 = ${r("ann5_ivfpq")}")
   }
+
+  test("mixed-dimension vectors fail fast instead of silent prefix scores") {
+    import spark.implicits._
+    val corpus = Seq((1L, Array.fill(8)(1.0f)), (2L, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array.fill(4)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      Ann.bruteForceTopK(corpus, queries, k = 1).collect()
+    }
+    assert(e.getMessage.contains("dim") || Option(e.getCause).exists(
+      _.getMessage.contains("dim")), s"unexpected: ${e.getMessage.take(200)}")
+    val eq = intercept[org.apache.spark.SparkException] {
+      Ann.bruteForceTopK(corpus, queries, k = 1, quantized = true).collect()
+    }
+    assert(eq.getMessage.contains("dim") || Option(eq.getCause).exists(
+      _.getMessage.contains("dim")))
+  }
+
+  test("pq/ivfpq refuse ksub beyond the byte-code range") {
+    val emb = SparkT.table("embeddings")
+    intercept[IllegalArgumentException] {
+      Ann.pqTopK(emb, emb.limit(2), k = 1, m = 8, ksub = 300)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.ivfPqTopK(emb, emb.limit(2), k = 1, nCells = 4, nProbe = 1,
+        m = 8, ksub = 257)
+    }
+  }
 }
