@@ -496,19 +496,20 @@ object SparkEntry {
       // classification moves rows between physical strategies, never
       // in or out of the result.
       //
-      // hotThreshold = 20: at 5% sampling the hot cutoff is one
-      // sampled occurrence, so ~30% of orderkeys (≤7 lineitems each)
-      // classify hot and BOTH routes carry real rows — a higher
-      // threshold would leave the broadcast route empty on TPC-H's
-      // unskewed keys and gate it vacuously (SourcesSpec asserts both
-      // routes' runtime row counts are nonzero).
+      // hotThreshold = 40: at 5% sampling the hot cutoff is two
+      // sampled occurrences, so ~4% of orderkeys (≤7 lineitems each,
+      // P[Binom(7, .05) ≥ 2] ≈ 0.044) classify hot — BOTH routes carry
+      // real rows (SourcesSpec asserts both routes' runtime row counts
+      // are nonzero) while the broadcast slice stays a few percent of
+      // the right side, unlike a cutoff of one sampled hit, which
+      // would flag ~30% of keys and broadcast a third of the table.
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       val ord = t(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"),
           col("o_totalprice"))
       graft.operators.Skew.skewAwareJoin(li, ord, "l_orderkey",
-          hotThreshold = 20)
+          hotThreshold = 40)
         .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
     }),
 

@@ -24,8 +24,16 @@ object Dedup {
     * single shuffle carries ids + fingerprints only. One window over
     * the fingerprint (vs groupBy + self-join: two shuffles).
     */
+  /** Null-text rows get a per-row group key: SQL semantics say
+    * null != null, so two null-text documents are NOT duplicates of
+    * each other (Window.partitionBy would group all null fingerprints
+    * into ONE bucket and silently drop every null-text row but one) —
+    * the same null-preservation paragraphDedup applies. */
+  private def fpOrOwnId(fp: Column, id: Column): Column =
+    struct(fp.isNull.as("n"), coalesce(fp.cast("string"), id.cast("string")).as("k"))
+
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val fp = textfns.contentFingerprint(col(textCol))
+    val fp = fpOrOwnId(textfns.contentFingerprint(col(textCol)), col(idCol))
     val w = Window.partitionBy("__graft_fp").orderBy(col(idCol).asc)
     df.withColumn("__graft_fp", fp)
       .withColumn("__graft_rn", row_number().over(w))
@@ -36,7 +44,7 @@ object Dedup {
   /** Rows that would be dropped by [[exact]] — (kept_id, dropped_id). */
   def exactDupMap(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val withFp = df.select(col(idCol),
-      textfns.contentFingerprint(col(textCol)).as("fp"))
+      fpOrOwnId(textfns.contentFingerprint(col(textCol)), col(idCol)).as("fp"))
     val w = Window.partitionBy("fp").orderBy(col(idCol).asc)
     withFp.withColumn("keep_id", min(col(idCol)).over(w))
       .filter(col(idCol) =!= col("keep_id"))

@@ -40,8 +40,11 @@ object textfns {
     * "c++" would throw at execution and "a.b" would silently match
     * "axb". */
   def wordHits(text: Column, words: Seq[String]): Column =
+    // lowercase the WORDS too: the text is lower()-ed, so a pattern
+    // containing an uppercase letter could never match anything
     size(regexp_extract_all(lower(text),
-      lit("\\b(" + words.map(java.util.regex.Pattern.quote).mkString("|") + ")\\b"),
+      lit("\\b(" + words.map(w =>
+        java.util.regex.Pattern.quote(w.toLowerCase)).mkString("|") + ")\\b"),
       lit(0)))
 
   /** Language-ID stopword tables. Deliberately small, disjoint,
@@ -150,7 +153,11 @@ object textfns {
   def repetitionRatio(text: Column, n: Int): Column = {
     val total = size(split(normalizeText(text), " ")) - (n - 1)
     val dist = size(graft.functions.hashfns.distinctWordShingles(text, n))
-    when(total <= 0, lit(0.0))
+    // dist === 0 with total > 0 is the blank-document artifact: split
+    // of an empty normalized string yields [""] (one phantom token),
+    // so n=1 would score a zero-n-gram document as maximally
+    // repetitive (1.0) instead of the documented 0.0
+    when(total <= 0 || dist === 0, lit(0.0))
       .otherwise(lit(1.0) - dist.cast("double") / total.cast("double"))
   }
 }

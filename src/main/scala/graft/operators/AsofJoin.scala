@@ -30,15 +30,24 @@ object AsofJoin {
   /** Sort key for a time column without precision loss: timestamps go
     * through `unix_micros` (a bare cast("long") truncates to SECONDS,
     * which can match a left row to a right row sub-second in its
-    * future); integral columns pass through. */
-  private def timeKey(df: DataFrame, c: String): Column =
+    * future); integral columns pass through. Fractional numeric types
+    * are REFUSED rather than cast — cast("long") truncates toward
+    * zero, so leftTime=1.5 would "match" a rightTime=1.9 row from its
+    * future; the caller must supply an integral or timestamp column
+    * (scale fractional seconds to micros first). */
+  private def timeKey(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types._
     df.schema(c).dataType match {
-      case _: org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
-      case _: org.apache.spark.sql.types.TimestampNTZType =>
-        unix_micros(col(c).cast("timestamp"))
-      case _: org.apache.spark.sql.types.DateType => unix_date(col(c)).cast("long")
-      case _ => col(c).cast("long")
+      case _: TimestampType => unix_micros(col(c))
+      case _: TimestampNTZType => unix_micros(col(c).cast("timestamp"))
+      case _: DateType => unix_date(col(c)).cast("long")
+      case LongType | IntegerType | ShortType | ByteType => col(c).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"asof: time column '$c' has non-integral type $other — a long cast " +
+          "would truncate and match future rows; convert to an integral " +
+          "epoch (e.g. micros) or a timestamp first")
     }
+  }
 
   private def validate(left: DataFrame, right: DataFrame, keyCol: String,
                        valueCols: Seq[(String, String)]): Unit = {
@@ -74,10 +83,19 @@ object AsofJoin {
     // ROW semantics, the same as DuckDB ASOF and the native exec; a
     // per-column carry would resurrect older non-null values and could
     // even mix columns from different right rows.
-    val taggedRight = right.select(
-      col(keyCol).as("__k"), timeKey(right, rightTime).as("__t"),
-      lit(0).as("__side"),
-      struct(valueCols.map { case (from, to) => col(from).as(to) }: _*).as("__v"))
+    // DuckDB-ASOF parity: a right row with a NULL key or NULL time can
+    // never match (equality join + time comparison are both
+    // null-rejecting there), but Spark's Window groups nulls together
+    // and sorts them FIRST — unfiltered, a null-time right row would
+    // be carried as the "most recent prior" into every left row before
+    // the first real-timestamped right row, and null-key rows would
+    // match null-key left rows
+    val taggedRight = right
+      .filter(col(keyCol).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(keyCol).as("__k"), timeKey(right, rightTime).as("__t"),
+        lit(0).as("__side"),
+        struct(valueCols.map { case (from, to) => col(from).as(to) }: _*).as("__v"))
     val taggedLeft = left.select(
       Seq(col(keyCol).as("__k"), timeKey(left, leftTime).as("__t"),
         lit(1).as("__side")) ++ leftCols.map(c => col(c)): _*)
@@ -115,9 +133,13 @@ object AsofJoin {
     // sides with fixed column positions
     val lPrep = left.select(leftCols.map(col) :+
       timeKey(left, leftTime).as("__t"): _*)
-    val rPrep = right.select(
-      col(keyCol).as("__k") +: timeKey(right, rightTime).as("__t") +:
-        valueCols.map { case (from, to) => col(from).as(s"__v_$to") }: _*)
+    // null-key/null-time right rows never match (DuckDB-ASOF parity —
+    // same filter as the composed twin)
+    val rPrep = right
+      .filter(col(keyCol).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(keyCol).as("__k") +: timeKey(right, rightTime).as("__t") +:
+          valueCols.map { case (from, to) => col(from).as(s"__v_$to") }: _*)
     val lPlan = Bridge.analyzed(lPrep)
     val rPlan = Bridge.analyzed(rPrep)
     val carried = valueCols.zipWithIndex.map { case ((_, to), i) =>

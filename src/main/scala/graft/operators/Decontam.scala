@@ -39,7 +39,10 @@ object Decontam {
       .withColumn("__hit", lit(1))
     val docSh = corpus
       .select(col(idCol), hashfns.distinctWordShingles(col(textCol), shingleN).as("shs"))
-      .select(col(idCol), size(col("shs")).as("__n"),
+      // coalesce: under ANSI (Spark 4 default) size(null) is null, not
+      // -1 — a null-text doc must report containment 0.0 per the
+      // contract, not a null that poisons downstream comparisons
+      .select(col(idCol), coalesce(size(col("shs")), lit(0)).as("__n"),
         explode_outer(col("shs")).as("sh"))
     docSh.join(broadcast(probe), Seq("sh"), "left")
       .groupBy(idCol)
@@ -126,7 +129,8 @@ object Decontam {
     // the shingle kernel runs twice (totals + explode) — same
     // documented recompute-vs-materialize tradeoff as minHashLshPairs
     val totals = corpus.select(col(idCol),
-      size(hashfns.distinctWordShingles(col(textCol), shingleN)).as("n_sh"))
+      coalesce(size(hashfns.distinctWordShingles(col(textCol), shingleN)),
+        lit(0)).as("n_sh"))
       .groupBy(idCol).agg(max(col("n_sh")).as("n_sh"))
     val survivors = corpus
       .select(col(idCol), explode(hashfns.distinctWordShingles(col(textCol), shingleN)).as("sh"))

@@ -109,7 +109,13 @@ object Freq {
     df.join(broadcast(cands), Seq(itemCol), "inner")
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("n"), max(col("__n_total")).as("__nt"))
-      .filter(col("n") >= ceil(col("__nt") * minFraction))
+      // DECIMAL threshold arithmetic: double would round e.g.
+      // 0.07 × 100 to 7.000000000000001 and ceil it to 8, excluding an
+      // item exactly at the documented boundary; BigDecimal.valueOf
+      // uses the literal's decimal representation, matching how SQL
+      // engines (and the DuckDB oracle) parse the fraction
+      .filter(col("n") >=
+        ceil(col("__nt") * lit(java.math.BigDecimal.valueOf(minFraction))))
       .select(col(itemCol), col("n"))
   }
 }

@@ -58,7 +58,14 @@ object Shuffle {
     * < 2^57): no Spark Long wrap, no DuckDB BIGINT overflow error —
     * bit-for-bit replayable. xor and >> agree across engines because
     * every intermediate is non-negative (ids must be ≥ 0). */
-  def shuffleKey(id: Column, epoch: Int): Column = {
+  def shuffleKey(idCol: Column, epoch: Int): Column = {
+    // widen FIRST: shiftright on an IntegerType column is a Java int
+    // shift, which masks the distance to 5 bits — `int >> 32` is a
+    // no-op, so an int32 id column would mix differently than the same
+    // ids stored as int64 (and differently than the DuckDB replay,
+    // where BIGINT >> 32 really shifts), breaking the byte-identical
+    // permutation contract
+    val id = idCol.cast("long")
     // Fold the HIGH 32 id bits in (epoch-keyed) BEFORE the mod-P
     // reduction: a bare `id % P` first step would give every pair of
     // ids congruent mod P an identical key in EVERY epoch — with the

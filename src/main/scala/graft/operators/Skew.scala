@@ -66,6 +66,15 @@ object Skew {
     */
   def skewAwareJoin(left: DataFrame, right: DataFrame, key: String,
                     hotThreshold: Long, sampleFraction: Double = 0.05): DataFrame = {
+    // below 1/sampleFraction the sample cutoff floors to "any key seen
+    // once in the sample" — on a table with >= ~1/fraction rows per
+    // key that classifies essentially EVERY key hot, and the operator
+    // broadcasts most of the right side: the exact OOM it exists to
+    // avoid. Demand a threshold the sample can actually discriminate.
+    require(hotThreshold * sampleFraction >= 1.0,
+      s"skewAwareJoin: hotThreshold=$hotThreshold is below 1/sampleFraction=" +
+        f"${1.0 / sampleFraction}%.0f — the ${sampleFraction * 100}%.0f%% sample cannot " +
+        "distinguish such keys from the long tail; raise hotThreshold or sampleFraction")
     val hot = left.sample(withReplacement = false, sampleFraction, seed = 42L)
       .groupBy(key).count()
       .filter(col("count") >= math.max(1L, (hotThreshold * sampleFraction).toLong))

@@ -72,8 +72,8 @@ class AsofJoinSpec extends AnyFunSuite {
       (3L, Some(100L), Some(250L)),
       (4L, Some(200L), Some(10L)),   // right rows only in the future
       (5L, Some(300L), Some(70L)),   // key absent on the right
-      (6L, None,       Some(90L)),   // null key: matches null-key right rows
-      (7L, Some(100L), None),        // null time: -inf, matches null-time right
+      (6L, None,       Some(90L)),   // null key: never matches (DuckDB ASOF)
+      (7L, Some(100L), None),        // null time: never matches (DuckDB ASOF)
       (8L, Some(400L), Some(60L))    // matches a right row whose VALUE is null
     ).toDF("id", "k", "t")
     val right = Seq(
@@ -81,8 +81,8 @@ class AsofJoinSpec extends AnyFunSuite {
       (Some(100L), Some(150L), Some("b")),
       (Some(100L), Some(200L), Some("c")),
       (Some(200L), Some(999L), Some("z")),
-      (Some(100L), None,       Some("n")),  // null time sorts first
-      (None,       Some(80L),  Some("nk")), // null key
+      (Some(100L), None,       Some("n")),  // null time: excluded from matching
+      (None,       Some(80L),  Some("nk")), // null key: excluded from matching
       (Some(400L), Some(20L),  Some("x")),
       (Some(400L), Some(50L),  None)        // later matched row carries NULL —
                                             // row semantics must NOT resurrect "x"
@@ -103,8 +103,13 @@ class AsofJoinSpec extends AnyFunSuite {
     val byId = n.map(r => r.head -> r(3)).toMap
     assert(byId(2L) == "b")   // tie → prior-or-equal matches
     assert(byId(4L) == null)  // future-only right rows don't match
-    assert(byId(6L) == "nk")  // null keys group together
-    assert(byId(7L) == "n")   // null time matches null-time right row
+    // null keys and null times NEVER match — DuckDB ASOF's equality
+    // join and time comparison are both null-rejecting, and this
+    // module's contract is parity with it (an unfiltered null-time
+    // right row would otherwise be carried into every left row that
+    // precedes the first real-timestamped right row)
+    assert(byId(6L) == null)
+    assert(byId(7L) == null)
     assert(byId(8L) == null)  // matched row's null VALUE carries as null
   }
 

@@ -45,10 +45,12 @@ class EdgeCaseSpec extends AnyFunSuite {
     // null texts have no shingles: jaccard(∅,∅)=0 < 1.0 — no pairs
     assert(pairs.count() == 0)
     val kept = Dedup.exact(nullTextDocs, "text", "doc_id")
-    // exact dedup groups nulls by fingerprint(null); all three rows
-    // survive or nulls collapse to one — either way no throw and the
-    // real row survives
-    assert(kept.filter(col("doc_id") === 3L).count() == 1)
+    // null != null in SQL semantics: two null-text documents are NOT
+    // duplicates of each other, so ALL rows survive exact dedup
+    assert(kept.count() == 3,
+      s"null-text rows must not collapse into one group: ${kept.collect().toSeq}")
+    // and the dup map reports no null-text row as anyone's duplicate
+    assert(Dedup.exactDupMap(nullTextDocs, "text", "doc_id").count() == 0)
   }
 
   test("heavyHitters on an empty stream returns no hitters") {
@@ -72,6 +74,6 @@ class EdgeCaseSpec extends AnyFunSuite {
       ("s", "v", "sum")).count() == 0)
     val right = Seq((1L, "a")).toDF("doc_id", "tag")
     assert(Skew.skewAwareJoin(emptyDocs, right, "doc_id",
-      hotThreshold = 10).count() == 0)
+      hotThreshold = 10, sampleFraction = 0.2).count() == 0)
   }
 }

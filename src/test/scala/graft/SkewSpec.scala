@@ -47,7 +47,8 @@ class SkewSpec extends AnyFunSuite {
     val o = SparkT.table("orders").select(col("o_orderkey").as("l_orderkey"),
       col("o_totalprice"))
     val plain = li.join(o, Seq("l_orderkey"), "inner")
-    val skewed = Skew.skewAwareJoin(li, o, "l_orderkey", hotThreshold = 3)
+    val skewed = Skew.skewAwareJoin(li, o, "l_orderkey", hotThreshold = 3,
+      sampleFraction = 0.5)
     assert(skewed.exceptAll(plain).count() == 0)
     assert(plain.exceptAll(skewed).count() == 0)
   }
