@@ -5,19 +5,25 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    // AQE on, matching GraftSession.local: runtime partition
-    // coalescing + skew-join handling is the configuration the scale
-    // claims assume, so it is also the configuration we measure
+    // FULL config parity with GraftSession.local — AQE, UTC session
+    // timezone, and the graft extensions (optimizer rule + native
+    // strategies): the benchmark must measure the engine configuration
+    // production sessions (and the correctness gate) actually run, or
+    // timestamp bucketing could group differently than the verified
+    // results and plans would be timed without the extension rules
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.expressions.GraftFunctions.register(spark)
     // JIT/codegen framework warmup so the first timed query doesn't
     // absorb session initialization cost
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).count()
@@ -60,6 +66,11 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
+      // an EMPTY parse result must fail too: benching zero queries
+      // would print a healthy {"value":0,...} and exit 0 — the silent
+      // misconfiguration this guard exists to prevent
+      require(names.nonEmpty,
+        "SPARK_GRAFT_BENCH_ONLY is set but names no queries (empty/whitespace)")
       val unknown = names.diff(SparkEntry.queries.keySet)
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")

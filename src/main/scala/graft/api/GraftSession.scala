@@ -37,9 +37,15 @@ object GraftSession {
     // getOrCreate may have returned a PRE-EXISTING session built
     // without graft's extensions — withExtensions only applies at
     // creation time, so the native strategies (as-of join) and the
-    // optimizer rule would silently be missing. Detect and retrofit
-    // via the post-creation route init() uses.
-    if (!graft.plans.GraftExtensions.isInstalled(spark)) init(spark)
+    // optimizer rule would silently be missing. init() is idempotent
+    // (contains-guards on both experimental lists), so run it
+    // UNCONDITIONALLY: a presence probe on the planner strategies
+    // alone would skip sessions that got ensureStrategies() from a
+    // lazy native-as-of call but never received the optimizer rule.
+    // (On a fresh withExtensions session the rule then sits in both
+    // the injected batch and extraOptimizations — it is an idempotent
+    // single-pattern transform, so the double pass is noise.)
+    init(spark)
     spark
   }
 

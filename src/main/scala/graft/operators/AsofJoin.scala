@@ -66,6 +66,12 @@ object AsofJoin {
     val badLeft = leftCols.filter(reserved.contains)
     require(badLeft.isEmpty,
       s"asof: left column(s) ${badLeft.mkString(", ")} use reserved internal names (__k/__t/__side/__v/__c)")
+    // a target named "__t" would be swept away by the native path's
+    // trailing drop of its internal time key (Dataset.drop removes
+    // EVERY attribute with the name); forbid the whole scratch set
+    val badTargets = valueCols.map(_._2).filter(reserved.contains)
+    require(badTargets.isEmpty,
+      s"asof: valueCols target name(s) ${badTargets.mkString(", ")} use reserved internal names (__k/__t/__side/__v/__c)")
     val dupTargets = valueCols.map(_._2).diff(valueCols.map(_._2).distinct)
     require(dupTargets.isEmpty,
       s"asof: duplicate valueCols target name(s) ${dupTargets.distinct.mkString(", ")}")
@@ -125,6 +131,18 @@ object AsofJoin {
     import org.apache.spark.sql.graftbridge.Bridge
     val leftCols = left.columns
     validate(left, right, keyCol, valueCols)
+    // the native exec co-partitions each side by ITS OWN key hash and
+    // reads the right key with the left key's physical type — a type
+    // mismatch (schema drift: INT vs BIGINT custkey) would co-locate
+    // nothing and silently carry all-null values. The composed twin
+    // coerces via its union; the native path demands equality.
+    val lkType = left.schema(keyCol).dataType
+    val rkType = right.schema(keyCol).dataType
+    require(lkType == rkType,
+      s"asof: key column '$keyCol' has type $lkType on the left but $rkType on " +
+        "the right — equal keys would hash to different partitions in the " +
+        "native exec; cast one side first (the composed asofBackward coerces " +
+        "automatically)")
 
     val spark = left.sparkSession
     graft.plans.GraftExtensions.ensureStrategies(spark)

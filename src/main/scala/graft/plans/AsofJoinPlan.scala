@@ -135,6 +135,10 @@ case class AsofJoinExec(
         rHead = if (rIt.hasNext) rIt.next().copy() else null
 
       advanceRight()
+      // staging buffer reused across rows: proj() copies every slot
+      // into the emitted UnsafeRow, so per-row allocation here would be
+      // pure GC pressure in the merge hot loop
+      val carriedRow = new GenericInternalRow(rValIdx.length)
       lIt.map { lRow =>
         val lk = lRow.get(lKeyIdx, keyType)
         val lt = timeOf(lRow, lTimeIdx)
@@ -144,7 +148,11 @@ case class AsofJoinExec(
           val rk = rHead.get(rKeyIdx, keyType)
           val c = cmpKeys(rk, lk)
           if (c < 0 || (c == 0 && timeOf(rHead, rTimeIdx) <= lt)) {
-            if (c == 0) {
+            // record only genuinely matchable right rows: a NULL key or
+            // NULL time never matches (DuckDB-ASOF semantics; the
+            // operators-layer wrapper filters them, this guard keeps
+            // the exec correct standalone) — the row is still consumed
+            if (c == 0 && rk != null && !rHead.isNullAt(rTimeIdx)) {
               var i = 0
               while (i < rValIdx.length) {
                 lastVals(i) =
@@ -154,18 +162,26 @@ case class AsofJoinExec(
               }
               // copy from the owned right row — `lk` may reference the
               // left iterator's reused buffer
-              lastKey = if (rk == null) null else InternalRow.copyValue(rk)
+              lastKey = InternalRow.copyValue(rk)
               hasLast = true
             }
             advanceRight()
           } else advancing = false
         }
-        val matched = hasLast && cmpKeys(lastKey, lk) == 0
-        val carriedRow = new GenericInternalRow(rValIdx.length)
+        // a NULL left key or NULL left time matches nothing: the
+        // composed twin sorts the null time key BEFORE every real
+        // time (NullsFirst) including Long.MinValue, whereas timeOf
+        // maps null to MinValue — without the explicit guard a right
+        // row at literally MinValue would match it
+        val matched = lk != null && !lRow.isNullAt(lTimeIdx) &&
+          hasLast && cmpKeys(lastKey, lk) == 0
         if (matched) {
           var i = 0
           while (i < rValIdx.length) { carriedRow.update(i, lastVals(i)); i += 1 }
-        } // else: all-null carried values
+        } else {
+          var i = 0
+          while (i < rValIdx.length) { carriedRow.update(i, null); i += 1 }
+        }
         proj(joined(lRow, carriedRow))
       }
     }

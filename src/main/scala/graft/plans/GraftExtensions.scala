@@ -54,12 +54,4 @@ object GraftExtensions {
       exp.extraStrategies ++= Seq(AsofJoinStrategy)
   }
 
-  /** True when this session's planner already carries graft's
-    * strategies — built with `withExtensions`, or initialized via
-    * [[graft.api.GraftSession.init]]. `planner.strategies` includes
-    * both the extension-injected strategies and
-    * `experimental.extraStrategies`, so one check covers both routes. */
-  def isInstalled(spark: org.apache.spark.sql.SparkSession): Boolean =
-    org.apache.spark.sql.graftbridge.Bridge.sessionState(spark)
-      .planner.strategies.contains(AsofJoinStrategy)
 }

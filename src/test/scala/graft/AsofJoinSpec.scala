@@ -63,6 +63,42 @@ class AsofJoinSpec extends AnyFunSuite {
         Seq("v" -> "vv", "t" -> "vv"))
     }
     assert(e3.getMessage.contains("duplicate"))
+    // a RESERVED target would be swept by the native path's internal
+    // drop("__t") — refused on both paths
+    val e4 = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(left, right, "k", "t", "t", Seq("v" -> "__t"))
+    }
+    assert(e4.getMessage.contains("reserved"))
+    // fractional time columns truncate toward zero (future matches)
+    val e5 = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(left.withColumn("t", col("t").cast("double")),
+        right, "k", "t", "t", Seq("v" -> "vv"))
+    }
+    assert(e5.getMessage.contains("non-integral"))
+    // mismatched key types silently break the native exec's
+    // co-partitioning — refused there, coerced by the composed twin
+    val e6 = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackwardNative(left.withColumn("k", col("k").cast("int")),
+        right, "k", "t", "t", Seq("v" -> "vv"))
+    }
+    assert(e6.getMessage.contains("hash to different partitions"))
+  }
+
+  test("native exec: null left time never matches a right row at Long.MinValue") {
+    // timeOf maps a null time to Long.MinValue internally; without the
+    // explicit null guard a right row at literally MinValue would
+    // match a null-time left row, diverging from the composed twin
+    // (which sorts the null BEFORE MinValue — NullsFirst)
+    val left = Seq((1L, Some(100L), None: Option[Long]),
+      (2L, Some(100L), Some(0L))).toDF("id", "k", "t")
+    val right = Seq((100L, Long.MinValue, "sentinel")).toDF("k", "t", "v")
+    val composed = AsofJoin.asofBackward(left, right, "k", "t", "t",
+      Seq("v" -> "last_v")).orderBy("id").collect().map(_.toSeq).toSeq
+    val native = AsofJoin.asofBackwardNative(left, right, "k", "t", "t",
+      Seq("v" -> "last_v")).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(composed == native, s"composed $composed vs native $native")
+    assert(composed(0)(3) == null, "null-time left row must match nothing")
+    assert(composed(1)(3) == "sentinel", "real-time left row matches the MinValue row")
   }
 
   test("native exec matches the composed twin on edge cases (ties, nulls, misses)") {
