@@ -104,7 +104,8 @@ object Bench {
     // file under their own group so the BATCH total stays a clean
     // round-over-round signal.
     val streamingNames = Set(
-      "ev5_tumbling_stream", "ev6_sessionize_stateful", "ev7_dedup_stream")
+      "ev5_tumbling_stream", "ev6_sessionize_stateful", "ev7_dedup_stream",
+      "ev8_stream_static_join")
     case class Stat(name: String, med: Option[Double], min: Option[Double],
                     spread: Option[Double], firstErr: Option[String])
     val results = named.map { case (name, _) =>

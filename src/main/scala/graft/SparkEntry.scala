@@ -1131,6 +1131,21 @@ object SparkEntry {
       Streams.tumblingAggStreamOnce(s, s"$dir/events.parquet", "1 hour")
         .orderBy(col("window_start").asc, col("event_type").asc)),
 
+    "ev8_stream_static_join" -> ((s, dir) => {
+      // stream-static enrichment executed BY the streaming engine:
+      // events stream in, a static per-type dimension (derived from
+      // the batch read — stands in for any reference table) broadcasts
+      // into every micro-batch, no state store touched. Oracle replays
+      // it as a plain join+aggregate — batch/stream equivalence for
+      // the enrichment shape, completing the streaming family
+      // (ev5 stateless transform, ev6 custom state, ev7 dedup).
+      val dim = t(s, dir, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("type_total"))
+      Streams.streamStaticJoinOnce(s, s"$dir/events.parquet", dim,
+          "event_type", Seq("type_total"))
+        .orderBy(col("event_type").asc)
+    }),
+
     "ev2_sessionize" -> ((s, dir) =>
       Streams.sessionize(t(s, dir, "events"), gapMinutes = 30)
         .orderBy(col("user_id").asc, col("session_seq").asc)),
@@ -2427,6 +2442,17 @@ object SparkEntry {
            count(*) AS n_events,
            round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "ev8_stream_static_join" ->
+      """WITH dim AS (
+           SELECT event_type, count(*) AS type_total
+           FROM events GROUP BY 1)
+         SELECT e.event_type,
+           count(*) AS n_events,
+           round(sum(e.value), 4) AS sum_value,
+           max(d.type_total) AS type_total
+         FROM events e JOIN dim d USING (event_type)
+         GROUP BY 1 ORDER BY 1""",
 
     "ev2_sessionize" ->
       """WITH e AS (

@@ -171,6 +171,43 @@ object Streams {
     detachedTable(spark, qn)
   }
 
+  /** Stream–static enrichment join, executed by the streaming engine
+    * end-to-end: a streaming fact source joined to a STATIC dimension
+    * frame on `joinKey`, then aggregated per key — the standard
+    * streaming enrichment shape (facts stream in, reference data sits
+    * in a table). The static side re-plans per micro-batch as an
+    * ordinary batch relation and broadcasts when small, so NO state
+    * store is involved — the cheapest streaming join there is; reach
+    * for stream-stream joins (watermarked state both sides) only when
+    * the dimension itself is a stream. At 100 TB the dimension
+    * refreshes by swapping the underlying table between micro-batches;
+    * the aggregate state is per (joinKey) only.
+    *
+    * Output: one row per key — n_events, sum_value (rounded 4dp, the
+    * engine-neutral float discipline), and each `dimCols` carried via
+    * max() (constant within a key; max makes the aggregate explicit).
+    */
+  def streamStaticJoinOnce(spark: SparkSession, sourcePath: String,
+                           dim: DataFrame, joinKey: String,
+                           dimCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(sourcePath).schema
+    val inputPath = asStreamDir(sourcePath)
+    val qn = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = spark.readStream.schema(schema).parquet(inputPath)
+    val aggs = count(lit(1)).as("n_events") +:
+      round(sum(col("value")), 4).as("sum_value") +:
+      dimCols.map(c => max(col(c)).as(c))
+    val joined = src.join(broadcast(dim), Seq(joinKey))
+      .groupBy(col(joinKey))
+      .agg(aggs.head, aggs.tail: _*)
+    val q = joined.writeStream.format("memory").queryName(qn)
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    detachedTable(spark, qn)
+  }
+
   /** Wrap a single parquet FILE in a temp dir (symlink) so the file
     * streaming source — which monitors a DIRECTORY — has a valid
     * basePath; directories pass through. */

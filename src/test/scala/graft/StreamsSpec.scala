@@ -130,6 +130,25 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join equals the batch join+aggregate; no state store") {
+    // the enrichment shape: streaming facts x broadcast static dim —
+    // results must equal the all-batch formulation, and the plan must
+    // not involve stateful-join machinery (the dimension re-plans as a
+    // batch relation per micro-batch)
+    val dim = SparkT.table("events").groupBy("event_type")
+      .agg(count(lit(1)).as("type_total"))
+    val got = Streams.streamStaticJoinOnce(spark,
+      s"${SparkT.sfDir}/events.parquet", dim, "event_type", Seq("type_total"))
+    val batch = SparkT.table("events").join(dim, "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        max(col("type_total")).as("type_total"))
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+    assert(got.count() > 0)
+  }
+
   test("scan-side curation (quality/langid/repetition filter) runs unchanged on a stream") {
     // the curation scoring path is stateless scan-side codegen, so the
     // SAME column expressions drive readStream with no operator changes
