@@ -186,4 +186,40 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expected, s"seed $s parts $parts total $total")
     }
   }
+
+  test("spanning LSH clusters == ground-truth duplicate classes over random corpora") {
+    // randomized structural check for the threshold=1.0 spanning path:
+    // K distinct base texts, each duplicated a random number of times
+    // under shuffled ids — the spanning pairs' connected components
+    // must recover EXACTLY the planted classes (and the pair count
+    // must stay linear: sum(m_i - 1), never the clique's quadratic)
+    val wordBank = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+    (1 to trials).foreach { s =>
+      val rnd = new scala.util.Random(s)
+      val nClasses = 3 + rnd.nextInt(5)
+      // base texts pairwise distinct (distinct word SETS, ≥ 4 words so
+      // 3-gram shingles exist)
+      val bases = (0 until nClasses).map { c =>
+        rnd.shuffle(wordBank).take(4 + rnd.nextInt(4)).mkString(" ") +
+          s" marker${c}tag"
+      }
+      val mults = bases.indices.map(_ => 1 + rnd.nextInt(6))
+      val rows = rnd.shuffle(bases.zip(mults).zipWithIndex.flatMap {
+        case ((text, m), c) => (0 until m).map(_ => (c, text))
+      }).zipWithIndex.map { case ((c, text), id) => (id.toLong, c, text) }
+      val df = rows.map { case (id, _, text) => (id, text) }.toDF("doc_id", "text")
+      val pairs = graft.dedup.Dedup.minHashLshPairs(df, "doc_id", "text",
+        shingleN = 3, k = 16, bands = 4, threshold = 1.0, spanning = true)
+      val expectedPairs = mults.map(m => (m - 1).toLong).sum
+      assert(pairs.count() == expectedPairs,
+        s"seed $s: expected linear pair count $expectedPairs")
+      val clusters = graft.dedup.Dedup.duplicateClusters(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val truth = rows.groupBy(_._2).values.map(_.map(_._1).toSet)
+        .filter(_.size > 1).toSet
+      val got = clusters.groupBy(_._2).values.map(_.keys.toSet).toSet
+      assert(got == truth, s"seed $s: clusters $got != planted $truth")
+    }
+  }
 }
