@@ -44,6 +44,27 @@ object Tables {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Line-oriented text reader: one row per line, column `value` —
+    * the raw-corpus ingestion shape (one document per line / JSONL
+    * pre-parse). `wholetext = true` flips to one row per FILE for
+    * document-per-file layouts. */
+  def text(spark: SparkSession, path: String,
+           wholetext: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholetext.toString).text(path)
+
+  /** Raw-file reader for multimodal ingestion: one row per file with
+    * (path, modificationTime, length, content BINARY) — the shape
+    * [[graft.multimodal.Multimodal]] consumes (content = payload).
+    * `pathGlob` prunes by filename pattern (e.g. "*.png") at LISTING
+    * time, before any bytes are read. Files stream straight into
+    * binary rows: sized partitions via maxPartitionBytes apply, so a
+    * directory of millions of images scans in parallel without a
+    * driver-side file list. */
+  def binaryFiles(spark: SparkSession, path: String,
+                  pathGlob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlob).load(path)
+
   // ---- sinks --------------------------------------------------------------
   // Every sink writes a DIRECTORY of part files (one per partition) —
   // the only write shape that scales: N executors stream their

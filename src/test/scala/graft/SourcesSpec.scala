@@ -121,6 +121,35 @@ class SourcesSpec extends AnyFunSuite {
       s"both skew-join routes must process rows, got join row counts: $joinRows")
   }
 
+  test("text and binaryFile sources feed the corpus/multimodal paths") {
+    val dir = Files.createTempDirectory("graft_raw_src")
+    Files.writeString(dir.resolve("a.txt"), "first line\nsecond line\n")
+    Files.writeString(dir.resolve("b.txt"), "third line\n")
+    // one row per line — the raw-corpus shape
+    val lines = Tables.text(spark, dir.toString)
+    assert(lines.count() == 3)
+    assert(lines.columns.toSeq == Seq("value"))
+    // one row per FILE (document-per-file layouts)
+    val whole = Tables.text(spark, dir.toString, wholetext = true)
+    assert(whole.count() == 2)
+    // binaryFile: (path, modificationTime, length, content) — content
+    // must round-trip bytes exactly and glob-prune at listing time
+    Files.write(dir.resolve("img.bin"), Array[Byte](1, 2, 3, -1))
+    val bin = Tables.binaryFiles(spark, dir.toString, pathGlob = "*.bin")
+    val row = bin.select("length", "content").collect()
+    assert(row.length == 1, "glob must prune the .txt files at listing")
+    assert(row(0).getLong(0) == 4L)
+    assert(row(0).getAs[Array[Byte]](1).toSeq == Seq[Byte](1, 2, 3, -1))
+    // and the payload flows into the multimodal decode plumbing
+    val media = bin.select(
+      monotonically_increasing_id().as("doc_id"),
+      lit("image").as("modality"), col("content").as("payload"),
+      lit("application/octet-stream").as("media_type"),
+      col("length").as("n_bytes"))
+    val feats = graft.multimodal.Multimodal.decodeFeatures(media).collect()
+    assert(feats.length == 1 && feats(0).codec == "stub")
+  }
+
   test("sinks round-trip: csv and json preserve values, parquet/orc preserve schema") {
     val d = SparkT.table("nation")
     val base = java.nio.file.Files.createTempDirectory("graft_sinks").toString
