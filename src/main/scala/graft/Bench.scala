@@ -117,8 +117,13 @@ object Bench {
       val med = if (ok.isEmpty) None else Some(ok((ok.size - 1) / 2))
       val min = ok.headOption
       // relative spread (max-min)/median: ~0 on a quiet host, >1 when
-      // a contention window ate one rep — the per-query noise gauge
-      val spread = med.filter(_ > 0).map(m => (ok.last - ok.head) / m)
+      // a contention window ate one rep — the per-query noise gauge.
+      // With <2 measured samples the spread is unmeasurable, not zero:
+      // emitting 0.0 would read as "quiet host" regardless of actual
+      // contention, so emit null instead
+      val spread =
+        if (ok.size < 2) None
+        else med.filter(_ > 0).map(m => (ok.last - ok.head) / m)
       Stat(name, med, min, spread, firstErr)
     }
     def r4(d: Double): String = BigDecimal(d)
@@ -145,9 +150,18 @@ object Bench {
     // <0.2 = quiet host, medians adjudicable; >0.5 = contended window,
     // compare MINs instead of medians for any regression verdict.
     val spreads = results.flatMap(_.spread).sorted
-    val noise = if (spreads.isEmpty) 0.0 else spreads((spreads.size - 1) / 2)
-    val groups = s"""{"batch":${r4(batchTotal)},"streaming":${r4(streamingTotal)}}"""
-    val full = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_spread":$qsSpread,"groups":$groups,"noise_indicator":${r4(noise)},"failed":$failed,"flaky":$flaky,"reps":$reps,"warmup_reps":${if (reps > 1) 1 else 0},"sf":"$sfDir"}"""
+    // null (not 0.0) when no query had >=2 measured samples: an
+    // unmeasurable noise level must not masquerade as a quiet host
+    val noiseJson =
+      if (spreads.isEmpty) "null" else r4(spreads((spreads.size - 1) / 2))
+    // sum-of-min: the noise-robust headline — a contended window can
+    // inflate the median sum 2x, but the per-query minimum is the
+    // repeatable floor (see round-7 adjudication)
+    val sumOfMin = results.flatMap(_.min).sum
+    val batchMin = results.filterNot(s => streamingNames(s.name)).flatMap(_.min).sum
+    val streamingMin = results.filter(s => streamingNames(s.name)).flatMap(_.min).sum
+    val groups = s"""{"batch":${r4(batchTotal)},"streaming":${r4(streamingTotal)},"batch_min":${r4(batchMin)},"streaming_min":${r4(streamingMin)}}"""
+    val full = s"""{"metric":"total","value":${r4(total)},"unit":"sec","sum_of_min":${r4(sumOfMin)},"queries":$qs,"queries_min":$qsMin,"queries_spread":$qsSpread,"groups":$groups,"noise_indicator":$noiseJson,"failed":$failed,"flaky":$flaky,"reps":$reps,"warmup_reps":${if (reps > 1) 1 else 0},"sf":"$sfDir"}"""
     // The harness capturing this output keeps only a bounded tail; with
     // ~80 queries the one-line detail object outgrows it and the front
     // of the line (including "total") is cut, leaving nothing parseable.
@@ -166,7 +180,7 @@ object Bench {
     // stays well under the tail window even in a pathological run
     val failedNames = results.collect { case Stat(k, None, _, _, Some(_)) => "\"" + k + "\"" }
       .take(8).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries_n":${results.size},"groups":$groups,"noise_indicator":${r4(noise)},"failed_n":$failedN,"flaky_n":$flakyN,"failed":$failedNames,"reps":$reps,"sf":"$sfDir","detail":"$detailPath"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sum_of_min":${r4(sumOfMin)},"queries_n":${results.size},"groups":$groups,"noise_indicator":$noiseJson,"failed_n":$failedN,"flaky_n":$flakyN,"failed":$failedNames,"reps":$reps,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
     if (results.exists(r => r.firstErr.isDefined && r.med.isEmpty)) sys.exit(1)
   }

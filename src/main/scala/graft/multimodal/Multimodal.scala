@@ -178,6 +178,12 @@ object Multimodal {
     * which is the real scale lever: resize EARLY, before any shuffle
     * carries payloads. */
   def resizeBatch(media: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    // fail fast on the driver: a non-positive target would otherwise
+    // throw a raw IllegalArgumentException from the BufferedImage
+    // constructor deep inside an executor task (real images) while the
+    // stub path silently accepted it — the two paths must fail alike
+    require(targetW > 0 && targetH > 0,
+      s"resizeBatch: target dimensions must be positive, got ${targetW}x$targetH")
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>

@@ -65,7 +65,15 @@ object Shuffle {
     // ids stored as int64 (and differently than the DuckDB replay,
     // where BIGINT >> 32 really shifts), breaking the byte-identical
     // permutation contract
-    val id = idCol.cast("long")
+    val idRaw = idCol.cast("long")
+    // enforce the documented non-negativity precondition: engine >>
+    // and % semantics diverge on negatives (Spark's % keeps the sign,
+    // and >> on a negative sign-extends), so a negative id would
+    // silently produce an engine-divergent, epoch-correlated order —
+    // fail loudly at the first bad row instead
+    val id = when(idRaw < 0, raise_error(concat(
+      lit("shuffleKey: id must be non-negative, got "), idRaw.cast("string"))))
+      .otherwise(idRaw)
     // Fold the HIGH 32 id bits in (epoch-keyed) BEFORE the mod-P
     // reduction: a bare `id % P` first step would give every pair of
     // ids congruent mod P an identical key in EVERY epoch — with the

@@ -17,7 +17,10 @@ object QuickVerify {
     // dump an empty oracle set that oracle_check reports as a green
     // "0/0 queries match"
     val unknown = names.diff(SparkEntry.queries.keySet)
-    require(names.nonEmpty && unknown.isEmpty,
+    require(names.nonEmpty,
+      "QuickVerify: no query names given — usage: <sfDir> <outDir> <query...> " +
+        s"(valid: ${SparkEntry.queries.keySet.toSeq.sorted.take(8).mkString(", ")}, ...)")
+    require(unknown.isEmpty,
       s"QuickVerify: unknown query names: ${unknown.mkString(", ")} " +
         s"(valid: ${SparkEntry.queries.keySet.toSeq.sorted.take(8).mkString(", ")}, ...)")
     Verify.run(sfDir, outDir, names, verbose = true)

@@ -9,6 +9,11 @@ class MultimodalSpec extends AnyFunSuite {
 
   private def media = Multimodal.asMediaTable(SparkT.table("documents"))
 
+  test("resizeBatch rejects non-positive target dimensions on the driver") {
+    intercept[IllegalArgumentException] { Multimodal.resizeBatch(media, 0, 16) }
+    intercept[IllegalArgumentException] { Multimodal.resizeBatch(media, 16, -1) }
+  }
+
   test("media table carries binary payload + typed metadata") {
     val schema = media.schema
     assert(schema("payload").dataType.typeName == "binary")

@@ -61,4 +61,13 @@ class ShuffleSpec extends AnyFunSuite {
       Shuffle.epochShuffle(docs, "doc_id", -1)
     }
   }
+
+  test("shuffleKey raises on a negative id (engine >>/% divergence guard)") {
+    import spark.implicits._
+    val bad = Seq(3L, -1L, 7L).toDF("doc_id")
+    val e = intercept[Exception] {
+      Shuffle.epochShuffle(bad, "doc_id", 0).collect()
+    }
+    assert(e.getMessage.contains("non-negative"), e.getMessage)
+  }
 }
