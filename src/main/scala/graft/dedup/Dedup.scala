@@ -268,7 +268,7 @@ object Dedup {
     * persists its labels and unpersists the previous round so lineage
     * doesn't grow unboundedly at scale.
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 15,
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 30,
                         reliableCheckpoint: Boolean = false,
                         driverThreshold: Long = 1L << 20): DataFrame = {
     // Iterative plans must have their lineage TRUNCATED each round, not
@@ -330,7 +330,13 @@ object Dedup {
       // Plain one-hop propagation needs O(diameter) rounds — a chain of
       // d incrementally-edited near-dups needs d rounds and silently
       // mislabels past maxIter; with shortcutting convergence is
-      // O(log diameter), so maxIter=15 covers diameters past 32k.
+      // O(log diameter). maxIter=30 covers diameters past 10^9 — the
+      // spanning-pair output turns an m-fold duplicate class into an
+      // m-diameter CHAIN, so a 100k-fold boilerplate page needs ~17
+      // rounds (the old default of 15 silently split it; StressSpec
+      // pins a >32k chain through this path). Iterations after
+      // convergence never run (the changed==0 check exits the loop),
+      // so the higher ceiling costs nothing on shallow graphs.
       // Left un-checkpointed: a 1-shuffle join over the cached blocks.
       val next = minLabels.alias("p")
         .join(minLabels.select(col("id").as("label"),
@@ -391,7 +397,7 @@ object Dedup {
     * non-representative ids — corpus text never shuffles.
     */
   def dedupNear(df: DataFrame, idCol: String, pairs: DataFrame,
-                maxIter: Int = 15,
+                maxIter: Int = 30,
                 reliableCheckpoint: Boolean = false,
                 driverThreshold: Long = 1L << 20): DataFrame = {
     val clusters = duplicateClusters(pairs, maxIter, reliableCheckpoint,
