@@ -156,12 +156,20 @@ object Bench {
       if (spreads.isEmpty) "null" else r4(spreads((spreads.size - 1) / 2))
     // sum-of-min: the noise-robust headline — a contended window can
     // inflate the median sum 2x, but the per-query minimum is the
-    // repeatable floor (see round-7 adjudication)
-    val sumOfMin = results.flatMap(_.min).sum
+    // repeatable floor (see round-7 adjudication). A query whose every
+    // rep failed contributes NOTHING to the sum, so a round with a new
+    // hard failure would report a LOWER headline that masquerades as a
+    // speedup — mirror the noise_indicator convention and emit null
+    // when any query is uncovered; sum_of_min_n states the covered
+    // query count so cross-round comparisons are made over identical
+    // query sets only.
+    val minCovered = results.count(_.min.nonEmpty)
+    val sumOfMinJson =
+      if (minCovered < results.size) "null" else r4(results.flatMap(_.min).sum)
     val batchMin = results.filterNot(s => streamingNames(s.name)).flatMap(_.min).sum
     val streamingMin = results.filter(s => streamingNames(s.name)).flatMap(_.min).sum
     val groups = s"""{"batch":${r4(batchTotal)},"streaming":${r4(streamingTotal)},"batch_min":${r4(batchMin)},"streaming_min":${r4(streamingMin)}}"""
-    val full = s"""{"metric":"total","value":${r4(total)},"unit":"sec","sum_of_min":${r4(sumOfMin)},"queries":$qs,"queries_min":$qsMin,"queries_spread":$qsSpread,"groups":$groups,"noise_indicator":$noiseJson,"failed":$failed,"flaky":$flaky,"reps":$reps,"warmup_reps":${if (reps > 1) 1 else 0},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r4(total)},"unit":"sec","sum_of_min":$sumOfMinJson,"sum_of_min_n":$minCovered,"queries":$qs,"queries_min":$qsMin,"queries_spread":$qsSpread,"groups":$groups,"noise_indicator":$noiseJson,"failed":$failed,"flaky":$flaky,"reps":$reps,"warmup_reps":${if (reps > 1) 1 else 0},"sf":"$sfDir"}"""
     // The harness capturing this output keeps only a bounded tail; with
     // ~80 queries the one-line detail object outgrows it and the front
     // of the line (including "total") is cut, leaving nothing parseable.
@@ -180,7 +188,7 @@ object Bench {
     // stays well under the tail window even in a pathological run
     val failedNames = results.collect { case Stat(k, None, _, _, Some(_)) => "\"" + k + "\"" }
       .take(8).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sum_of_min":${r4(sumOfMin)},"queries_n":${results.size},"groups":$groups,"noise_indicator":$noiseJson,"failed_n":$failedN,"flaky_n":$flakyN,"failed":$failedNames,"reps":$reps,"sf":"$sfDir","detail":"$detailPath"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sum_of_min":$sumOfMinJson,"sum_of_min_n":$minCovered,"queries_n":${results.size},"groups":$groups,"noise_indicator":$noiseJson,"failed_n":$failedN,"flaky_n":$flakyN,"failed":$failedNames,"reps":$reps,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
     if (results.exists(r => r.firstErr.isDefined && r.med.isEmpty)) sys.exit(1)
   }

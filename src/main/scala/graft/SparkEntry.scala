@@ -95,6 +95,51 @@ object SparkEntry {
     path
   }
 
+  private val partitionedWrittenFor = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** Write lineitem hive-partitioned by l_returnflag once per (JVM, sf
+    * dir) — the q48 setup, same memo/pid discipline as
+    * [[ensureOrcWritten]]. Returns the partitioned directory. */
+  private[graft] def ensurePartitionedWritten(s: SparkSession, dir: String): String = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_q48_part_" +
+      s"${ProcessHandle.current().pid()}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    synchronized {
+      if (partitionedWrittenFor.get() != dir) {
+        graft.sources.Tables.writePartitioned(
+          t(s, dir, "lineitem")
+            .select(col("l_returnflag"), col("l_linestatus"),
+              col("l_quantity"), col("l_extendedprice")),
+          path, Seq("l_returnflag"))
+        partitionedWrittenFor.set(dir)
+      }
+    }
+    path
+  }
+
+  private val textWrittenFor = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** Write `documents` as line-oriented text (`doc_id \t text`, one doc
+    * per line — the raw-corpus/JSONL-ish ingestion layout) once per
+    * (JVM, sf dir) — the q49 setup. The corpus text contains no tabs
+    * or newlines (TESTDATA), and the reader splits on the FIRST tab
+    * only, so the round-trip is exact byte-for-byte. */
+  private[graft] def ensureTextWritten(s: SparkSession, dir: String): String = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_q49_text_" +
+      s"${ProcessHandle.current().pid()}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    synchronized {
+      if (textWrittenFor.get() != dir) {
+        t(s, dir, "documents")
+          .select(concat(col("doc_id").cast("string"), lit("\t"), col("text"))
+            .as("value"))
+          .write.mode("overwrite").text(path)
+        textWrittenFor.set(dir)
+      }
+    }
+    path
+  }
+
   /** documents ∪ shifted copy — planted exact duplicates. */
   private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -109,6 +154,26 @@ object SparkEntry {
       .select((col("doc_id") + 10000L).as("doc_id"),
         concat(col("text"), lit(" graft dedup pad tail")).as("text"))
     d.unionByName(near)
+  }
+
+  /** Deterministic CJK corpus for the charLevel dedup gate (dd10): 40
+    * duplicate classes × 10 members; members differ only in whitespace
+    * the normalizer collapses (leading/trailing runs, a doubled
+    * internal space), so char-shingle sets are class-equal. Built from
+    * range(), not `documents`: whitespace-variant CJK is exactly what
+    * the word-level path cannot see (a CJK text is ONE "word", zero
+    * word-shingles), so the fixture must be constructed — and a
+    * range-based construction replays verbatim in the DuckDB oracle. */
+  private def cjkDocs(s: SparkSession): DataFrame = {
+    val cjk = "零一二三四五六七八九"
+    val cls = pmod(col("id"), lit(40L))
+    val p1 = translate(lpad(cls.cast("string"), 4, "0"), "0123456789", cjk)
+    val p2 = translate(lpad((cls * 7 + 1).cast("string"), 4, "0"), "0123456789", cjk)
+    val variant = pmod(floor(col("id") / 40).cast("long"), lit(3L))
+    val text = when(variant === 1, concat(p1, lit("  "), p2))
+      .when(variant === 2, concat(lit("  "), p1, lit(" "), p2, lit(" ")))
+      .otherwise(concat(p1, lit(" "), p2))
+    s.range(400).select((col("id") + 30000L).as("doc_id"), text.as("text"))
   }
 
   /** Flagship query on sf=0.001 (TPC-H Q1 shape); driver smoke-checks rows>0. */
@@ -561,6 +626,45 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc)
     }),
 
+    "q48_partitioned_prune" -> ((s, dir) => {
+      // Hive-partitioned parquet gate: lineitem written partitionBy
+      // l_returnflag (setup, once per JVM/sf dir), read back with a
+      // partition-column filter — Spark prunes whole directories at
+      // LISTING time (PartitionFilters in the scan node; SourcesSpec
+      // asserts the pruned partition count), so only ~1/3 of the data
+      // is ever opened. The 100 TB pattern for time/category-
+      // partitioned corpora. Oracle replays from the original parquet:
+      // values must survive the partitioned round-trip exactly
+      // (sum(l_quantity) is integer-valued; min/max are order-free).
+      s.read.parquet(ensurePartitionedWritten(s, dir))
+        .filter(col("l_returnflag") === "R")
+        .groupBy("l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy(col("l_linestatus").asc)
+    }),
+
+    "q49_text_ingest" -> ((s, dir) => {
+      // Raw-text ingestion gate: documents written one-per-line as
+      // `doc_id \t text` (setup), read back through the line-oriented
+      // text() source, split on the FIRST tab, and fed into the txt1
+      // token-statistics pipeline — the standard raw-corpus entry
+      // path. Oracle = txt1's replay from the parquet table: the text
+      // must survive the round-trip byte-for-byte.
+      val lines = graft.sources.Tables.text(s, ensureTextWritten(s, dir))
+      val tabAt = instr(col("value"), "\t")
+      val parsed = lines.select(
+        substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
+        col("value").substr(tabAt + 1, length(col("value"))).as("text"))
+      parsed.select(
+          col("doc_id"),
+          length(col("text")).as("n_chars_utf"),
+          textfns.wsTokenCount(col("text")).as("n_ws_tokens"),
+          textfns.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     "q38_asof_native" -> ((s, dir) => {
       // q27's as-of join on the NATIVE sorted-merge physical operator
       // (AsofJoinExec via SparkSessionExtensions) — same oracle; the
@@ -697,6 +801,17 @@ object SparkEntry {
       // through that expanded stream: measured 29 s vs ~2 s split.
       // Splitting is also the 100 TB shape — each exact distinct is a
       // partial-combining (group, key) dedup, never an Expand.
+      //
+      // SCALE CAVEAT (100 TB): the exact `percentile` twin buffers
+      // every value of its group in ONE aggregation buffer — over a
+      // near-unique column like l_extendedprice that is ~rowcount
+      // values per group, which OOMs at corpus scale. This query is a
+      // VERIFICATION HARNESS for the sketch, run at bench scale only;
+      // the production quantile paths at scale are the sketch itself
+      // (percentile_approx — mergeable, bounded state) or q20's
+      // rank-based exact grouped quantile (one shuffle, never a whole
+      // group in one buffer). Do not lift the exact twin to corpus
+      // scale.
       val li = t(s, dir, "lineitem")
       val approx = li.groupBy("l_returnflag").agg(
         approx_count_distinct(col("l_partkey")).as("__ap"),
@@ -876,6 +991,10 @@ object SparkEntry {
           .select(lit(name).as("method"), col("n_queries"), col("recall_at_10"))
       recallOf("ann2_lsh",
           Ann.lshTopK(emb, qs, k = k, dim = 64, nBits = 8, tables = 4))
+        .unionByName(recallOf("ann3_ivf",
+          Ann.ivfTopK(emb, qs, k = k, nCells = 16, nProbe = 4)))
+        .unionByName(recallOf("ann4_pq",
+          Ann.pqTopK(emb, qs, k = k, m = 8, ksub = 16)))
         .unionByName(recallOf("ann5_ivfpq",
           Ann.ivfPqTopK(emb, qs, k = k, nCells = 16, nProbe = 4, m = 8, ksub = 16)))
         .orderBy(col("method").asc)
@@ -1396,6 +1515,24 @@ object SparkEntry {
           shingleN = 7, k = 32, bands = 8, threshold = 1.0,
           spanning = true)
         .select(col("doc_id")).orderBy(col("doc_id").asc)
+    }),
+
+    "dd10_char_dedup" -> ((s, dir) => {
+      // charLevel (CJK) dedup gate: whitespace shingling sees a CJK
+      // doc as ONE word (zero shingles, recall silently zero) —
+      // charLevel=true switches the whole pipeline to code-point
+      // n-grams. threshold=1.0 + spanning keeps dd8's oracle-exactness
+      // argument intact at the char granularity: equal char-shingle
+      // SETS are recalled with probability 1 at any signature size,
+      // and DuckDB replays set equality as distinct-substring sets
+      // over the same lower/trim/collapse normalization — the result
+      // is hash-seed-independent.
+      val docs = cjkDocs(s)
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 8, threshold = 1.0,
+        charLevel = true, spanning = true)
+      Dedup.dedupNear(docs, "doc_id", pairs)
+        .select(col("doc_id")).orderBy(col("doc_id").asc)
     })
   )
 
@@ -1695,6 +1832,23 @@ object SparkEntry {
            count(*) AS n
          FROM lineitem WHERE l_quantity >= 30
          GROUP BY 1 ORDER BY 1""",
+
+    "q48_partitioned_prune" ->
+      """SELECT l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           count(*) AS n,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+         FROM lineitem WHERE l_returnflag = 'R'
+         GROUP BY 1 ORDER BY 1""",
+
+    "q49_text_ingest" ->
+      """SELECT doc_id,
+           length(text) AS n_chars_utf,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish_tokens
+         FROM documents ORDER BY doc_id""",
 
     "q47_epoch_shuffle" ->
       """WITH a AS (
@@ -2290,6 +2444,55 @@ object SparkEntry {
            WHERE CAST(n_i AS DOUBLE) / CAST(sc.n_sh + sr.n_sh - n_i AS DOUBLE) >= 1.0)
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT cid FROM matched)
+         ORDER BY doc_id""",
+
+    // charLevel dedup: the corpus is range()-constructed (see cjkDocs),
+    // so the oracle rebuilds the identical CJK texts and replays
+    // char-shingle-set equality as distinct-substring sets over the
+    // same lower/trim/collapse-whitespace normalization, then the same
+    // recursive-CC + min-id-survivor replay as dd8.
+    "dd10_char_dedup" ->
+      """WITH RECURSIVE ids AS (SELECT range AS i FROM range(400)),
+         parts AS (
+           SELECT i,
+             translate(lpad(CAST(i % 40 AS VARCHAR), 4, '0'),
+               '0123456789', '零一二三四五六七八九') AS p1,
+             translate(lpad(CAST((i % 40) * 7 + 1 AS VARCHAR), 4, '0'),
+               '0123456789', '零一二三四五六七八九') AS p2
+           FROM ids),
+         docs AS (
+           SELECT i + 30000 AS doc_id,
+             CASE ((i // 40) % 3)
+               WHEN 1 THEN p1 || '  ' || p2
+               WHEN 2 THEN '  ' || p1 || ' ' || p2 || ' '
+               ELSE p1 || ' ' || p2 END AS text
+           FROM parts),
+         norm AS (
+           SELECT doc_id,
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+           FROM docs),
+         sh AS (
+           SELECT DISTINCT doc_id, substr(t, CAST(i AS INTEGER), 3) AS s
+           FROM (SELECT doc_id, t, unnest(range(1, length(t) - 1)) AS i
+                 FROM norm WHERE length(t) >= 3)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 1.0),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+         cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         SELECT doc_id FROM docs
+         WHERE doc_id NOT IN (SELECT id FROM cc WHERE cluster_id <> id)
          ORDER BY doc_id""",
 
     "dd8_dedup_near_lsh" ->

@@ -195,6 +195,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(one.count() == d.filter(col("c_mktsegment") === "MACHINERY").count())
   }
 
+  test("declared q48 plan prunes partitions; q49 text round-trip is byte-exact") {
+    // q48: the partition-column filter must land in PartitionFilters
+    // (directory pruning before any I/O), not PushedFilters
+    val q48 = SparkEntry.queries("q48_partitioned_prune")(spark, SparkT.sfDir)
+    val plan = q48.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("l_returnflag"),
+      "partition filter must prune directories at the scan")
+    // q49 reconstructs (doc_id, text) from the tab-joined lines — the
+    // token stats only match the parquet oracle if text survives
+    // byte-for-byte, but pin the reconstruction directly too
+    val path = SparkEntry.ensureTextWritten(spark, SparkT.sfDir)
+    val tabAt = instr(col("value"), "\t")
+    val back = Tables.text(spark, path).select(
+      substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
+      col("value").substr(tabAt + 1, length(col("value"))).as("text"))
+    val orig = SparkT.table("documents").select("doc_id", "text")
+    assert(back.except(orig).count() == 0 && orig.except(back).count() == 0)
+  }
+
   test("registerAll exposes every table to spark.sql") {
     Tables.registerAll(spark, SparkT.sfDir)
     val n = spark.sql(
