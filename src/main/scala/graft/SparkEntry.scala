@@ -719,6 +719,24 @@ object SparkEntry {
         .arrange(asc("event_id"), asc("user_id"), asc("v"))
         .df),
 
+    "q50_global_fill" -> ((s, dir) =>
+      // tidyr fill with NO grouping — the global carry-forward path:
+      // range-partition by the order key, carry forward within each
+      // partition, then stitch partition boundaries with a broadcast
+      // of per-partition last-non-null carries (one range exchange +
+      // one partition-count-sized broadcast; a single global Window
+      // would serialize the corpus through ONE task at 100 TB). q36
+      // gates the grouped branch; this gates the boundary-carry logic
+      // against the same IGNORE NULLS window oracle, unpartitioned.
+      GraftFrame(t(s, dir, "events")
+          .select(col("event_id"), col("ts"),
+            when(col("event_type") === "click", lit(null))
+              .otherwise(col("value")).as("v")))
+        .fillDown(Seq(col("ts"), col("event_id")), "v")
+        .select("event_id", "v")
+        .arrange(asc("event_id"), asc("v"))
+        .df),
+
     "q34_topn_agg" -> ((s, dir) =>
       // same result contract as q30, different physical path: the
       // BoundedTopK partial aggregate shuffles ≤3 rows per (task,
@@ -1939,6 +1957,16 @@ object SparkEntry {
                  CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
                FROM events)
          ORDER BY event_id, user_id, v""",
+
+    "q50_global_fill" ->
+      """SELECT event_id,
+           last_value(v IGNORE NULLS) OVER (
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+         FROM (SELECT event_id, ts,
+                 CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+               FROM events)
+         ORDER BY event_id, v""",
 
     "q34_topn_agg" ->
       """SELECT c_mktsegment, o_orderkey, o_totalprice FROM (

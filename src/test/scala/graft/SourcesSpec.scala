@@ -15,8 +15,11 @@ class SourcesSpec extends AnyFunSuite {
     val back = Tables.csv(spark, dir)
     assert(back.count() == nation.count())
     assert(back.columns.toSeq == nation.columns.toSeq)
-    assert(back.agg(sum("n_nationkey")).collect()(0).getLong(0) ==
-      nation.agg(sum("n_nationkey")).collect()(0).getLong(0))
+    // full row equality after re-casting inferred types — checksums
+    // alone would let a quoting/escaping bug slip through on the
+    // comment column (it contains commas)
+    val cast = back.select(nation.schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+    assert(cast.except(nation).count() == 0 && nation.except(cast).count() == 0)
   }
 
   test("json round-trips a table") {
@@ -25,7 +28,10 @@ class SourcesSpec extends AnyFunSuite {
     region.write.json(dir)
     val back = Tables.json(spark, dir)
     assert(back.count() == region.count())
-    assert(back.select("r_name").exceptAll(region.select("r_name")).count() == 0)
+    // full row equality (JSON-lines reorders columns alphabetically —
+    // select back into the original order)
+    val ordered = back.select(region.columns.map(col): _*)
+    assert(ordered.except(region).count() == 0 && region.except(ordered).count() == 0)
   }
 
   test("bucketed tables join without any exchange") {
