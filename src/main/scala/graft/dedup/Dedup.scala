@@ -568,10 +568,14 @@ object Dedup {
     *  1. a scan-side split+explode feeds a fingerprint count; only
     *     (16-byte md5, count) pairs shuffle.
     *  2. fingerprints above the threshold — boilerplate cardinality,
-    *     small by construction — fold into ONE broadcast row, and each
-    *     document is rewritten scan-side by a higher-order filter over
-    *     its own split array. No join touches the corpus, no driver
-    *     collect: the whole operator is one lazy Catalyst plan.
+    *     small by construction — fold into ONE broadcast row sorted
+    *     ascending, and each document is rewritten scan-side by a
+    *     higher-order filter probing that set with a binary search
+    *     (`graft_sorted_contains_str`, O(log B) per paragraph — an
+    *     `array_contains` scan is O(B) and the stress gate measured it
+    *     going super-linear once the banned set grows with the corpus).
+    *     No join touches the corpus, no driver collect: the whole
+    *     operator is one lazy Catalyst plan.
     *
     * `sep` is treated literally (regex-quoted for the split). A
     * document whose every paragraph is banned becomes the empty
@@ -587,7 +591,8 @@ object Dedup {
       .select(fpOf(col("__p")).as("__fp"))
       .groupBy("__fp").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > maxOccurrences)
-      .agg(collect_list(col("__fp")).as("__banned")) // one row, even when empty
+      // one row, even when empty; sorted ASC for the binary-search probe
+      .agg(sort_array(collect_list(col("__fp"))).as("__banned"))
     docs.crossJoin(broadcast(bannedList))
       .withColumn(textCol,
         // preserve null text: concat_ws(null_array) returns "" (non-null),
@@ -595,7 +600,8 @@ object Dedup {
         // paragraphs banned' — two states the contract distinguishes
         when(col(textCol).isNull, lit(null).cast("string"))
           .otherwise(concat_ws(sep, filter(split(col(textCol), sepRe),
-            p => !array_contains(col("__banned"), fpOf(p))))))
+            p => !graft.expressions.GraftFunctions
+              .graft_sorted_contains_str(col("__banned"), fpOf(p))))))
       .drop("__banned")
   }
 }

@@ -263,6 +263,42 @@ case class PolyFingerprint(child: Expression, base: Long = 257L)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** sorted_contains(array<T> sorted ASC, T) → boolean for T ∈
+  * {bigint, string} — binary-search membership probe for broadcast
+  * banned/allow sets. `array_contains` scans linearly: at B set
+  * elements × P probes that is O(P·B) work (the stress gate measured
+  * paragraphDedup growing 25× for 10× data exactly because its banned
+  * set grows WITH the corpus); this probe is O(P·log B). The string
+  * flavor exists so md5-fingerprint sets keep their 128-bit collision
+  * bound rather than degrading to a 64-bit rehash. The caller owns the
+  * sortedness contract (build the set with `sort_array`; Spark's
+  * string sort and `UTF8String.compareTo` are both binary-lexicographic
+  * so they agree) and the no-null-elements contract. */
+case class SortedContains(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sorted_contains"
+
+  private def stringProbe: Boolean = right.dataType == StringType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (stringProbe)
+      Kernels.sortedContainsUtf8(a.asInstanceOf[ArrayData], b.asInstanceOf[UTF8String])
+    else
+      Kernels.sortedContains(a.asInstanceOf[ArrayData], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      if (stringProbe)
+        s"${ev.value} = graft.expressions.Kernels.sortedContainsUtf8($a, $b);"
+      else
+        s"${ev.value} = graft.expressions.Kernels.sortedContains($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Column-level API + SQL registration for the native expressions. */
 object GraftFunctions {
 
@@ -299,6 +335,16 @@ object GraftFunctions {
   def graft_fingerprint64(text: Column, base: Long = 257L): Column =
     Bridge.column(PolyFingerprint(Bridge.expression(text), base))
 
+  def graft_sorted_contains(sortedArr: Column, v: Column): Column =
+    Bridge.column(SortedContains(
+      Bridge.expression(sortedArr.cast("array<bigint>")),
+      Bridge.expression(v.cast("bigint"))))
+
+  def graft_sorted_contains_str(sortedArr: Column, v: Column): Column =
+    Bridge.column(SortedContains(
+      Bridge.expression(sortedArr.cast("array<string>")),
+      Bridge.expression(v.cast("string"))))
+
   /** Bounded bottom-k aggregate — see [[BoundedTopK]]. `keys` are cast
     * to double; descending order = negate the key. */
   def graft_bounded_topk(payload: Column, keys: Seq[Column], k: Int): Column =
@@ -332,5 +378,9 @@ object GraftFunctions {
       es => PolyFingerprint(c(es.head, StringType)), "built-in")
     registry.createOrReplaceTempFunction("graft_text_stats",
       es => TextStats(c(es.head, StringType)), "built-in")
+    registry.createOrReplaceTempFunction("graft_sorted_contains",
+      es => SortedContains(c(es.head, longArr), c(es(1), LongType)), "built-in")
+    registry.createOrReplaceTempFunction("graft_sorted_contains_str",
+      es => SortedContains(c(es.head, ArrayType(StringType)), c(es(1), StringType)), "built-in")
   }
 }

@@ -540,4 +540,35 @@ object Kernels {
     }
     h
   }
+
+  /** Binary search over a SORTED-ascending array<bigint> — the O(log B)
+    * membership probe behind [[graft.expressions.SortedContains]].
+    * Empty arrays return false. */
+  def sortedContains(arr: ArrayData, v: Long): Boolean = {
+    var lo = 0
+    var hi = arr.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val x = arr.getLong(mid)
+      if (x == v) return true
+      if (x < v) lo = mid + 1 else hi = mid - 1
+    }
+    false
+  }
+
+  /** String flavor of [[sortedContains]]: binary search over a
+    * SORTED-ascending array<string> with no null elements.
+    * `UTF8String.compareTo` is binary-lexicographic, matching the
+    * ordering `sort_array` applies to strings. */
+  def sortedContainsUtf8(arr: ArrayData, v: UTF8String): Boolean = {
+    var lo = 0
+    var hi = arr.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val cmp = arr.getUTF8String(mid).compareTo(v)
+      if (cmp == 0) return true
+      if (cmp < 0) lo = mid + 1 else hi = mid - 1
+    }
+    false
+  }
 }

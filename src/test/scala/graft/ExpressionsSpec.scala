@@ -195,6 +195,49 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(keys.values.forall(_.size == 2))
   }
 
+  test("graft_sorted_contains: long and string flavors agree with array_contains") {
+    // long flavor — exhaustive probe over a sorted set incl. negatives
+    val set = Seq(-7L, -1L, 0L, 3L, 9L, 42L, 1000L)
+    val probes = (-10L to 1010L).toSeq
+    val d = probes.toDF("v").withColumn("s", typedLit(set))
+    val got = d.select(col("v"),
+        graft_sorted_contains(col("s"), col("v")).as("g"),
+        array_contains(col("s"), col("v")).as("e"))
+      .collect()
+    got.foreach(r => assert(r.getBoolean(1) == r.getBoolean(2),
+      s"long probe ${r.getLong(0)} diverged from array_contains"))
+    assert(got.count(_.getBoolean(1)) == set.size)
+
+    // string flavor — sort_array ordering must agree with the probe's
+    // UTF8String.compareTo (binary-lexicographic incl. multi-byte)
+    val strs = Seq("b", "aa", "", "z", "é", "日本", "a")
+    val sd = Seq("a", "aa", "ab", "é", "日本", "nope", "", "zz")
+      .toDF("v").withColumn("s", sort_array(typedLit(strs)))
+    val sg = sd.select(col("v"),
+        graft_sorted_contains_str(col("s"), col("v")).as("g"),
+        array_contains(col("s"), col("v")).as("e"))
+      .collect()
+    sg.foreach(r => assert(r.getBoolean(1) == r.getBoolean(2),
+      s"string probe '${r.getString(0)}' diverged from array_contains"))
+
+    // empty set, null probe, null set
+    val e = Seq((Seq.empty[Long], Option(5L)), (Seq(1L, 2L), None))
+      .toDF("s", "v")
+      .select(graft_sorted_contains(col("s"), col("v"))).collect()
+    assert(e(0).getBoolean(0) == false)
+    assert(e(1).isNullAt(0))
+  }
+
+  test("graft_sorted_contains registered in SQL (both flavors)") {
+    graft.expressions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_sorted_contains(array(1L, 5L, 9L), 5L) AS a,
+                graft_sorted_contains(array(1L, 5L, 9L), 4L) AS b,
+                graft_sorted_contains_str(array('x','y'), 'y') AS c,
+                graft_sorted_contains_str(array('x','y'), 'q') AS d""").collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2) && !r.getBoolean(3))
+  }
+
   test("wordShingles keeps duplicate occurrences; distinctWordShingles dedups") {
     val d = Seq(Tuple1("a b a b a")).toDF("t")
     val all = d.select(hashfns.wordShingles(col("t"), 2).as("s"))
