@@ -964,21 +964,23 @@ object SparkEntry {
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
 
-    // PQ/ADC (codebook-seeded → rows-only; planted-twin recall and
-    // ranking quality are pinned by AnnSpec)
+    // PQ/ADC with exact rerank of the 5·k ADC shortlist (IVFADC+R —
+    // codebook-seeded → rows-only; planted-twin recall and ranking
+    // quality are pinned by AnnSpec, measured recall lands in ann6)
     "ann4_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.pqTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
-          m = 8, ksub = 16)
+          m = 8, ksub = 16, rerank = 50)
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
 
-    // IVF-PQ combined tier (codebook-seeded → rows-only; planted-twin
-    // recall ≥ IVF-alone at equal probe budget is pinned by AnnSpec)
+    // IVF-PQ combined tier, exact rerank of the 5·k shortlist
+    // (codebook-seeded → rows-only; planted-twin recall ≥ IVF-alone
+    // at equal probe budget is pinned by AnnSpec)
     "ann5_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
-          nCells = 16, nProbe = 4, m = 8, ksub = 16)
+          nCells = 16, nProbe = 4, m = 8, ksub = 16, rerank = 50)
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
 
@@ -1012,9 +1014,10 @@ object SparkEntry {
         .unionByName(recallOf("ann3_ivf",
           Ann.ivfTopK(emb, qs, k = k, nCells = 16, nProbe = 4)))
         .unionByName(recallOf("ann4_pq",
-          Ann.pqTopK(emb, qs, k = k, m = 8, ksub = 16)))
+          Ann.pqTopK(emb, qs, k = k, m = 8, ksub = 16, rerank = 50)))
         .unionByName(recallOf("ann5_ivfpq",
-          Ann.ivfPqTopK(emb, qs, k = k, nCells = 16, nProbe = 4, m = 8, ksub = 16)))
+          Ann.ivfPqTopK(emb, qs, k = k, nCells = 16, nProbe = 4, m = 8,
+            ksub = 16, rerank = 50)))
         .orderBy(col("method").asc)
     }),
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.expressions.GraftFunctions
 import graft.functions.vecfns
 
 /** Approximate-nearest-neighbor search over embedding columns.
@@ -346,6 +347,51 @@ object Ann {
     centers
   }
 
+  /** Final ranking shared by the PQ tiers — either rank the ADC
+    * candidates directly (`rerank` = 0), or exact-rerank refinement
+    * (the IVFADC+R shape): keep the top-`rerank` ADC shortlist per
+    * query, re-score it EXACTLY (squared L2 against the raw vectors)
+    * and re-rank. Recall then depends on shortlist MEMBERSHIP (did the
+    * true neighbor survive into the top-`rerank` by code distance —
+    * much weaker than needing codes to order the top-k correctly),
+    * not on code granularity. Cost at scale: the ≤ `rerank`·Q-row
+    * shortlist broadcasts into ONE extra column-pruned (id, vector)
+    * corpus scan — the raw vectors stay in storage, exactly the
+    * IVFADC+R storage discipline; nothing quadratic, no corpus
+    * shuffle. After a rerank, `approx_dist` holds the EXACT squared
+    * L2 of the surviving candidates (the column name is the stable
+    * schema contract across the ANN tiers; clamped at 0 against
+    * float cancellation on near-identical vectors). */
+  private def rankPqCandidates(corpus: DataFrame, queries: DataFrame,
+      candDf: DataFrame, k: Int, rerank: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
+    if (rerank <= 0) {
+      candDf.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "approx_dist")
+    } else {
+      val short = candDf.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+      val qv = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<float>").as("__qv"))
+      val exact = corpus
+        .select(col(idCol).cast("long").as("neighbor_id"),
+          col(vecCol).cast("array<float>").as("__nv"))
+        .join(broadcast(short), Seq("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .withColumn("approx_dist", greatest(lit(0.0),
+          GraftFunctions.graft_dot(col("__nv"), col("__nv"))
+            - lit(2.0) * GraftFunctions.graft_dot(col("__nv"), col("__qv"))
+            + GraftFunctions.graft_dot(col("__qv"), col("__qv"))))
+      exact.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "approx_dist")
+    }
+  }
+
   /** Product-quantization top-k by asymmetric distance (ADC).
     *
     * The memory-bound scale path: the corpus is held as m sub-codes
@@ -362,12 +408,23 @@ object Ann {
     * squared L2, ascending. Identical vectors share codes, so an exact
     * duplicate attains the minimal ADC distance (the query's own
     * quantization residual) and ranks first.
+    *
+    * `rerank > 0` enables the exact-rerank refinement (IVFADC+R
+    * shape): the ADC pass keeps a shortlist of `rerank` ≥ k candidates
+    * per query, which is then re-scored EXACTLY against the raw
+    * vectors and re-ranked — recall becomes bounded by shortlist
+    * membership rather than code granularity, for one extra targeted
+    * (id, vector) corpus scan. See [[rankPqCandidates]].
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-             m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+             m: Int = 8, ksub: Int = 16, rerank: Int = 0, seed: Long = 42L,
              trainFraction: Double = 1.0, maxTrainRows: Int = 16384,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
+    require(rerank == 0 || rerank >= k,
+      s"pq: rerank=$rerank must be 0 (off) or >= k=$k — a shortlist smaller " +
+        "than k cannot produce k reranked results")
+    val shortK = if (rerank > 0) rerank else k
     val train = trainSample(corpus, vecCol, trainFraction, maxTrainRows, seed)
     require(train.nonEmpty, "pq: empty training sample")
     require(ksub >= 2 && ksub <= 256,
@@ -448,7 +505,7 @@ object Ann {
             var d = 0.0; var j = 0
             while (j < m) { d += lut(j * ksub + (codes(j) & 0xFF)); j += 1 }
             val h = heaps(qi)
-            if (h.size < k) h.enqueue((d, id))
+            if (h.size < shortK) h.enqueue((d, id))
             else {
               val (wd, wid) = h.head
               if (d < wd || (d == wd && id < wid)) { h.dequeue(); h.enqueue((d, id)) }
@@ -465,12 +522,8 @@ object Ann {
       StructField("query_id", LongType, nullable = false),
       StructField("neighbor_id", LongType, nullable = false),
       StructField("approx_dist", DoubleType, nullable = false)))
-    val candDf = spark.createDataFrame(candidates, schema)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
-    candDf.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "approx_dist")
+    rankPqCandidates(corpus, queries,
+      spark.createDataFrame(candidates, schema), k, rerank, idCol, vecCol)
   }
 
   /** IVF-PQ top-k: the combined billion-scale tier — IVF's candidate
@@ -486,7 +539,8 @@ object Ann {
     * m LUT adds for the queries probing that row's cell; rows in
     * unprobed cells cost one array lookup. Bounded per-query heaps as
     * in [[pqTopK]]; the final rank sorts only parts × Q × k
-    * candidates.
+    * candidates. `rerank > 0` adds the exact-rerank refinement
+    * (IVFADC+R) — see [[rankPqCandidates]].
     *
     * Output: (query_id, rank, neighbor_id, approx_dist) — approximate
     * squared L2 ascending. An exact duplicate of the query lands in
@@ -497,10 +551,14 @@ object Ann {
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 nCells: Int = 16, nProbe: Int = 4,
-                m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+                m: Int = 8, ksub: Int = 16, rerank: Int = 0, seed: Long = 42L,
                 trainFraction: Double = 1.0, maxTrainRows: Int = 16384,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
+    require(rerank == 0 || rerank >= k,
+      s"ivfpq: rerank=$rerank must be 0 (off) or >= k=$k — a shortlist " +
+        "smaller than k cannot produce k reranked results")
+    val shortK = if (rerank > 0) rerank else k
     val train = trainSample(corpus, vecCol, trainFraction, maxTrainRows, seed)
     require(train.nonEmpty, "ivfpq: empty training sample")
     require(ksub >= 2 && ksub <= 256,
@@ -640,7 +698,7 @@ object Ann {
             var d = 0.0; var j = 0
             while (j < m) { d += lut(j * ksub + (codes(j) & 0xFF)); j += 1 }
             val h = heaps(qi)
-            if (h.size < k) h.enqueue((d, id))
+            if (h.size < shortK) h.enqueue((d, id))
             else {
               val (wd, wid) = h.head
               if (d < wd || (d == wd && id < wid)) { h.dequeue(); h.enqueue((d, id)) }
@@ -657,12 +715,8 @@ object Ann {
       StructField("query_id", LongType, nullable = false),
       StructField("neighbor_id", LongType, nullable = false),
       StructField("approx_dist", DoubleType, nullable = false)))
-    val candDf = spark.createDataFrame(candidates, schema)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
-    candDf.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "approx_dist")
+    rankPqCandidates(corpus, queries,
+      spark.createDataFrame(candidates, schema), k, rerank, idCol, vecCol)
   }
 
   /** Approximate top-k: SRP-LSH bucket join (multi-table for recall)

@@ -210,11 +210,55 @@ class AnnSpec extends AnyFunSuite {
     val r = SparkEntry.queries("ann6_recall")(spark, SparkT.sfDir)
       .collect().map(row => row.getString(0) -> row.getDouble(2)).toMap
     assert(r("ann2_lsh") >= 0.05, s"lsh recall@10 = ${r("ann2_lsh")}")
-    // measured at sf0.001 with the declared params: ivf 0.625, pq 0.33
-    // (deterministic seeds/data — the floors leave regression margin)
+    // measured at sf0.001 with the declared params: ivf 0.625, pq 0.65,
+    // ivfpq 0.59 — pq/ivfpq with the exact rerank of the 5·k ADC
+    // shortlist, which lifted them from 0.33/0.18 and puts ivfpq near
+    // its IVF membership ceiling (0.625 at this probe budget).
+    // Deterministic seeds/data — the floors leave regression margin.
     assert(r("ann3_ivf") >= 0.50, s"ivf recall@10 = ${r("ann3_ivf")}")
-    assert(r("ann4_pq") >= 0.25, s"pq recall@10 = ${r("ann4_pq")}")
-    assert(r("ann5_ivfpq") >= 0.15, s"ivfpq recall@10 = ${r("ann5_ivfpq")}")
+    assert(r("ann4_pq") >= 0.50, s"pq recall@10 = ${r("ann4_pq")}")
+    assert(r("ann5_ivfpq") >= 0.45, s"ivfpq recall@10 = ${r("ann5_ivfpq")}")
+  }
+
+  test("pq exact rerank: recall never below plain ADC, distances exact") {
+    // the top-`rerank` ADC shortlist contains the ADC top-k, so the
+    // reranked top-k's true-neighbor overlap is monotonically >= the
+    // plain path's — assert the monotonicity AND that reported
+    // distances equal exact squared L2 against the raw vectors
+    val exact = Ann.bruteForceTopK(emb, queries, k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(col("query_id"), col("neighbor_id")).intersect(exact).count()
+    val plain = Ann.pqTopK(emb, queries, k = 10, m = 8, ksub = 16)
+    val rr = Ann.pqTopK(emb, queries, k = 10, m = 8, ksub = 16, rerank = 50)
+    assert(hits(rr) >= hits(plain),
+      s"rerank hits ${hits(rr)} < plain ${hits(plain)}")
+
+    // distances: reranked approx_dist must equal the true squared L2
+    import graft.expressions.GraftFunctions.graft_dot
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val checked = rr
+      .join(vecs.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")), "neighbor_id")
+      .select(col("approx_dist"),
+        (graft_dot(col("nv"), col("nv")) - lit(2.0) * graft_dot(col("nv"), col("qv"))
+          + graft_dot(col("qv"), col("qv"))).as("true_d"))
+      .collect()
+    checked.foreach { r0 =>
+      assert(math.abs(r0.getDouble(0) - math.max(0.0, r0.getDouble(1))) < 1e-9,
+        s"reranked dist ${r0.getDouble(0)} != exact ${r0.getDouble(1)}")
+    }
+  }
+
+  test("pq/ivfpq rerank below k is refused") {
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.pqTopK(emb, queries, k = 10, rerank = 5)
+    }
+    assert(e1.getMessage.contains("rerank"))
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.ivfPqTopK(emb, queries, k = 10, rerank = 5)
+    }
+    assert(e2.getMessage.contains("rerank"))
   }
 
   test("mixed-dimension vectors fail fast instead of silent prefix scores") {
