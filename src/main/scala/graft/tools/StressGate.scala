@@ -215,6 +215,24 @@ object StressGate {
       .intersect(ann5.select("query_id", "neighbor_id")).count()
     val recallBp = hits * 10000L / (p.nTwins * 10L)
     check("ann5_recall_at_10_bp", recallBp >= 500, recallBp, ">= 500 (0.05)")
+    // the exact-rerank refinement (IVFADC+R): one extra broadcast-driven
+    // (id, vector) corpus scan — must stay near-linear like the base
+    // path. Hard invariant: every planted twin reranks to top-1 (exact
+    // squared L2 of an identical vector is 0, the unique minimum, and
+    // identical codes guarantee shortlist membership). Organic recall
+    // vs the cosine reference is floored like the base path's (the
+    // fixture vectors are unnormalized, so L2-vs-cosine monotonicity
+    // is not a theorem — membership monotonicity is specced in
+    // AnnSpec against the same reference at bench scale).
+    def ann5r = Ann.ivfPqTopK(emb, queries, k = 10, nCells = 64, nProbe = 8,
+      m = 8, ksub = 32, rerank = 50)
+    run("ann5_ivfpq_rerank", Some(p.nTwins))(
+      ann5r.filter(col("rank") === 1 &&
+        col("neighbor_id") === col("query_id") + p.nEmb).count())
+    val hitsR = ann1.select("query_id", "neighbor_id")
+      .intersect(ann5r.select("query_id", "neighbor_id")).count()
+    val recallBpR = hitsR * 10000L / (p.nTwins * 10L)
+    check("ann5_rerank_recall_bp", recallBpR >= 500, recallBpR, ">= 500 (0.05)")
 
     // --- skew mitigation: salted aggregation and split-route join must
     // be bit-equal to the plain plans (exact integer-valued doubles) ---

@@ -250,6 +250,17 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("rerank join broadcasts the shortlist — no corpus shuffle, no N×Q") {
+    val plan = Ann.pqTopK(emb, queries, k = 10, m = 8, ksub = 16, rerank = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "shortlist/query joins must broadcast: " + plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus must not shuffle for the rerank scan: " + plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "N×Q join in rerank plan")
+  }
+
   test("pq/ivfpq rerank below k is refused") {
     val e1 = intercept[IllegalArgumentException] {
       Ann.pqTopK(emb, queries, k = 10, rerank = 5)
