@@ -950,10 +950,13 @@ object SparkEntry {
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
 
+    // SRP-LSH with query-directed multiprobe (4 probes/table: base
+    // bucket + 3 lowest-margin bit flips) — query-side only, the
+    // corpus index stays one bucket per table
     "ann2_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 10, dim = 64,
-          nBits = 8, tables = 4)
+          nBits = 8, tables = 4, probes = 8)
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
 
@@ -1010,7 +1013,8 @@ object SparkEntry {
             round(avg(col("recall")), 4).as("recall_at_10"))
           .select(lit(name).as("method"), col("n_queries"), col("recall_at_10"))
       recallOf("ann2_lsh",
-          Ann.lshTopK(emb, qs, k = k, dim = 64, nBits = 8, tables = 4))
+          Ann.lshTopK(emb, qs, k = k, dim = 64, nBits = 8, tables = 4,
+            probes = 8))
         .unionByName(recallOf("ann3_ivf",
           Ann.ivfTopK(emb, qs, k = k, nCells = 16, nProbe = 4)))
         .unionByName(recallOf("ann4_pq",

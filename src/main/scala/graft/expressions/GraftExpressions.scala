@@ -246,6 +246,25 @@ case class SrpBucket(child: Expression, nBits: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** srp_probes(array<float>) → array<bigint> — query-directed
+  * multiprobe LSH codes: base bucket + lowest-|margin| bit flips.
+  * See [[Kernels.srpProbes]]. */
+case class SrpProbes(child: Expression, nBits: Int, seed: Long, probes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_srp_probes"
+
+  override def nullSafeEval(a: Any): Any =
+    Kernels.srpProbes(a.asInstanceOf[ArrayData], nBits, seed, probes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.Kernels.srpProbes($a, $nBits, ${seed}L, $probes);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** fingerprint64(string) → bigint — polynomial rolling hash. */
 case class PolyFingerprint(child: Expression, base: Long = 257L)
     extends UnaryExpression {
@@ -334,6 +353,9 @@ object GraftFunctions {
     Bridge.column(CharShingleHashes(Bridge.expression(text), n))
   def graft_fingerprint64(text: Column, base: Long = 257L): Column =
     Bridge.column(PolyFingerprint(Bridge.expression(text), base))
+
+  def graft_srp_probes(vec: Column, nBits: Int, seed: Long, probes: Int): Column =
+    Bridge.column(SrpProbes(Bridge.expression(asFloatArr(vec)), nBits, seed, probes))
 
   def graft_sorted_contains(sortedArr: Column, v: Column): Column =
     Bridge.column(SortedContains(

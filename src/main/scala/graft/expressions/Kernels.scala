@@ -556,6 +556,42 @@ object Kernels {
     false
   }
 
+  /** Query-directed multiprobe SRP buckets: the base [[srpBucket]]
+    * code plus the codes reached by flipping the lowest-|margin|
+    * hyperplane bits, in increasing-margin order (the bits most likely
+    * to disagree for a true near neighbor are those whose projection
+    * is closest to the hyperplane). Returns `min(probes, nBits+1)`
+    * DISTINCT codes; element 0 is always the base bucket, so
+    * probes = 1 reproduces [[srpBucket]] exactly. Hyperplane
+    * derivation is bit-identical to [[srpBucket]] — multiprobe query
+    * codes join the same corpus buckets. */
+  def srpProbes(vec: ArrayData, nBits: Int, seed: Long, probes: Int): ArrayData = {
+    val n = vec.numElements()
+    val dots = new Array[Double](nBits)
+    var base0 = 0L
+    var b = 0
+    while (b < nBits) {
+      val base = seed + b.toLong * 131071L
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val h = java.lang.Long.reverseBytes((base + i.toLong * 524287L) * 0x9e3779b97f4a7c15L)
+        dot += vec.getFloat(i).toDouble * (h.toDouble / Long.MaxValue.toDouble)
+        i += 1
+      }
+      dots(b) = dot
+      if (dot >= 0.0) base0 |= (1L << b)
+      b += 1
+    }
+    val order = Array.range(0, nBits).sortBy(i => math.abs(dots(i)))
+    val np = math.max(1, math.min(probes, nBits + 1))
+    val out = new Array[Long](np)
+    out(0) = base0
+    var p = 1
+    while (p < np) { out(p) = base0 ^ (1L << order(p - 1)); p += 1 }
+    new GenericArrayData(out)
+  }
+
   /** String flavor of [[sortedContains]]: binary search over a
     * SORTED-ascending array<string> with no null elements.
     * `UTF8String.compareTo` is binary-lexicographic, matching the

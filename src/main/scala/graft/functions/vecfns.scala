@@ -39,4 +39,14 @@ object vecfns {
     * length.) */
   def srpBucket(vec: Column, dim: Int, nBits: Int, seed: Long): Column =
     GraftFunctions.graft_srp_bucket(vec, nBits, seed)
+
+  /** Query-directed multiprobe codes for [[srpBucket]]'s bucket space:
+    * array of `probes` distinct codes — the base bucket first, then
+    * flips of the lowest-|margin| bits (the hyperplanes the query sits
+    * closest to, i.e. the bits a true near neighbor most likely
+    * disagrees on). Probing is QUERY-side only: the corpus keeps one
+    * bucket per table, so multiprobe buys recall without growing the
+    * corpus-side index — the multiprobe-LSH tradeoff. */
+  def srpProbes(vec: Column, dim: Int, nBits: Int, seed: Long, probes: Int): Column =
+    GraftFunctions.graft_srp_probes(vec, nBits, seed, probes)
 }

@@ -721,10 +721,21 @@ object Ann {
 
   /** Approximate top-k: SRP-LSH bucket join (multi-table for recall)
     * restricts candidates, then exact cosine + rank within candidates.
+    *
+    * `probes > 1` enables query-directed multiprobe: each query also
+    * joins the buckets reached by flipping its `probes − 1`
+    * lowest-|margin| hyperplane bits per table. Probing is strictly
+    * QUERY-side — the corpus index stays one bucket per table, so
+    * recall grows (candidate superset ⇒ monotone, spec-pinned)
+    * without any extra corpus-side replication, the multiprobe
+    * alternative to adding tables at 100 TB.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-              nBits: Int = 8, tables: Int = 4, seed: Long = 42L,
+              nBits: Int = 8, tables: Int = 4, probes: Int = 1, seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(probes >= 1 && probes <= nBits + 1,
+      s"lsh: probes=$probes must be in [1, nBits+1=${nBits + 1}] — single-bit " +
+        "flips of an nBits code reach at most nBits+1 distinct buckets")
     def bucketed(df: DataFrame, idAs: String, vecAs: String) = {
       val buckets = (0 until tables).map { t =>
         struct(lit(t).as("t"),
@@ -734,7 +745,17 @@ object Ann {
         explode(array(buckets: _*)).as("bk"))
     }
     val c = bucketed(corpus, "neighbor_id", "cv")
-    val q = bucketed(queries, "query_id", "qv")
+    val q =
+      if (probes == 1) bucketed(queries, "query_id", "qv")
+      else {
+        val perTable = (0 until tables).map { t =>
+          transform(
+            vecfns.srpProbes(col(vecCol), dim, nBits, seed + t * 7919L, probes),
+            h => struct(lit(t).as("t"), h.as("h")))
+        }
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+          explode(flatten(array(perTable: _*))).as("bk"))
+      }
     val cand = c.join(broadcast(q), Seq("bk"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id", "cv", "qv")

@@ -192,6 +192,63 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("srpProbes: base code first, distinct single-bit flips, srpBucket-compatible") {
+    val nBits = 8
+    val rows = emb.limit(50).select(
+        vecfns.srpBucket(col("embedding"), 64, nBits, seed = 42L).as("base"),
+        vecfns.srpProbes(col("embedding"), 64, nBits, seed = 42L, probes = 1).as("p1"),
+        vecfns.srpProbes(col("embedding"), 64, nBits, seed = 42L, probes = 5).as("p5"),
+        vecfns.srpProbes(col("embedding"), 64, nBits, seed = 42L, probes = 99).as("pAll"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val base = r.getLong(0)
+      // probes=1 reproduces srpBucket exactly (same hyperplanes)
+      assert(r.getSeq[Long](1) == Seq(base))
+      val p5 = r.getSeq[Long](2)
+      assert(p5.length == 5 && p5.head == base && p5.distinct.length == 5)
+      // every probe beyond the base is a single-bit flip of it
+      p5.tail.foreach(c => assert(java.lang.Long.bitCount(c ^ base) == 1))
+      // requesting more probes than nBits+1 distinct codes exist caps out
+      assert(r.getSeq[Long](3).length == nBits + 1)
+    }
+  }
+
+  test("lshTopK multiprobe: twins stay top-1, recall monotone in probes") {
+    // probing only ADDS query-side buckets, so the candidate set is a
+    // superset and scoring is exact cosine within candidates — recall
+    // vs the exact top-k is monotone by construction (an exact-top-10
+    // member can only be displaced by ≤9 higher-scored vectors, all
+    // themselves exact-top-10). Pin both the theorem and the planted
+    // twins surviving the probe expansion.
+    val twins = queries.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(twins)
+    val top1 = Ann.lshTopK(corpus, queries, k = 3, dim = 64, nBits = 8,
+        tables = 4, probes = 6)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    (0L until 5L).foreach { q =>
+      assert(top1(q) == q + 10000L, s"query $q top-1 should be its twin")
+    }
+    val brute = naiveTopK(10).select("query_id", "neighbor_id")
+    def hits(probes: Int): Long =
+      Ann.lshTopK(emb, queries, k = 10, dim = 64, nBits = 8, tables = 4,
+          probes = probes)
+        .select("query_id", "neighbor_id").intersect(brute).count()
+    val h1 = hits(1); val h4 = hits(4); val h8 = hits(8)
+    assert(h1 <= h4 && h4 <= h8, s"recall not monotone: $h1, $h4, $h8")
+    assert(h8 > h1, s"probes=8 should strictly beat single-probe ($h8 vs $h1)")
+  }
+
+  test("lshTopK refuses out-of-range probe counts") {
+    intercept[IllegalArgumentException] {
+      Ann.lshTopK(emb, queries, k = 3, dim = 64, nBits = 8, probes = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.lshTopK(emb, queries, k = 3, dim = 64, nBits = 8, probes = 10)
+    }
+  }
+
   test("bruteForceTopK accepts array<double> input like the other tiers") {
     import spark.implicits._
     val rows = (0L until 30L).map(i =>
@@ -209,12 +266,13 @@ class AnnSpec extends AnyFunSuite {
     // floors pin the measured numbers against silent regression.
     val r = SparkEntry.queries("ann6_recall")(spark, SparkT.sfDir)
       .collect().map(row => row.getString(0) -> row.getDouble(2)).toMap
-    assert(r("ann2_lsh") >= 0.05, s"lsh recall@10 = ${r("ann2_lsh")}")
-    // measured at sf0.001 with the declared params: ivf 0.625, pq 0.65,
-    // ivfpq 0.59 — pq/ivfpq with the exact rerank of the 5·k ADC
-    // shortlist, which lifted them from 0.33/0.18 and puts ivfpq near
-    // its IVF membership ceiling (0.625 at this probe budget).
-    // Deterministic seeds/data — the floors leave regression margin.
+    // measured at sf0.001 with the declared params: lsh 0.40 (with
+    // query-directed multiprobe probes=8, up from 0.115 single-probe),
+    // ivf 0.625, pq 0.65, ivfpq 0.59 — pq/ivfpq with the exact rerank
+    // of the 5·k ADC shortlist, which lifted them from 0.33/0.18 and
+    // puts ivfpq near its IVF membership ceiling (0.625 at this probe
+    // budget). Deterministic seeds/data — floors leave regression margin.
+    assert(r("ann2_lsh") >= 0.30, s"lsh recall@10 = ${r("ann2_lsh")}")
     assert(r("ann3_ivf") >= 0.50, s"ivf recall@10 = ${r("ann3_ivf")}")
     assert(r("ann4_pq") >= 0.50, s"pq recall@10 = ${r("ann4_pq")}")
     assert(r("ann5_ivfpq") >= 0.45, s"ivfpq recall@10 = ${r("ann5_ivfpq")}")
