@@ -144,8 +144,18 @@ object Bench {
       s"""{"query":"$k","error":${jsonStr(e)}}"""
     }.mkString("[", ",", "]")
     val total = results.flatMap(_.med).sum
-    val batchTotal = results.filterNot(s => streamingNames(s.name)).flatMap(_.med).sum
-    val streamingTotal = results.filter(s => streamingNames(s.name)).flatMap(_.med).sum
+    // per-group sums follow the same coverage rule as sum_of_min: a
+    // query whose every rep failed contributes nothing to its group's
+    // sum, so the group would silently report a LOWER number that
+    // masquerades as a speedup — emit null for any group with an
+    // uncovered member instead (SURVEY cross-round comparisons cite
+    // batch_min/streaming_min directly)
+    def groupSum(pred: Stat => Boolean, f: Stat => Option[Double]): String = {
+      val g = results.filter(pred)
+      if (g.exists(s => f(s).isEmpty)) "null" else r4(g.flatMap(f).sum)
+    }
+    val batchTotal = groupSum(s => !streamingNames(s.name), _.med)
+    val streamingTotal = groupSum(s => streamingNames(s.name), _.med)
     // suite-level noise indicator: the median query's relative spread.
     // <0.2 = quiet host, medians adjudicable; >0.5 = contended window,
     // compare MINs instead of medians for any regression verdict.
@@ -166,9 +176,9 @@ object Bench {
     val minCovered = results.count(_.min.nonEmpty)
     val sumOfMinJson =
       if (minCovered < results.size) "null" else r4(results.flatMap(_.min).sum)
-    val batchMin = results.filterNot(s => streamingNames(s.name)).flatMap(_.min).sum
-    val streamingMin = results.filter(s => streamingNames(s.name)).flatMap(_.min).sum
-    val groups = s"""{"batch":${r4(batchTotal)},"streaming":${r4(streamingTotal)},"batch_min":${r4(batchMin)},"streaming_min":${r4(streamingMin)}}"""
+    val batchMin = groupSum(s => !streamingNames(s.name), _.min)
+    val streamingMin = groupSum(s => streamingNames(s.name), _.min)
+    val groups = s"""{"batch":$batchTotal,"streaming":$streamingTotal,"batch_min":$batchMin,"streaming_min":$streamingMin}"""
     val full = s"""{"metric":"total","value":${r4(total)},"unit":"sec","sum_of_min":$sumOfMinJson,"sum_of_min_n":$minCovered,"queries":$qs,"queries_min":$qsMin,"queries_spread":$qsSpread,"groups":$groups,"noise_indicator":$noiseJson,"failed":$failed,"flaky":$flaky,"reps":$reps,"warmup_reps":${if (reps > 1) 1 else 0},"sf":"$sfDir"}"""
     // The harness capturing this output keeps only a bounded tail; with
     // ~80 queries the one-line detail object outgrows it and the front

@@ -72,73 +72,59 @@ object SparkEntry {
       }
     }
 
-  private val orcWrittenFor = new java.util.concurrent.atomic.AtomicReference[String]()
+  /** Shared memo + write-once discipline for the q46/q48/q49 setup
+    * sinks. Keyed by (prefix, sf dir) — not last-dir-wins, so a JVM
+    * alternating between sf dirs (spec suite beside a Verify run)
+    * writes each layout exactly once. The path carries the pid so two
+    * JVMs on one host (a Bench run beside a Verify run) can't race
+    * one process's overwrite against the other's read. A failed write
+    * is NOT memoised — the next call retries. */
+  private val writtenOnce = new scala.collection.mutable.HashSet[String]()
 
-  /** Write lineitem as ORC once per (JVM, sf dir) — the q46 setup,
-    * same memo discipline as [[ensureBucketedTables]]. Returns the
-    * ORC directory. The path carries the pid so two JVMs on one host
-    * (a Bench run beside a Verify run) can't race one process's
-    * overwrite against the other's read. */
-  private[graft] def ensureOrcWritten(s: SparkSession, dir: String): String = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_q46_orc_" +
+  private def ensureWrittenOnce(prefix: String, dir: String)(write: String => Unit): String = {
+    val path = s"${sys.props("java.io.tmpdir")}/${prefix}_" +
       s"${ProcessHandle.current().pid()}_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val key = s"$prefix|$dir"
     synchronized {
-      if (orcWrittenFor.get() != dir) {
-        graft.sources.Tables.writeOrc(
-          t(s, dir, "lineitem")
-            .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity")),
-          path)
-        orcWrittenFor.set(dir)
-      }
+      if (!writtenOnce.contains(key)) { write(path); writtenOnce += key }
     }
     path
   }
 
-  private val partitionedWrittenFor = new java.util.concurrent.atomic.AtomicReference[String]()
+  /** Write lineitem as ORC once per (JVM, sf dir) — the q46 setup.
+    * Returns the ORC directory. */
+  private[graft] def ensureOrcWritten(s: SparkSession, dir: String): String =
+    ensureWrittenOnce("graft_q46_orc", dir) { path =>
+      graft.sources.Tables.writeOrc(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity")),
+        path)
+    }
 
   /** Write lineitem hive-partitioned by l_returnflag once per (JVM, sf
-    * dir) — the q48 setup, same memo/pid discipline as
-    * [[ensureOrcWritten]]. Returns the partitioned directory. */
-  private[graft] def ensurePartitionedWritten(s: SparkSession, dir: String): String = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_q48_part_" +
-      s"${ProcessHandle.current().pid()}_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
-    synchronized {
-      if (partitionedWrittenFor.get() != dir) {
-        graft.sources.Tables.writePartitioned(
-          t(s, dir, "lineitem")
-            .select(col("l_returnflag"), col("l_linestatus"),
-              col("l_quantity"), col("l_extendedprice")),
-          path, Seq("l_returnflag"))
-        partitionedWrittenFor.set(dir)
-      }
+    * dir) — the q48 setup. Returns the partitioned directory. */
+  private[graft] def ensurePartitionedWritten(s: SparkSession, dir: String): String =
+    ensureWrittenOnce("graft_q48_part", dir) { path =>
+      graft.sources.Tables.writePartitioned(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity"), col("l_extendedprice")),
+        path, Seq("l_returnflag"))
     }
-    path
-  }
-
-  private val textWrittenFor = new java.util.concurrent.atomic.AtomicReference[String]()
 
   /** Write `documents` as line-oriented text (`doc_id \t text`, one doc
     * per line — the raw-corpus/JSONL-ish ingestion layout) once per
     * (JVM, sf dir) — the q49 setup. The corpus text contains no tabs
     * or newlines (TESTDATA), and the reader splits on the FIRST tab
     * only, so the round-trip is exact byte-for-byte. */
-  private[graft] def ensureTextWritten(s: SparkSession, dir: String): String = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_q49_text_" +
-      s"${ProcessHandle.current().pid()}_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
-    synchronized {
-      if (textWrittenFor.get() != dir) {
-        t(s, dir, "documents")
-          .select(concat(col("doc_id").cast("string"), lit("\t"), col("text"))
-            .as("value"))
-          .write.mode("overwrite").text(path)
-        textWrittenFor.set(dir)
-      }
+  private[graft] def ensureTextWritten(s: SparkSession, dir: String): String =
+    ensureWrittenOnce("graft_q49_text", dir) { path =>
+      t(s, dir, "documents")
+        .select(concat(col("doc_id").cast("string"), lit("\t"), col("text"))
+          .as("value"))
+        .write.mode("overwrite").text(path)
     }
-    path
-  }
 
   /** documents ∪ shifted copy — planted exact duplicates. */
   private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
@@ -950,8 +936,8 @@ object SparkEntry {
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
 
-    // SRP-LSH with query-directed multiprobe (4 probes/table: base
-    // bucket + 3 lowest-margin bit flips) — query-side only, the
+    // SRP-LSH with query-directed multiprobe (8 probes/table: base
+    // bucket + 7 lowest-margin bit flips) — query-side only, the
     // corpus index stays one bucket per table
     "ann2_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

@@ -103,14 +103,20 @@ object StressGate {
     if (invariantFailures.nonEmpty || ratioFailures.nonEmpty) sys.exit(1)
   }
 
-  /** min-of-reps timing; the returned value is the LAST rep's (reps
-    * must agree — the paths are deterministic). */
+  /** min-of-reps timing. The paths are deterministic, so every rep
+    * must return the SAME value — enforced here, not assumed: a
+    * partition-layout-sensitive bug that is wrong on rep 1 but right
+    * on rep 3 is exactly the flakiness this gate exists to catch. */
   private def timed(reps: Int)(f: => Long): (Double, Long) = {
     var best = Double.MaxValue; var v = 0L
-    (1 to reps).foreach { _ =>
+    (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      v = f
+      val vi = f
       best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      if (i > 1 && vi != v)
+        throw new IllegalStateException(
+          s"nondeterministic path under stress gate: rep ${i - 1} returned $v, rep $i returned $vi")
+      v = vi
     }
     (best, v)
   }

@@ -196,8 +196,12 @@ class SourcesSpec extends AnyFunSuite {
     val one = spark.read.parquet(s"$base/c").filter(col("c_mktsegment") === "MACHINERY")
     val scan = one.queryExecution.executedPlan.toString
     // partition filter reaches the scan (directory pruning, no data read
-    // outside the matching partition)
-    assert(scan.contains("PartitionFilters") && scan.contains("c_mktsegment"))
+    // outside the matching partition) — the filter must be INSIDE the
+    // PartitionFilters bracket; an empty "PartitionFilters: []" with the
+    // column name elsewhere in the plan (ReadSchema, a post-scan Filter)
+    // would mean pruning regressed to a full read
+    assert("PartitionFilters: \\[[^\\]]*c_mktsegment".r.findFirstIn(scan).isDefined,
+      "c_mktsegment must appear inside PartitionFilters:\n" + scan.take(800))
     assert(one.count() == d.filter(col("c_mktsegment") === "MACHINERY").count())
   }
 
@@ -206,8 +210,19 @@ class SourcesSpec extends AnyFunSuite {
     // (directory pruning before any I/O), not PushedFilters
     val q48 = SparkEntry.queries("q48_partitioned_prune")(spark, SparkT.sfDir)
     val plan = q48.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("l_returnflag"),
-      "partition filter must prune directories at the scan")
+    // non-vacuous: the filter must sit INSIDE the PartitionFilters
+    // bracket (FileSourceScanExec always prints the key, even empty)
+    assert("PartitionFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(plan).isDefined,
+      "partition filter must prune directories at the scan:\n" + plan.take(800))
+    // and the scan must actually select ONE directory (l_returnflag=R)
+    // out of the three written — the pruned partition count itself
+    // sparkPlan, not executedPlan: AQE wraps the executed tree in an
+    // AdaptiveSparkPlanExec whose collectLeaves() hides the scan node
+    val scans = q48.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.head.selectedPartitions.partitionCount == 1,
+      s"expected 1 selected partition, got ${scans.map(_.selectedPartitions.partitionCount).mkString(",")}")
     // q49 reconstructs (doc_id, text) from the tab-joined lines — the
     // token stats only match the parquet oracle if text survives
     // byte-for-byte, but pin the reconstruction directly too
