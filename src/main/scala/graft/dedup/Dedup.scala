@@ -556,6 +556,22 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Per-element cost of one banned md5-hex fingerprint inside the
+    * folded broadcast array: 32 UTF-8 bytes of hex + the UnsafeArray
+    * offset-and-size slot, rounded up to cover task-side copies. */
+  private val BannedFingerprintBytes = 48L
+
+  /** Hard ceiling on the ESTIMATED banned-set broadcast of
+    * [[paragraphDedup]] — the same 64 MB comfort zone as
+    * [[graft.operators.Freq.MaxCandidateBroadcastBytes]] (~1.4M banned
+    * fingerprints). Above it the operator switches to the row-identical
+    * shuffle-join route instead of OOMing the driver: unlike
+    * heavyHitters' capacity-bounded candidates, the banned set GROWS
+    * with the corpus (every paragraph recurring > t times), so a
+    * boilerplate-heavy crawl at 100 TB can push it past single-row /
+    * broadcast limits. */
+  val MaxBannedBroadcastBytes: Long = 64L << 20
+
   /** Paragraph-level dedup: drop every paragraph whose normalized
     * fingerprint occurs more than `maxOccurrences` times corpus-wide,
     * keeping each document's surviving paragraphs in original order.
@@ -564,18 +580,16 @@ object Dedup {
     * repeat across DISTINCT pages, so no whole-document comparison
     * ever flags them.
     *
-    * Scale shape — document text never moves:
-    *  1. a scan-side split+explode feeds a fingerprint count; only
-    *     (16-byte md5, count) pairs shuffle.
-    *  2. fingerprints above the threshold — boilerplate cardinality,
-    *     small by construction — fold into ONE broadcast row sorted
-    *     ascending, and each document is rewritten scan-side by a
-    *     higher-order filter probing that set with a binary search
-    *     (`graft_sorted_contains_str`, O(log B) per paragraph — an
-    *     `array_contains` scan is O(B) and the stress gate measured it
-    *     going super-linear once the banned set grows with the corpus).
-    *     No join touches the corpus, no driver collect: the whole
-    *     operator is one lazy Catalyst plan.
+    * Route selection — the banned set grows with the corpus, so its
+    * size is measured, not assumed: a pre-flight job counts the banned
+    * fingerprints (only (16-byte md5, count) digests shuffle; document
+    * text never moves). Under `maxBannedBroadcastBytes` the broadcast
+    * route runs ([[paragraphDedupBroadcast]] — scan-side binary-search
+    * probe, no join touches the corpus); above it the shuffle-join
+    * route runs ([[paragraphDedupJoin]] — positions join on digests,
+    * text moves through exactly one join). Both routes are
+    * row-identical by construction; the stress gate and DedupSpec pin
+    * that equality.
     *
     * `sep` is treated literally (regex-quoted for the split). A
     * document whose every paragraph is banned becomes the empty
@@ -583,14 +597,51 @@ object Dedup {
     */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
                      sep: String = "\n\n",
-                     maxOccurrences: Long = 1): DataFrame = {
+                     maxOccurrences: Long = 1,
+                     maxBannedBroadcastBytes: Long = MaxBannedBroadcastBytes): DataFrame = {
+    val bannedCount =
+      bannedFingerprints(docs, textCol, sep, maxOccurrences).count()
+    if (bannedCount * BannedFingerprintBytes <= maxBannedBroadcastBytes)
+      paragraphDedupBroadcast(docs, idCol, textCol, sep, maxOccurrences)
+    else {
+      log.info(s"paragraphDedup: $bannedCount banned fingerprints " +
+        s"(~${bannedCount * BannedFingerprintBytes >> 20} MB) exceed the " +
+        s"${maxBannedBroadcastBytes >> 20} MB broadcast budget — " +
+        "switching to the shuffle-join route")
+      paragraphDedupJoin(docs, idCol, textCol, sep, maxOccurrences)
+    }
+  }
+
+  /** Corpus-wide banned paragraph fingerprints: one `__fp` column of
+    * md5-hex digests occurring more than `maxOccurrences` times. */
+  private def bannedFingerprints(docs: DataFrame, textCol: String,
+                                 sep: String, maxOccurrences: Long): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(sep)
-    val fpOf = (p: Column) => textfns.contentFingerprint(p)
-    val bannedList = docs
+    docs
       .select(explode(split(col(textCol), sepRe)).as("__p"))
-      .select(fpOf(col("__p")).as("__fp"))
+      .select(textfns.contentFingerprint(col("__p")).as("__fp"))
       .groupBy("__fp").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > maxOccurrences)
+      .select("__fp")
+  }
+
+  /** Broadcast route (public so the verification gates can pin route
+    * equality — use [[paragraphDedup]] for the guarded entry point):
+    * the banned fingerprints fold into ONE broadcast row sorted
+    * ascending, and each document is rewritten scan-side by a
+    * higher-order filter probing that set with a binary search
+    * (`graft_sorted_contains_str`, O(log B) per paragraph — an
+    * `array_contains` scan is O(B) and the stress gate measured it
+    * going super-linear once the banned set grows with the corpus).
+    * No join touches the corpus, no driver collect: the whole operator
+    * is one lazy Catalyst plan. Caller owns the banned-set size
+    * contract; the guarded entry point measures it. */
+  def paragraphDedupBroadcast(docs: DataFrame, idCol: String, textCol: String,
+                              sep: String = "\n\n",
+                              maxOccurrences: Long = 1): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val fpOf = (p: Column) => textfns.contentFingerprint(p)
+    val bannedList = bannedFingerprints(docs, textCol, sep, maxOccurrences)
       // one row, even when empty; sorted ASC for the binary-search probe
       .agg(sort_array(collect_list(col("__fp"))).as("__banned"))
     docs.crossJoin(broadcast(bannedList))
@@ -603,5 +654,39 @@ object Dedup {
             p => !graft.expressions.GraftFunctions
               .graft_sorted_contains_str(col("__banned"), fpOf(p))))))
       .drop("__banned")
+  }
+
+  /** Shuffle-join route, row-identical to [[paragraphDedupBroadcast]]
+    * (public for the same route-equality gates): when the banned set is
+    * too large to broadcast, each document's BANNED PARAGRAPH POSITIONS
+    * are computed by a digest-only shuffle join — (id, position,
+    * 16-byte md5) triples against the banned digests, never text —
+    * then folded to one sorted position array per affected document.
+    * Document text moves through exactly one shuffle (the final id
+    * join) and the rewrite stays the same scan-side binary-search
+    * filter, probing positions instead of fingerprints. Per-document
+    * arrays are bounded by the document's own paragraph count, so no
+    * single row can outgrow a task. */
+  def paragraphDedupJoin(docs: DataFrame, idCol: String, textCol: String,
+                         sep: String = "\n\n",
+                         maxOccurrences: Long = 1): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val banned = bannedFingerprints(docs, textCol, sep, maxOccurrences)
+    val bannedPos = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(col(textCol), sepRe)).as(Seq("__pos", "__p")))
+      .select(col(idCol), col("__pos"),
+        textfns.contentFingerprint(col("__p")).as("__fp"))
+      .join(banned, Seq("__fp"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__pos").cast("long"))).as("__bpos"))
+    val noBanned = lit(Array.empty[Long]) // docs absent from bannedPos keep everything
+    docs.join(bannedPos, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(sep, filter(split(col(textCol), sepRe),
+            (_, i) => !graft.expressions.GraftFunctions
+              .graft_sorted_contains(coalesce(col("__bpos"), noBanned), i)))))
+      .drop("__bpos")
   }
 }

@@ -53,7 +53,7 @@ object StressGate {
     val scales = sys.env.getOrElse("GRAFT_STRESS_SCALES", "1,10")
       .split(",").map(_.trim.toInt).toSeq.sorted
     val reps = sys.env.getOrElse("GRAFT_STRESS_REPS", "3").toInt
-    val outPath = sys.env.getOrElse("GRAFT_STRESS_OUT", "STRESS_r09.json")
+    val outPath = sys.env.getOrElse("GRAFT_STRESS_OUT", "STRESS_r10.json")
     val spark = GraftSession.local(32, "graft-stress")
     spark.range(100000L).selectExpr("sum(id)").collect() // warmup
 
@@ -64,25 +64,30 @@ object StressGate {
       println(f"[stress] ${r.path}%-30s ${r.scale}%5d ${r.secs}%7.2f ${r.value}%12d  ${if (r.ok) "ok" else "FAIL expected " + r.expected}")
     }
 
-    // linearity: compare adjacent scales for every path flagged linear
+    // linearity: every ADJACENT scale pair is asserted for every path
+    // flagged linear, so a super-linear blip confined to a middle scale
+    // of GRAFT_STRESS_SCALES=1,5,10 cannot hide between the endpoints
     val lo = scales.min; val hi = scales.max
     val dataRatio = hi.toDouble / lo
     val ratioFailures = scala.collection.mutable.Buffer[String]()
     val ratios: Seq[(String, Double, Boolean)] =
-      if (scales.size < 2) Nil
-      else results.filter(_.scale == lo).flatMap { rl =>
-        results.find(rh => rh.path == rl.path && rh.scale == hi).map { rh =>
-          val ratio = rh.secs / math.max(rl.secs, 1e-3)
-          val ok = !rl.linear || ratio <= dataRatio * Slack
-          if (!ok) ratioFailures +=
-            f"${rl.path}: t($hi)/t($lo) = $ratio%.1f > ${dataRatio * Slack}%.1f"
-          (rl.path, ratio, ok)
+      scales.sorted.sliding(2).filter(_.size == 2).toSeq.flatMap { pair =>
+        val (sl, sh) = (pair(0), pair(1))
+        val pairRatio = sh.toDouble / sl
+        results.filter(_.scale == sl).flatMap { rl =>
+          results.find(rh => rh.path == rl.path && rh.scale == sh).map { rh =>
+            val ratio = rh.secs / math.max(rl.secs, 1e-3)
+            val ok = !rl.linear || ratio <= pairRatio * Slack
+            if (!ok) ratioFailures +=
+              f"${rl.path}: t($sh)/t($sl) = $ratio%.1f > ${pairRatio * Slack}%.1f"
+            (s"${rl.path}@$sl..$sh", ratio, ok)
+          }
         }
       }
     if (ratios.nonEmpty) {
-      println(f"%n[stress] linearity (data ratio $dataRatio%.0fx, band ${dataRatio * Slack}%.0fx):")
+      println(f"%n[stress] linearity (endpoint data ratio $dataRatio%.0fx, slack ${Slack}%.0fx per adjacent pair):")
       ratios.foreach { case (p, r, ok) =>
-        println(f"[stress]   $p%-30s ${r}%6.1fx  ${if (ok) "ok" else "FAIL"}")
+        println(f"[stress]   $p%-36s ${r}%6.1fx  ${if (ok) "ok" else "FAIL"}")
       }
     }
 
@@ -95,9 +100,16 @@ object StressGate {
       s"""{"path":"$p","ratio":${r2(r)},"ok":$ok}"""
     }.mkString("[", ",", "]")
     val json = s"""{"metric":"stress","scales":[${scales.mkString(",")}],"data_ratio":$dataRatio,"slack":$Slack,"reps":$reps,"results":$resJson,"ratios":$ratioJson,"invariant_failures":${invariantFailures.size},"ratio_failures":${ratioFailures.size}}"""
+    // a silent write failure would leave a STALE artifact on disk that
+    // reads as this round's evidence — warn loudly so it's detectable
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[stress] WARNING: failed to write artifact $outPath — " +
+            s"any existing file there is STALE (${e.getClass.getSimpleName}: ${e.getMessage})")
+    }
     println(json)
     spark.stop()
     if (invariantFailures.nonEmpty || ratioFailures.nonEmpty) sys.exit(1)
@@ -187,6 +199,17 @@ object StressGate {
     // the singleton docs keep a nonempty body ---
     run("txt13_paragraph_dedup", Some(p.singletons))(
       Dedup.paragraphDedup(d, "doc_id", "text")
+        .filter(length(col("text")) > 0).count())
+    // the over-budget shuffle-join route must be row-identical to the
+    // broadcast route at corpus scale (the guarded entry point switches
+    // between them on banned-set size — both must agree everywhere,
+    // including the all-banned → "" and null-text rows)
+    val pdB = Dedup.paragraphDedupBroadcast(d, "doc_id", "text")
+    val pdJ = Dedup.paragraphDedupJoin(d, "doc_id", "text")
+    val pdDiff = pdB.except(pdJ).count() + pdJ.except(pdB).count()
+    check("txt13_route_equality", pdDiff == 0, pdDiff, "0 (symmetric diff)")
+    run("txt13_join_route", Some(p.singletons))(
+      Dedup.paragraphDedupJoin(d, "doc_id", "text")
         .filter(length(col("text")) > 0).count())
 
     // --- Bloom decontamination: bench = 5 singleton docs, planted

@@ -254,6 +254,56 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1).isNullAt(1), "null text must stay null, not become \"\"")
   }
 
+  test("paragraphDedup join route is row-identical to the broadcast route") {
+    import spark.implicits._
+    val sep = "\n\n"
+    // 60 docs × 4 paragraphs: a corpus-wide header (banned), a
+    // per-group chorus repeating 6× (banned at t=3), a unique body,
+    // plus edge rows: null text, empty text, all-paragraphs-banned
+    val docs = (0 until 60).map { i =>
+      (i.toLong, Seq("Header", s"chorus ${i % 10}", s"body unique $i", "Header")
+        .mkString(sep))
+    }.toDF("doc_id", "text")
+      .unionByName(Seq(
+        (100L, Some("Header" + sep + "chorus 0")), // every paragraph banned
+        (101L, Some("")),                          // empty text
+        (102L, Option.empty[String])               // null text
+      ).toDF("doc_id", "text"))
+    val viaBroadcast = Dedup.paragraphDedupBroadcast(docs, "doc_id", "text",
+      sep = sep, maxOccurrences = 3L)
+    val viaJoin = Dedup.paragraphDedupJoin(docs, "doc_id", "text",
+      sep = sep, maxOccurrences = 3L)
+    val diff = viaBroadcast.except(viaJoin).count() +
+      viaJoin.except(viaBroadcast).count()
+    assert(diff == 0, "routes must be row-identical")
+    // spot-check semantics on the join route directly
+    val got = viaJoin.orderBy("doc_id").collect()
+    assert(got(0).getString(1) == "body unique 0")
+    assert(got(60).getString(1) == "")
+    assert(got(61).getString(1) == "")
+    assert(got(62).isNullAt(1))
+  }
+
+  test("paragraphDedup falls back to the join route past the broadcast budget") {
+    import spark.implicits._
+    val sep = "\n\n"
+    val docs = (0 until 40).map { i =>
+      (i.toLong, Seq("Boiler", s"keep $i").mkString(sep))
+    }.toDF("doc_id", "text")
+    // a 1-byte budget forces the fallback through the PUBLIC guarded
+    // entry point (1 banned fingerprint × 48 bytes > 1); result must
+    // match the broadcast route exactly
+    val guarded = Dedup.paragraphDedup(docs, "doc_id", "text",
+      sep = sep, maxOccurrences = 1L, maxBannedBroadcastBytes = 1L)
+    val reference = Dedup.paragraphDedupBroadcast(docs, "doc_id", "text",
+      sep = sep, maxOccurrences = 1L)
+    val diff = guarded.except(reference).count() +
+      reference.except(guarded).count()
+    assert(diff == 0, "over-budget fallback must be row-identical")
+    assert(guarded.orderBy("doc_id").collect().map(_.getString(1)).toSeq ==
+      (0 until 40).map(i => s"keep $i"))
+  }
+
   test("minHashLshPairs rejects k not a positive multiple of bands") {
     import spark.implicits._
     val d = Seq((1L, "a b c d e")).toDF("doc_id", "text")
