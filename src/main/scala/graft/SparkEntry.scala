@@ -1544,13 +1544,43 @@ object SparkEntry {
         charLevel = true, spanning = true)
       Dedup.dedupNear(docs, "doc_id", pairs)
         .select(col("doc_id")).orderBy(col("doc_id").asc)
+    }),
+
+    "dd11_lsh_recall" -> ((s, dir) => {
+      // MEASURED sub-threshold LSH recall gate (ann6 discipline applied
+      // to dedup): dd2's planted-recall specs never put a recall NUMBER
+      // in the correctness dump. Both sides use the SAME shingle
+      // definition (7-grams — the near-linear exact-audit configuration,
+      // see dd4) so the exact ngram-Jaccard pair set is a true oracle
+      // for the LSH pair set at the same threshold; LSH output is a
+      // SUBSET of it (candidates are exact-Jaccard-verified), so
+      // pair_recall = |LSH| / |exact| measures exactly the band-collision
+      // misses. k=128/bands=32 = dd2's production signature: r=4 rows
+      // per band gives P(candidate) = 1-(1-s^4)^32 ≈ 0.87 at s=0.5,
+      // →1 above. Rows-only: the number is seed-dependent; DedupSpec
+      // pins the floor.
+      val docs = docsWithNearDups(s, dir)
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 7, threshold = 0.5).select("id_a", "id_b")
+      val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          shingleN = 7, k = 128, bands = 32, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), lit(1).as("__hit"))
+      exact.join(lsh, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_exact_pairs"),
+          count(col("__hit")).as("n_lsh_pairs"),
+          round(count(col("__hit")).cast("double") / count(lit(1)), 4)
+            .as("pair_recall"))
+        .select(lit("minhash_lsh_t05").as("method"),
+          col("n_exact_pairs"), col("n_lsh_pairs"), col("pair_recall"))
     })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the hash/LSH-seeded ops
-    * (dd2, dd3, dd5, ann2) → driver records a rows-only check; their
-    * correctness is pinned by planted-duplicate ScalaTest specs instead.
+    * (dd2, dd3, dd5, dd11, ann2–ann6, q28, q28b) → driver records a
+    * rows-only check; their correctness is pinned by planted-duplicate
+    * / measured-floor ScalaTest specs instead, and dd11/ann6/q28b put
+    * the measured quality numbers themselves in the correctness dump.
     */
   def oracleSql: Map[String, String] = Map(
 

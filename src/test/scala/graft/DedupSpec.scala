@@ -304,6 +304,18 @@ class DedupSpec extends AnyFunSuite {
       (0 until 40).map(i => s"keep $i"))
   }
 
+  test("declared sub-threshold LSH recall gate (dd11): floor vs exact pairs") {
+    // the measured number the dd11 query puts in every correctness
+    // dump; theory at k=128/b=32 (r=4): P(candidate) = 1-(1-s^4)^32
+    // ≈ 0.87 at jaccard exactly 0.5, →1 above — and the fixture's
+    // planted pairs sit well above 0.5, so the measured recall runs
+    // higher. Floor leaves regression margin below the measurement.
+    val r = SparkEntry.queries("dd11_lsh_recall")(spark, SparkT.sfDir).collect()(0)
+    val (nExact, recall) = (r.getLong(1), r.getDouble(3))
+    assert(nExact > 0, "fixture must contain exact pairs to measure against")
+    assert(recall >= 0.8, s"sub-threshold LSH pair recall = $recall (n_exact=$nExact)")
+  }
+
   test("minHashLshPairs rejects k not a positive multiple of bands") {
     import spark.implicits._
     val d = Seq((1L, "a b c d e")).toDF("doc_id", "text")
