@@ -143,7 +143,13 @@ object Bench {
     val flaky = results.collect { case Stat(k, Some(_), _, _, Some(e)) =>
       s"""{"query":"$k","error":${jsonStr(e)}}"""
     }.mkString("[", ",", "]")
-    val total = results.flatMap(_.med).sum
+    // headline follows the SAME coverage rule as sum_of_min and the
+    // group sums: a query whose every rep failed must not silently
+    // lower the total into a phantom speedup — the whole headline goes
+    // null (the "failed" array says why)
+    val totalJson =
+      if (results.exists(_.med.isEmpty)) "null"
+      else r4(results.flatMap(_.med).sum)
     // per-group sums follow the same coverage rule as sum_of_min: a
     // query whose every rep failed contributes nothing to its group's
     // sum, so the group would silently report a LOWER number that
@@ -179,7 +185,7 @@ object Bench {
     val batchMin = groupSum(s => !streamingNames(s.name), _.min)
     val streamingMin = groupSum(s => streamingNames(s.name), _.min)
     val groups = s"""{"batch":$batchTotal,"streaming":$streamingTotal,"batch_min":$batchMin,"streaming_min":$streamingMin}"""
-    val full = s"""{"metric":"total","value":${r4(total)},"unit":"sec","sum_of_min":$sumOfMinJson,"sum_of_min_n":$minCovered,"queries":$qs,"queries_min":$qsMin,"queries_spread":$qsSpread,"groups":$groups,"noise_indicator":$noiseJson,"failed":$failed,"flaky":$flaky,"reps":$reps,"warmup_reps":${if (reps > 1) 1 else 0},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$totalJson,"unit":"sec","sum_of_min":$sumOfMinJson,"sum_of_min_n":$minCovered,"queries":$qs,"queries_min":$qsMin,"queries_spread":$qsSpread,"groups":$groups,"noise_indicator":$noiseJson,"failed":$failed,"flaky":$flaky,"reps":$reps,"warmup_reps":${if (reps > 1) 1 else 0},"sf":"$sfDir"}"""
     // The harness capturing this output keeps only a bounded tail; with
     // ~80 queries the one-line detail object outgrows it and the front
     // of the line (including "total") is cut, leaving nothing parseable.
@@ -187,10 +193,35 @@ object Bench {
     // then a short self-contained summary line goes LAST — it fits the
     // tail window whole and parses on its own.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-        (full + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () } // detail file is best-effort
+    // bench_detail.json is OVERWRITTEN every run, which destroyed the
+    // r8 per-query medians the r9 regression attribution needed — so a
+    // full-suite run ALSO archives to a round-keyed copy that is never
+    // overwritten by later rounds. Round = SPARK_GRAFT_BENCH_ROUND, or
+    // inferred as (max existing BENCH_r*.json)+1: the driver writes
+    // BENCH_rN AFTER this main exits, so at run time max is N−1.
+    // Subset runs (SPARK_GRAFT_BENCH_ONLY) never archive — a dev loop
+    // must not overwrite the round's full-suite record.
+    val archivePath: Option[String] = if (only.nonEmpty) None else {
+      val round = sys.env.get("SPARK_GRAFT_BENCH_ROUND").map(_.toInt).orElse {
+        val seen = java.nio.file.Paths.get(".").toAbsolutePath
+        val re = "BENCH_r(\\d+)\\.json".r
+        val existing = Option(seen.toFile.list()).toList.flatten.collect {
+          case re(n) => n.toInt
+        }
+        Some(if (existing.isEmpty) 1 else existing.max + 1)
+      }
+      round.map(n => f"bench_detail_r$n%02d.json")
+    }
+    (Seq(detailPath) ++ archivePath).foreach { p =>
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          (full + "\n").getBytes("UTF-8"))
+      } catch {
+        case e: Throwable => System.err.println(
+          s"[bench] WARNING: failed to write detail file $p — " +
+            s"any existing file there is STALE (${e.getClass.getSimpleName}: ${e.getMessage})")
+      }
+    }
     println(full)
     val failedN = results.count(r => r.firstErr.isDefined && r.med.isEmpty)
     val flakyN = results.count(r => r.firstErr.isDefined && r.med.nonEmpty)
@@ -198,7 +229,7 @@ object Bench {
     // stays well under the tail window even in a pathological run
     val failedNames = results.collect { case Stat(k, None, _, _, Some(_)) => "\"" + k + "\"" }
       .take(8).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sum_of_min":$sumOfMinJson,"sum_of_min_n":$minCovered,"queries_n":${results.size},"groups":$groups,"noise_indicator":$noiseJson,"failed_n":$failedN,"flaky_n":$flakyN,"failed":$failedNames,"reps":$reps,"sf":"$sfDir","detail":"$detailPath"}""")
+    println(s"""{"metric":"total","value":$totalJson,"unit":"sec","sum_of_min":$sumOfMinJson,"sum_of_min_n":$minCovered,"queries_n":${results.size},"groups":$groups,"noise_indicator":$noiseJson,"failed_n":$failedN,"flaky_n":$flakyN,"failed":$failedNames,"reps":$reps,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
     if (results.exists(r => r.firstErr.isDefined && r.med.isEmpty)) sys.exit(1)
   }
