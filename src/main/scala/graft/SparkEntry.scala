@@ -385,14 +385,15 @@ object SparkEntry {
     }),
 
     "q20_quantiles" -> ((s, dir) =>
-      g(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .summarise(
-          "p25" -> expr("percentile(l_quantity, 0.25)"),
-          "p50" -> expr("percentile(l_quantity, 0.5)"),
-          "p75" -> expr("percentile(l_quantity, 0.75)"))
-        .arrange(asc("l_returnflag"))
-        .df),
+      // exact grouped quantiles through the bounded-state rank path
+      // (Quantile.exactGrouped): one exchange + spillable window, never
+      // a whole group in one aggregation buffer — interpolation is
+      // bit-identical to the `percentile` built-in the DuckDB oracle
+      // already matched
+      graft.operators.Quantile.exactGrouped(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity",
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+        .orderBy(col("l_returnflag").asc)),
 
     "q21_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -806,16 +807,12 @@ object SparkEntry {
       // Splitting is also the 100 TB shape — each exact distinct is a
       // partial-combining (group, key) dedup, never an Expand.
       //
-      // SCALE CAVEAT (100 TB): the exact `percentile` twin buffers
-      // every value of its group in ONE aggregation buffer — over a
-      // near-unique column like l_extendedprice that is ~rowcount
-      // values per group, which OOMs at corpus scale. This query is a
-      // VERIFICATION HARNESS for the sketch, run at bench scale only;
-      // the production quantile paths at scale are the sketch itself
-      // (percentile_approx — mergeable, bounded state) or q20's
-      // rank-based exact grouped quantile (one shuffle, never a whole
-      // group in one buffer). Do not lift the exact twin to corpus
-      // scale.
+      // Every exact twin is scale-true: the distinct-counts are
+      // partial-combining dedups, and the exact p99 runs through
+      // Quantile.exactGrouped — one exchange + spillable window with
+      // bounded per-row state, never a whole group in one aggregation
+      // buffer — so this harness (unlike a `percentile`-based twin)
+      // could itself run at corpus scale.
       val li = t(s, dir, "lineitem")
       val approx = li.groupBy("l_returnflag").agg(
         approx_count_distinct(col("l_partkey")).as("__ap"),
@@ -825,8 +822,8 @@ object SparkEntry {
         .groupBy("l_returnflag").agg(count(lit(1)).as("__ep"))
       val exactOrders = li.select("l_returnflag", "l_orderkey").distinct()
         .groupBy("l_returnflag").agg(count(lit(1)).as("__eo"))
-      val exactP99 = li.groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, 0.99)").as("__eq"))
+      val exactP99 = graft.operators.Quantile.exactGrouped(
+        li, Seq("l_returnflag"), "l_extendedprice", Seq("__eq" -> 0.99))
       approx
         .join(exactParts, "l_returnflag")
         .join(exactOrders, "l_returnflag")
