@@ -1273,6 +1273,20 @@ object SparkEntry {
         .orderBy(col("event_type").asc)
     }),
 
+    "ev9_stream_stream_join" -> ((s, dir) =>
+      // TWO live watermarked streams joined on (user, event-time range)
+      // — views matched to the same user's clicks within 30 minutes,
+      // executed end-to-end by the streaming engine (symmetric-hash
+      // join with state-eviction thresholds derived from the range
+      // predicate; the helper ASSERTS that plan shape post-run). The
+      // oracle replays it as a batch self-join with the identical
+      // range predicate — batch/stream equivalence for the last
+      // missing streaming tier (ev5 stateless, ev6 custom state,
+      // ev7 dedup, ev8 stream-static).
+      Streams.intervalJoinStreamOnce(s, s"$dir/events.parquet",
+          "view", "click", withinMinutes = 30)
+        .orderBy(col("user_id").asc, col("left_id").asc, col("right_id").asc)),
+
     "ev2_sessionize" -> ((s, dir) =>
       Streams.sessionize(t(s, dir, "events"), gapMinutes = 30)
         .orderBy(col("user_id").asc, col("session_seq").asc)),
@@ -2704,6 +2718,18 @@ object SparkEntry {
            max(d.type_total) AS type_total
          FROM events e JOIN dim d USING (event_type)
          GROUP BY 1 ORDER BY 1""",
+
+    "ev9_stream_stream_join" ->
+      """SELECT v.user_id AS user_id,
+           v.event_id AS left_id, c.event_id AS right_id,
+           epoch_ms(CAST(c.ts AS TIMESTAMP)) - epoch_ms(CAST(v.ts AS TIMESTAMP)) AS delta_ms,
+           v.value AS left_value, c.value AS right_value
+         FROM events v JOIN events c
+           ON v.user_id = c.user_id
+          AND v.event_type = 'view' AND c.event_type = 'click'
+          AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+          AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+         ORDER BY user_id, left_id, right_id""",
 
     "ev2_sessionize" ->
       """WITH e AS (

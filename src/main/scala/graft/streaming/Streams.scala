@@ -208,6 +208,71 @@ object Streams {
     detachedTable(spark, qn)
   }
 
+  /** Stream–stream windowed (interval) join, executed by the streaming
+    * engine end-to-end: two LIVE event streams — `leftType` rows joined
+    * to `rightType` rows of the same user arriving within
+    * `withinMinutes` after them (the standard telemetry-enrichment
+    * shape: impressions ⋈ clicks). This is the join tier ABOVE
+    * [[streamStaticJoinOnce]]: both sides are streams, so the engine
+    * plans a symmetric-hash join with a state store on each side.
+    *
+    * State is bounded by construction, not by hope: both sides carry a
+    * watermark and the join predicate carries an event-time RANGE
+    * (r_ts ∈ [l_ts, l_ts + within]), which is exactly what Spark needs
+    * to derive state-eviction thresholds — each side holds only
+    * rows within the watermark horizon, never the stream's history.
+    * The method ASSERTS the engine actually planned
+    * `StreamingSymmetricHashJoin` (via the post-run executed plan), so
+    * a silent fallback to an unbounded shape can't pass the gate.
+    * Inner-join matches emit as soon as both rows have arrived
+    * (append mode), so the AvailableNow backfill emits the complete
+    * batch-equivalent result — the DuckDB oracle replays it as a plain
+    * self-join with the same range predicate.
+    */
+  def intervalJoinStreamOnce(spark: SparkSession, sourcePath: String,
+                             leftType: String, rightType: String,
+                             withinMinutes: Int = 30,
+                             watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(sourcePath).schema
+    val inputPath = asStreamDir(sourcePath)
+    def side(tp: String, p: String): DataFrame = {
+      val raw = spark.readStream.schema(schema).parquet(inputPath)
+      raw
+        // a null event time can't satisfy the range predicate (batch
+        // semantics) but would reach the watermark operator — drop it
+        // scan-side so both engines agree by construction
+        .filter(col("event_type") === tp && col("ts").isNotNull)
+        .select(col("user_id").as(s"${p}_user"),
+          col("event_id").as(s"${p}_id"),
+          eventTs(raw, "ts").as(s"${p}_ts"),
+          col("value").as(s"${p}_value"))
+        .withWatermark(s"${p}_ts", watermark)
+    }
+    val joined = side(leftType, "l").join(side(rightType, "r"),
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+    val out = joined.select(
+      col("l_user").as("user_id"),
+      col("l_id").as("left_id"), col("r_id").as("right_id"),
+      (unix_millis(col("r_ts")) - unix_millis(col("l_ts"))).as("delta_ms"),
+      col("l_value").as("left_value"), col("r_value").as("right_value"))
+    val qn = "graft_ssjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.format("memory").queryName(qn)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      val plan = org.apache.spark.sql.graftbridge.Bridge
+        .lastStreamingExecutedPlan(q).map(_.toString).getOrElse("")
+      require(plan.contains("StreamingSymmetricHashJoin"),
+        "intervalJoinStreamOnce: engine did not plan a stateful " +
+          s"stream-stream join — state bounds unverifiable:\n$plan")
+    } finally if (q.isActive) q.stop()
+    detachedTable(spark, qn)
+  }
+
   /** Wrap a single parquet FILE in a temp dir (symlink) so the file
     * streaming source — which monitors a DIRECTORY — has a valid
     * basePath; directories pass through. */

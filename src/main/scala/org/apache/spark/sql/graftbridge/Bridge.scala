@@ -35,4 +35,16 @@ object Bridge {
   def analyzed(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Executed physical plan of a StreamingQuery's LAST micro-batch —
+    * Connect-era Spark wraps the execution behind `private[sql]`
+    * `StreamingQueryWrapper`; gates use this to assert the engine
+    * planned the stateful operator they claim (e.g. a watermarked
+    * symmetric-hash stream-stream join, not a static join). */
+  def lastStreamingExecutedPlan(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : Option[org.apache.spark.sql.execution.SparkPlan] = q match {
+    case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+      Option(w.streamingQuery.lastExecution).map(_.executedPlan)
+    case _ => None
+  }
 }

@@ -149,6 +149,33 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("stream-stream interval join equals the batch self-join; state plan asserted") {
+    // two live watermarked streams (views ⋈ same-user clicks within 30
+    // minutes) through the engine — must equal the all-batch interval
+    // self-join row for row. The helper itself asserts the engine
+    // planned StreamingSymmetricHashJoin with eviction thresholds (a
+    // require on the executed plan), so reaching the comparison at all
+    // means the state-bound contract held.
+    val got = Streams.intervalJoinStreamOnce(spark,
+      s"${SparkT.sfDir}/events.parquet", "view", "click", withinMinutes = 30)
+    val ev = SparkT.table("events")
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    def side(tp: String, p: String) = ev.filter(col("event_type") === tp)
+      .select(col("user_id").as(s"${p}_user"), col("event_id").as(s"${p}_id"),
+        col("ts_t").as(s"${p}_ts"), col("value").as(s"${p}_value"))
+    val batch = side("view", "l").join(side("click", "r"),
+        col("l_user") === col("r_user") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("l_user").as("user_id"),
+        col("l_id").as("left_id"), col("r_id").as("right_id"),
+        (unix_millis(col("r_ts")) - unix_millis(col("l_ts"))).as("delta_ms"),
+        col("l_value").as("left_value"), col("r_value").as("right_value"))
+    assert(got.count() > 0, "fixture must produce at least one view→click pair")
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+  }
+
   test("scan-side curation (quality/langid/repetition filter) runs unchanged on a stream") {
     // the curation scoring path is stateless scan-side codegen, so the
     // SAME column expressions drive readStream with no operator changes
