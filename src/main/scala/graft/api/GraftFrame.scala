@@ -34,6 +34,31 @@ import org.apache.spark.sql.types.StructType
   */
 final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
 
+  // ---- friendly error boundary ------------------------------------------
+
+  /** The graft analogue of the reference's `wrap_gpu_call` (R/gpu.R;
+    * tests/testthat/test-gpu-error-wrapper.R): a raw Catalyst
+    * `AnalysisException` names plan fragments but not WHICH verb in a
+    * long fluent chain was being built — the fact the user needs first.
+    * Verbs run their body through this boundary; an analysis failure
+    * rethrows as [[GraftVerbError]] carrying the verb name, the columns
+    * the verb referenced, which of them are missing from the frame, and
+    * the frame's available columns — with the original exception as the
+    * cause (classic Spark analyzes each transformation eagerly, so the
+    * catch fires at verb-call time, not at the distant action). */
+  private def wrapVerb[A](verb: String, referenced: => Seq[String] = Nil)(body: => A): A =
+    try body catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw GraftVerbError(verb, referenced, df.columns.toSeq, e)
+    }
+
+  /** Column names an expression tree references — unresolved attributes
+    * only, i.e. exactly the names analysis will try to bind. */
+  private def refNames(cs: Seq[Column]): Seq[String] =
+    cs.flatMap(c => org.apache.spark.sql.graftbridge.Bridge.expression(c).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+    }).distinct
+
   // ---- construction / introspection -------------------------------------
 
   /** Column names — cuplyr `names()` (reference: R/utils.R). */
@@ -108,20 +133,26 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
     */
   def filter(conds: Column*): GraftFrame =
     if (conds.isEmpty) this
-    else copy(df = df.filter(conds.reduce(_ && _)))
+    else wrapVerb("filter", refNames(conds)) {
+      copy(df = df.filter(conds.reduce(_ && _)))
+    }
 
   /** `select(...)` — selection + reordering (reference: R/select.R).
     * Grouping columns survive only if still selected, matching cuplyr's
     * `intersect(groups, new_schema$names)`.
     */
   def select(cols: String*): GraftFrame =
-    GraftFrame(df.select(cols.map(col): _*), groupCols.intersect(cols))
+    wrapVerb("select", cols) {
+      GraftFrame(df.select(cols.map(col): _*), groupCols.intersect(cols))
+    }
 
   /** `select` with rename: `(newName -> expr)` pairs, dplyr
     * `select(new = old)` form. */
   def selectExpr2(cols: (String, Column)*): GraftFrame =
-    GraftFrame(df.select(cols.map { case (n, c) => c.as(n) }: _*),
-      groupCols.intersect(cols.map(_._1)))
+    wrapVerb("select", refNames(cols.map(_._2))) {
+      GraftFrame(df.select(cols.map { case (n, c) => c.as(n) }: _*),
+        groupCols.intersect(cols.map(_._1)))
+    }
 
   /** `mutate(...)` — sequential, replace-in-place (reference:
     * R/mutate.R). Later pairs can reference columns created by earlier
@@ -129,9 +160,11 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
     * (the reference's "mutate fusion" pass).
     */
   def mutate(pairs: (String, Column)*): GraftFrame =
-    copy(df = pairs.foldLeft(df) { case (d, (name, expr)) =>
-      d.withColumn(name, expr)
-    })
+    wrapVerb("mutate", refNames(pairs.map(_._2))) {
+      copy(df = pairs.foldLeft(df) { case (d, (name, expr)) =>
+        d.withColumn(name, expr)
+      })
+    }
 
   /** `transmute(...)` — mutate then keep only the new columns, PLUS
     * the grouping variables: dplyr's transmute always retains them
@@ -218,12 +251,14 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
         groupKeys ++ kept
       }
     if (keys.isEmpty) this // reference: arrange() with no keys is identity
-    else if (!stable) copy(df = df.orderBy(keys: _*))
-    else {
-      val idx = "__graft_stable_idx"
-      copy(df = df.withColumn(idx, monotonically_increasing_id())
-        .orderBy(keys :+ col(idx).asc: _*)
-        .drop(idx))
+    else wrapVerb("arrange", refNames(keys)) {
+      if (!stable) copy(df = df.orderBy(keys: _*))
+      else {
+        val idx = "__graft_stable_idx"
+        copy(df = df.withColumn(idx, monotonically_increasing_id())
+          .orderBy(keys :+ col(idx).asc: _*)
+          .drop(idx))
+      }
     }
   }
 
@@ -234,8 +269,18 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
     * R/group-by.R). No execution happens; grouping only shapes the next
     * `summarise`.
     */
-  def groupBy(cols: String*): GraftFrame =
+  def groupBy(cols: String*): GraftFrame = {
+    // dplyr errors on an unknown grouping column at group_by() time —
+    // without this, the typo would surface verbs later at summarise
+    // with no hint of where it entered the chain
+    val missing = cols.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw GraftVerbError("group_by", cols, df.columns.toSeq,
+        new org.apache.spark.sql.AnalysisException(
+          errorClass = "UNRESOLVED_COLUMN.WITHOUT_SUGGESTION",
+          messageParameters = Map("objectName" -> missing.head)))
     copy(groupCols = (groupCols ++ cols).distinct)
+  }
 
   /** `ungroup()`. */
   def ungroup: GraftFrame = copy(groupCols = Nil)
@@ -248,11 +293,13 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
     */
   def summarise(aggs: (String, Column)*): GraftFrame = {
     require(aggs.nonEmpty, "summarise() requires at least one aggregation expression.")
-    val named = aggs.map { case (n, c) => c.as(n) }
-    val out =
-      if (groupCols.isEmpty) df.agg(named.head, named.tail: _*)
-      else df.groupBy(groupCols.map(col): _*).agg(named.head, named.tail: _*)
-    GraftFrame(out)
+    wrapVerb("summarise", refNames(aggs.map(_._2)) ++ groupCols) {
+      val named = aggs.map { case (n, c) => c.as(n) }
+      val out =
+        if (groupCols.isEmpty) df.agg(named.head, named.tail: _*)
+        else df.groupBy(groupCols.map(col): _*).agg(named.head, named.tail: _*)
+      GraftFrame(out)
+    }
   }
 
   /** dplyr `count()` convenience. */
@@ -711,6 +758,7 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
       case other0 => throw new IllegalArgumentException(
         s"join type '$other0' — use inner/left/right/full (semi/anti have dedicated verbs)")
     }
+    validateJoinKeys(s"${howNorm}_join", other, by)
     val l = df.alias("l")
     val r = other.df.alias("r")
     val cond = by.map { case (lk, rk) =>
@@ -753,6 +801,26 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
 
   private def sameName(keys: Seq[String]) = keys.map(k => (k, k))
 
+  /** Join-key presence check at the verb boundary: a missing key raised
+    * by Catalyst names an attribute and a plan, but not which SIDE of
+    * which join — the first thing to know. Mirrors the reference's
+    * wrapped-error contract for joins (R/join.R via R/gpu.R). */
+  private def validateJoinKeys(verb: String, other: GraftFrame,
+                               by: Seq[(String, String)]): Unit = {
+    def fail(side: String, missing: Seq[String], avail: Seq[String]): Nothing =
+      throw new GraftVerbError(verb,
+        s"graft verb '$verb' failed. Join key${if (missing.size > 1) "s" else ""} " +
+          s"${missing.mkString(", ")} missing from the $side frame." +
+          s" Available $side columns: ${avail.mkString(", ")}.",
+        new org.apache.spark.sql.AnalysisException(
+          errorClass = "UNRESOLVED_COLUMN.WITHOUT_SUGGESTION",
+          messageParameters = Map("objectName" -> missing.head)))
+    val missL = by.map(_._1).filterNot(df.columns.contains).distinct
+    if (missL.nonEmpty) fail("left", missL, df.columns.toSeq)
+    val missR = by.map(_._2).filterNot(other.df.columns.contains).distinct
+    if (missR.nonEmpty) fail("right", missR, other.df.columns.toSeq)
+  }
+
   def innerJoin(other: GraftFrame, by: Seq[String]): GraftFrame =
     join(other, sameName(by), "inner")
   def leftJoin(other: GraftFrame, by: Seq[String]): GraftFrame =
@@ -768,6 +836,8 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
     * na_matches="na" semantics (a null-keyed left row is "present" iff
     * the right side has a null-keyed row). */
   private def existenceJoin(other: GraftFrame, by: Seq[String], how: String): GraftFrame = {
+    validateJoinKeys(if (how == "left_semi") "semi_join" else "anti_join",
+      other, sameName(by))
     val l = df.alias("l")
     val r = other.df.select(by.map(col): _*).alias("r")
     val cond = by.map(k => l(k) <=> r(k)).reduce(_ && _)
@@ -877,5 +947,32 @@ object GraftFrame {
       Row.fromSeq(row.toSeq :+ idx)
     }
     spark.createDataFrame(rdd, schema)
+  }
+}
+
+/** Verb-level analysis error — the graft analogue of the reference's
+  * wrapped GPU errors ("GPU operation 'x' failed ... Original error:
+  * ...", R/gpu.R): names the verb, the columns it referenced, which of
+  * them the frame doesn't have, and what IS available; the underlying
+  * `AnalysisException` rides along as the cause for anyone who wants
+  * the raw Catalyst view. */
+final class GraftVerbError(val verb: String, message: String, cause: Throwable)
+    extends RuntimeException(message, cause)
+
+object GraftVerbError {
+  def apply(verb: String, referenced: Seq[String], available: Seq[String],
+            cause: Throwable): GraftVerbError = {
+    val missing = referenced.filterNot(available.contains)
+    val refTxt =
+      if (referenced.isEmpty) ""
+      else s" Referenced columns: ${referenced.mkString(", ")}."
+    val missTxt =
+      if (missing.isEmpty) ""
+      else s" Missing from the frame: ${missing.mkString(", ")}."
+    new GraftVerbError(verb,
+      s"graft verb '$verb' failed.$refTxt$missTxt" +
+        s" Available columns: ${available.mkString(", ")}." +
+        s" Original error: ${Option(cause).flatMap(c => Option(c.getMessage)).getOrElse("(none)")}",
+      cause)
   }
 }
