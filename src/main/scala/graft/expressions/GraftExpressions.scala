@@ -299,6 +299,22 @@ case class SortedContains(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_sorted_contains"
 
+  // analysis-time type gate: the kernels read raw ArrayData slots
+  // (getLong / UTF8String), so a mistyped raw-expression use (e.g.
+  // array<int>) would otherwise pass analysis and corrupt or
+  // ClassCastException at execution. The Column/SQL wrappers cast, but
+  // the expression must hold its own contract.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) |
+           (ArrayType(StringType, _), StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<bigint>, bigint) or (array<string>, string), " +
+            s"got (${l.simpleString}, ${r.simpleString})")
+    }
+
   private def stringProbe: Boolean = right.dataType == StringType
 
   override def nullSafeEval(a: Any, b: Any): Any =

@@ -228,6 +228,21 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(e(1).isNullAt(0))
   }
 
+  test("graft_sorted_contains: raw-expression misuse fails at ANALYSIS, not execution") {
+    // the Column/SQL wrappers cast their inputs; a raw SortedContains
+    // over array<int> used to pass analysis and read garbage via
+    // getLong at execution — checkInputDataTypes closes that hole
+    import org.apache.spark.sql.graftbridge.Bridge
+    val d = Seq((Seq(1, 5, 9), 5)).toDF("arr", "v") // array<int>, int
+    val raw = Bridge.column(graft.expressions.SortedContains(
+      Bridge.expression(col("arr")), Bridge.expression(col("v"))))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      d.select(raw).collect()
+    }
+    assert(e.getMessage.contains("graft_sorted_contains"),
+      s"analysis error should name the function: ${e.getMessage}")
+  }
+
   test("graft_sorted_contains registered in SQL (both flavors)") {
     graft.expressions.GraftFunctions.register(spark)
     val r = spark.sql(
