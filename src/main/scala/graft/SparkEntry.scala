@@ -936,37 +936,48 @@ object SparkEntry {
     // SRP-LSH with query-directed multiprobe (8 probes/table: base
     // bucket + 7 lowest-margin bit flips) — query-side only, the
     // corpus index stays one bucket per table
+    // round-10 param sweep (tools/ProfileAnnSweep): 7-bit codes × 8
+    // tables × 8 probes clears the 0.5 recall line at BOTH sf0.001
+    // (0.615) and sf0.01 (0.600) for the SAME wall cost as the old
+    // 8×4×8 config (wider buckets + more tables trade code selectivity
+    // for table diversity; candidates stay bucket-bounded)
     "ann2_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 10, dim = 64,
-          nBits = 8, tables = 4, probes = 8)
+          nBits = 7, tables = 8, probes = 8)
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
 
+    // nProbe=6 of 16 cells (sweep: recall 0.545 → 0.660 at sf0.01 for
+    // +50% probe volume — the documented recall/cost knob)
     "ann3_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
-          nCells = 16, nProbe = 4)
+          nCells = 16, nProbe = 6)
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
 
-    // PQ/ADC with exact rerank of the 5·k ADC shortlist (IVFADC+R —
+    // PQ/ADC with exact rerank of the 10·k ADC shortlist (IVFADC+R —
     // codebook-seeded → rows-only; planted-twin recall and ranking
-    // quality are pinned by AnnSpec, measured recall lands in ann6)
+    // quality are pinned by AnnSpec, measured recall lands in ann6).
+    // rerank 50 → 100 (sweep): recall 0.675 → 0.870 at sf0.01; the
+    // rerank scan is broadcast-driven and column-pruned, so doubling
+    // the shortlist costs ~nothing at any scale
     "ann4_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.pqTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
-          m = 8, ksub = 16, rerank = 50)
+          m = 8, ksub = 16, rerank = 100)
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
 
-    // IVF-PQ combined tier, exact rerank of the 5·k shortlist
-    // (codebook-seeded → rows-only; planted-twin recall ≥ IVF-alone
-    // at equal probe budget is pinned by AnnSpec)
+    // IVF-PQ combined tier: nProbe=6 + 10·k exact rerank (sweep:
+    // 0.495 → 0.645 at sf0.01; codebook-seeded → rows-only;
+    // planted-twin recall ≥ IVF-alone at equal probe budget is pinned
+    // by AnnSpec)
     "ann5_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
-          nCells = 16, nProbe = 4, m = 8, ksub = 16, rerank = 50)
+          nCells = 16, nProbe = 6, m = 8, ksub = 16, rerank = 100)
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
 
@@ -996,15 +1007,15 @@ object SparkEntry {
             round(avg(col("recall")), 4).as("recall_at_10"))
           .select(lit(name).as("method"), col("n_queries"), col("recall_at_10"))
       recallOf("ann2_lsh",
-          Ann.lshTopK(emb, qs, k = k, dim = 64, nBits = 8, tables = 4,
+          Ann.lshTopK(emb, qs, k = k, dim = 64, nBits = 7, tables = 8,
             probes = 8))
         .unionByName(recallOf("ann3_ivf",
-          Ann.ivfTopK(emb, qs, k = k, nCells = 16, nProbe = 4)))
+          Ann.ivfTopK(emb, qs, k = k, nCells = 16, nProbe = 6)))
         .unionByName(recallOf("ann4_pq",
-          Ann.pqTopK(emb, qs, k = k, m = 8, ksub = 16, rerank = 50)))
+          Ann.pqTopK(emb, qs, k = k, m = 8, ksub = 16, rerank = 100)))
         .unionByName(recallOf("ann5_ivfpq",
-          Ann.ivfPqTopK(emb, qs, k = k, nCells = 16, nProbe = 4, m = 8,
-            ksub = 16, rerank = 50)))
+          Ann.ivfPqTopK(emb, qs, k = k, nCells = 16, nProbe = 6, m = 8,
+            ksub = 16, rerank = 100)))
         .orderBy(col("method").asc)
     }),
 
