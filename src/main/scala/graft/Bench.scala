@@ -202,7 +202,16 @@ object Bench {
     // Subset runs (SPARK_GRAFT_BENCH_ONLY) never archive — a dev loop
     // must not overwrite the round's full-suite record.
     val archivePath: Option[String] = if (only.nonEmpty) None else {
-      val round = sys.env.get("SPARK_GRAFT_BENCH_ROUND").map(_.toInt).orElse {
+      // a malformed round value must not throw at the END of a full run
+      // (that would lose the detail files AND the summary line): warn
+      // and fall back to inference instead
+      val round = sys.env.get("SPARK_GRAFT_BENCH_ROUND").flatMap { s =>
+        val parsed = scala.util.Try(s.trim.toInt).toOption
+        if (parsed.isEmpty) System.err.println(
+          s"[bench] WARNING: SPARK_GRAFT_BENCH_ROUND='$s' is not an integer — " +
+            "inferring the round from existing BENCH_r*.json instead")
+        parsed
+      }.orElse {
         val seen = java.nio.file.Paths.get(".").toAbsolutePath
         val re = "BENCH_r(\\d+)\\.json".r
         val existing = Option(seen.toFile.list()).toList.flatten.collect {

@@ -59,6 +59,19 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
     }).distinct
 
+  /** Name presence check that resolves the way Catalyst will: honoring
+    * the session's `spark.sql.caseSensitive` (default false →
+    * case-insensitive). The eager verb pre-checks (group_by, join keys)
+    * must agree with analysis — a case-sensitive `contains` here would
+    * reject `groupBy("ID")` on column `id` that every OTHER verb
+    * happily resolves. */
+  private def resolves(available: Seq[String], name: String): Boolean = {
+    val cs = df.sparkSession.conf.get("spark.sql.caseSensitive", "false")
+      .equalsIgnoreCase("true")
+    if (cs) available.contains(name)
+    else available.exists(_.equalsIgnoreCase(name))
+  }
+
   // ---- construction / introspection -------------------------------------
 
   /** Column names — cuplyr `names()` (reference: R/utils.R). */
@@ -160,11 +173,17 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
     * (the reference's "mutate fusion" pass).
     */
   def mutate(pairs: (String, Column)*): GraftFrame =
-    wrapVerb("mutate", refNames(pairs.map(_._2))) {
-      copy(df = pairs.foldLeft(df) { case (d, (name, expr)) =>
-        d.withColumn(name, expr)
-      })
-    }
+    // wrapped per PAIR, not per call: the available-columns set in the
+    // error must be the accumulated frame at the failing pair, so a
+    // column created by an earlier pair ("a" -> ..., "b" -> col("a")+x)
+    // is never misreported as "Missing from the frame" alongside the
+    // real culprit
+    copy(df = pairs.foldLeft(df) { case (d, (name, expr)) =>
+      try d.withColumn(name, expr) catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw GraftVerbError("mutate", refNames(Seq(expr)), d.columns.toSeq, e)
+      }
+    })
 
   /** `transmute(...)` — mutate then keep only the new columns, PLUS
     * the grouping variables: dplyr's transmute always retains them
@@ -273,7 +292,7 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
     // dplyr errors on an unknown grouping column at group_by() time —
     // without this, the typo would surface verbs later at summarise
     // with no hint of where it entered the chain
-    val missing = cols.filterNot(df.columns.contains)
+    val missing = cols.filterNot(resolves(df.columns.toSeq, _))
     if (missing.nonEmpty)
       throw GraftVerbError("group_by", cols, df.columns.toSeq,
         new org.apache.spark.sql.AnalysisException(
@@ -815,9 +834,9 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
         new org.apache.spark.sql.AnalysisException(
           errorClass = "UNRESOLVED_COLUMN.WITHOUT_SUGGESTION",
           messageParameters = Map("objectName" -> missing.head)))
-    val missL = by.map(_._1).filterNot(df.columns.contains).distinct
+    val missL = by.map(_._1).filterNot(resolves(df.columns.toSeq, _)).distinct
     if (missL.nonEmpty) fail("left", missL, df.columns.toSeq)
-    val missR = by.map(_._2).filterNot(other.df.columns.contains).distinct
+    val missR = by.map(_._2).filterNot(resolves(other.df.columns.toSeq, _)).distinct
     if (missR.nonEmpty) fail("right", missR, other.df.columns.toSeq)
   }
 

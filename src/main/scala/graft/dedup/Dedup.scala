@@ -3,7 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import graft.functions.{hashfns, textfns, vecfns}
 
 /** Deduplication operators for document corpora.
@@ -599,16 +599,39 @@ object Dedup {
                      sep: String = "\n\n",
                      maxOccurrences: Long = 1,
                      maxBannedBroadcastBytes: Long = MaxBannedBroadcastBytes): DataFrame = {
-    val bannedCount =
-      bannedFingerprints(docs, textCol, sep, maxOccurrences).count()
-    if (bannedCount * BannedFingerprintBytes <= maxBannedBroadcastBytes)
-      paragraphDedupBroadcast(docs, idCol, textCol, sep, maxOccurrences)
-    else {
+    // EAGER-JOB SEMANTICS: this entry point runs one counting job at
+    // call time (the route decision needs the banned-set size). The
+    // digest DataFrame is persisted (MEMORY_AND_DISK, (16-byte md5)
+    // rows only — never text) so the pre-flight count and the chosen
+    // route share ONE corpus fingerprint scan+shuffle instead of two;
+    // the cache is evictable and is dropped by the route plumbing as
+    // soon as the route no longer needs the distributed form.
+    val banned = bannedFingerprints(docs, textCol, sep, maxOccurrences)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bannedCount = banned.count()
+    if (bannedCount * BannedFingerprintBytes <= maxBannedBroadcastBytes) {
+      // under budget ⇒ the whole digest set fits the driver by the same
+      // bound the broadcast relies on: collect it NOW, free the cache,
+      // and feed the broadcast route a pre-materialized one-row local
+      // set — zero recomputation, no cache left behind
+      val sorted = banned.collect().map(_.getString(0)).sortWith(_ < _)
+      banned.unpersist(blocking = false)
+      broadcastRouteFrom(docs, idCol, textCol, sep,
+        docs.sparkSession.createDataFrame(
+          java.util.List.of(Row(sorted.toSeq)),
+          StructType(Seq(StructField("__banned",
+            ArrayType(StringType, containsNull = false))))))
+    } else {
       log.info(s"paragraphDedup: $bannedCount banned fingerprints " +
         s"(~${bannedCount * BannedFingerprintBytes >> 20} MB) exceed the " +
         s"${maxBannedBroadcastBytes >> 20} MB broadcast budget — " +
         "switching to the shuffle-join route")
-      paragraphDedupJoin(docs, idCol, textCol, sep, maxOccurrences)
+      // over budget ⇒ the join route reads the persisted digests (one
+      // scan total when the result is materialized while the cache is
+      // warm). The cache stays until the session evicts it or the
+      // caller clears it — digests only, disk-backed, bounded by the
+      // banned-set size the route shuffles anyway.
+      joinRouteFrom(docs, idCol, textCol, sep, banned)
     }
   }
 
@@ -638,12 +661,24 @@ object Dedup {
     * contract; the guarded entry point measures it. */
   def paragraphDedupBroadcast(docs: DataFrame, idCol: String, textCol: String,
                               sep: String = "\n\n",
-                              maxOccurrences: Long = 1): DataFrame = {
+                              maxOccurrences: Long = 1): DataFrame =
+    broadcastRouteFrom(docs, idCol, textCol, sep,
+      bannedFingerprints(docs, textCol, sep, maxOccurrences)
+        // one row, even when empty; sorted ASC for the binary-search probe
+        .agg(sort_array(collect_list(col("__fp"))).as("__banned")))
+
+  /** Shared rewrite of the broadcast route: `bannedList` is ONE row
+    * holding the ascending-sorted banned digests as `__banned` —
+    * either the lazy distributed agg (public route, recomputes) or a
+    * driver-materialized local relation (the guarded entry point,
+    * which already paid the fingerprint job for its size pre-flight).
+    * Identical plan shape either way: corpus ⨯ broadcast(1 row),
+    * scan-side binary-search probe. */
+  private def broadcastRouteFrom(docs: DataFrame, idCol: String,
+                                 textCol: String, sep: String,
+                                 bannedList: DataFrame): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(sep)
     val fpOf = (p: Column) => textfns.contentFingerprint(p)
-    val bannedList = bannedFingerprints(docs, textCol, sep, maxOccurrences)
-      // one row, even when empty; sorted ASC for the binary-search probe
-      .agg(sort_array(collect_list(col("__fp"))).as("__banned"))
     docs.crossJoin(broadcast(bannedList))
       .withColumn(textCol,
         // preserve null text: concat_ws(null_array) returns "" (non-null),
@@ -669,9 +704,17 @@ object Dedup {
     * single row can outgrow a task. */
   def paragraphDedupJoin(docs: DataFrame, idCol: String, textCol: String,
                          sep: String = "\n\n",
-                         maxOccurrences: Long = 1): DataFrame = {
+                         maxOccurrences: Long = 1): DataFrame =
+    joinRouteFrom(docs, idCol, textCol, sep,
+      bannedFingerprints(docs, textCol, sep, maxOccurrences))
+
+  /** Shared rewrite of the shuffle-join route; `banned` is the digest
+    * DataFrame (`__fp`), lazy (public route) or persisted (guarded
+    * entry point — its pre-flight count already materialized it). */
+  private def joinRouteFrom(docs: DataFrame, idCol: String,
+                            textCol: String, sep: String,
+                            banned: DataFrame): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(sep)
-    val banned = bannedFingerprints(docs, textCol, sep, maxOccurrences)
     val bannedPos = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol), posexplode(split(col(textCol), sepRe)).as(Seq("__pos", "__p")))

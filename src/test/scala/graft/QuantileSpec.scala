@@ -43,12 +43,22 @@ class QuantileSpec extends AnyFunSuite {
     }
   }
 
-  test("exactGrouped plan has exactly one exchange (window + agg co-partitioned)") {
+  test("exactGrouped plan: histogram count + digest window, no row sort funnel") {
     val plan = Quantile.exactGrouped(fixture, Seq("g"), "v", Seq("p50" -> 0.5))
       .queryExecution.executedPlan.toString
+    // two exchanges BY DESIGN: (group, value) for the parallel count,
+    // then group-only carrying distinct digests into the window — a
+    // one-exchange row-rank plan serializes each group's full row set
+    // through a single sort task (3 groups ⇒ 3 tasks, the skew case)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
     assert(!plan.contains("percentile"), "must not fall back to the buffering aggregate")
+    // rank + group-count must share ONE window pass (same spec, two
+    // frames) — a second Window node means the count regressed to its
+    // own whole-dataset pass
+    val windows = "(?m)^\\s*[+:]?-?\\s*Window ".r.findAllIn(plan).size max
+      "Window \\[".r.findAllIn(plan).size
+    assert(windows == 1, s"expected 1 Window node, got $windows:\n$plan")
   }
 
   test("exactGrouped ignores nulls and keeps singleton groups") {
