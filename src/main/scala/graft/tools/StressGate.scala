@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.GraftSession
 import graft.dedup.Dedup
-import graft.operators.{Decontam, Skew}
+import graft.operators.{Decontam, Quantile, Skew}
 import graft.similarity.Ann
 import graft.stress.StressFixture
 import graft.stress.StressFixture.StressPlan
@@ -53,7 +53,22 @@ object StressGate {
     val scales = sys.env.getOrElse("GRAFT_STRESS_SCALES", "1,10")
       .split(",").map(_.trim.toInt).toSeq.sorted
     val reps = sys.env.getOrElse("GRAFT_STRESS_REPS", "3").toInt
-    val outPath = sys.env.getOrElse("GRAFT_STRESS_OUT", "STRESS_r10.json")
+    // round-keyed artifact (the bench_detail discipline): a later
+    // round's run must never overwrite an earlier round's evidence.
+    // Round = GRAFT_STRESS_ROUND, else inferred as (max existing
+    // BENCH_r*.json)+1 — the driver writes BENCH_rN AFTER round N, so
+    // at run time during round N the max is N−1.
+    val outPath = sys.env.getOrElse("GRAFT_STRESS_OUT", {
+      val round = sys.env.get("GRAFT_STRESS_ROUND")
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+        .getOrElse {
+          val re = "BENCH_r(\\d+)\\.json".r
+          val existing = Option(new java.io.File(".").list()).toList.flatten
+            .collect { case re(n) => n.toInt }
+          if (existing.isEmpty) 1 else existing.max + 1
+        }
+      f"STRESS_r$round%02d.json"
+    })
     val spark = GraftSession.local(32, "graft-stress")
     spark.range(100000L).selectExpr("sum(id)").collect() // warmup
 
