@@ -18,15 +18,19 @@ object Streams {
   case class ClosedSession(user_id: Long, session_seq: Long, session_start_ms: Long,
                            session_end_ms: Long, n_events: Long, sum_value: Double)
 
-  import org.apache.spark.sql.types.{LongType, TimestampType}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   /** Event-time column as a proper TIMESTAMP regardless of how the
     * source stored it. Raw-nanos longs (parquet TIMESTAMP(NANOS) read
     * under `nanosAsLong`) are floor-divided with INTEGER arithmetic —
     * epoch-nanos exceed 2^53, so any route through double would lose
     * precision. NTZ casts are instant-preserving under the UTC session.
+    *
+    * Public: callers (and specs) that need the same normalization as
+    * the streaming gates should use this rather than hardcoding one
+    * storage type's conversion.
     */
-  private def eventTs(events: DataFrame, tsCol: String): Column =
+  def eventTs(events: DataFrame, tsCol: String): Column =
     events.schema(tsCol).dataType match {
       // (x - pmod(x, d)) div d is true FLOOR division — bare `div`
       // truncates toward zero, which rounds pre-epoch (negative)
@@ -36,11 +40,14 @@ object Streams {
       case LongType =>
         timestamp_micros(expr(s"($tsCol - pmod($tsCol, 1000)) div 1000"))
       case TimestampType => col(tsCol)
+      // NTZ → TIMESTAMP is instant-preserving under the UTC session
+      // the library always runs with (GraftSession pins UTC)
+      case TimestampNTZType => col(tsCol).cast(TimestampType)
       case _ => col(tsCol).cast("timestamp")
     }
 
   /** Event-time as epoch millis (BIGINT, engine-neutral). */
-  private def eventTsMs(events: DataFrame, tsCol: String): Column =
+  def eventTsMs(events: DataFrame, tsCol: String): Column =
     events.schema(tsCol).dataType match {
       case LongType =>
         expr(s"($tsCol - pmod($tsCol, 1000000)) div 1000000")

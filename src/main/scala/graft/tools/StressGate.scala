@@ -63,9 +63,19 @@ object StressGate {
         .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
         .getOrElse {
           val re = "BENCH_r(\\d+)\\.json".r
-          val existing = Option(new java.io.File(".").list()).toList.flatten
+          val anchor = new java.io.File(sys.props.getOrElse("user.dir", "."))
+          val existing = Option(anchor.list()).toList.flatten
             .collect { case re(n) => n.toInt }
-          if (existing.isEmpty) 1 else existing.max + 1
+          if (existing.isEmpty) {
+            // a cwd outside the repo root would silently infer round 1
+            // and write a mislabeled artifact THERE — make it loud
+            System.err.println(
+              s"[stress] WARNING: no BENCH_r*.json in ${anchor.getAbsolutePath} — " +
+                "cannot infer the round; defaulting to 1. Set GRAFT_STRESS_ROUND " +
+                "or GRAFT_STRESS_OUT (or run from the repo root) for a " +
+                "correctly-keyed artifact.")
+            1
+          } else existing.max + 1
         }
       f"STRESS_r$round%02d.json"
     })
@@ -290,6 +300,34 @@ object StressGate {
     run("q43_plain_agg", None)(plainAgg.count())
     val aggDiff = saltedAgg.except(plainAgg).count() + plainAgg.except(saltedAgg).count()
     check("q43_salted_eq_plain", aggDiff == 0, aggDiff, "0 (symmetric diff)")
+
+    // --- exact grouped quantiles: the r11 histogram-rank plan, at the
+    // scale the old `percentile(...)` buffer OOMs on. The value column
+    // is near-unique (l_quantity·1e7 + l_orderkey — integer-valued
+    // doubles < 2^30, exact), so the HOT group's digest set grows
+    // linearly with the corpus: ~15M distinct values in ONE window
+    // partition at scale 10. That is the worst case for this plan —
+    // the spillable window-over-digests buffer holds the full distinct
+    // set — and the linearity band asserts it stays n·log n-flat
+    // instead of degrading. The count pass stays parallel regardless
+    // (exchange keyed on (grp, value)).
+    val liQ = li.withColumn("__val", col("l_quantity") * 1e7 + col("l_orderkey"))
+    val nGrps = li.select("grp").distinct().count()
+    def q20 = Quantile.exactGrouped(liQ, Seq("grp"), "__val",
+      Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)))
+    run("q20_quantile_hist", Some(nGrps))(q20.count())
+    if (scale == 1) {
+      // bit-equality vs the built-in, smallest scale only: the oracle
+      // itself buffers every HOT-group value in one aggregation array
+      // (the failure mode the histogram plan replaces) — ~1.5M doubles
+      // here, safe to materialize once; at scale 10 it is not.
+      val builtin = liQ.groupBy("grp").agg(
+        percentile(col("__val"), lit(0.5)).as("p50"),
+        percentile(col("__val"), lit(0.95)).as("p95"),
+        percentile(col("__val"), lit(0.99)).as("p99"))
+      val qDiff = q20.except(builtin).count() + builtin.except(q20).count()
+      check("q20_eq_builtin", qDiff == 0, qDiff, "0 (symmetric diff)")
+    }
 
     def checksum(j: DataFrame): Long = j.agg(
       sum((col("l_quantity") * col("o_totalprice")).cast("long")) + count(lit(1)))

@@ -83,8 +83,9 @@ class StreamsSpec extends AnyFunSuite {
 
   test("streaming dedup drops redelivered events, keeps state within watermark") {
     // simulate an at-least-once source: every event delivered twice
-    val ev = SparkT.table("events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = SparkT.table("events")
+    val ev = raw
+      .withColumn("ts", Streams.eventTs(raw, "ts"))
       .select("ts", "event_id", "event_type", "value")
     val doubled = ev.unionAll(ev)
     val dir = Files.createTempDirectory("graft_dedup_stream").toString
@@ -107,8 +108,9 @@ class StreamsSpec extends AnyFunSuite {
     // materialize events with a proper timestamp column, then replay it
     // through readStream — Structured Streaming's batch-equivalence
     // contract makes the two paths comparable row-for-row.
-    val ev = SparkT.table("events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = SparkT.table("events")
+    val ev = raw
+      .withColumn("ts", Streams.eventTs(raw, "ts"))
       .select("ts", "event_type", "value")
     val dir = Files.createTempDirectory("graft_stream").toString
     ev.write.mode("overwrite").parquet(dir)
@@ -158,8 +160,9 @@ class StreamsSpec extends AnyFunSuite {
     // means the state-bound contract held.
     val got = Streams.intervalJoinStreamOnce(spark,
       s"${SparkT.sfDir}/events.parquet", "view", "click", withinMinutes = 30)
-    val ev = SparkT.table("events")
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val evRaw = SparkT.table("events")
+    val ev = evRaw
+      .withColumn("ts_t", Streams.eventTs(evRaw, "ts"))
     def side(tp: String, p: String) = ev.filter(col("event_type") === tp)
       .select(col("user_id").as(s"${p}_user"), col("event_id").as(s"${p}_id"),
         col("ts_t").as(s"${p}_ts"), col("value").as(s"${p}_value"))
