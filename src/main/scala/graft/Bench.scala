@@ -83,6 +83,13 @@ object Bench {
     // spread. Warmup timings are excluded from med/min/spread (errors
     // still count); with reps=N that leaves N−1 measured samples.
     val samples = scala.collection.mutable.Map.empty[String, List[Either[String, Double]]]
+    // rep-aligned raw wall times (WARMUP INCLUDED at index 0): a host
+    // contention window inflates a wall-clock-contiguous stripe of
+    // (rep, query) cells, and because reps are round-robin that stripe
+    // is visible as a run of inflated cells at the same rep index
+    // across adjacent queries — exactly the evidence two rounds of
+    // noise_indicator ≥1.0 lacked. null = that rep errored.
+    val repTimes = scala.collection.mutable.Map.empty[String, Array[Option[Double]]]
     for (rep <- 1 to reps; (name, fn) <- named) {
       val warmup = rep == 1 && reps > 1
       val t0 = System.nanoTime()
@@ -92,8 +99,10 @@ object Bench {
       } catch {
         case t: Throwable => Left(Option(t.getMessage).getOrElse(t.getClass.getName))
       }
+      val arr = repTimes.getOrElseUpdate(name, Array.fill[Option[Double]](reps)(None))
+      sample.foreach(t => arr(rep - 1) = Some(t))
       sample match {
-        case Right(_) if warmup => () // timed but not recorded
+        case Right(_) if warmup => () // recorded in repTimes, excluded from stats
         case s => samples(name) = samples.getOrElse(name, Nil) :+ s
       }
     }
@@ -134,6 +143,11 @@ object Bench {
     val qs = numMap(_.med)
     val qsMin = numMap(_.min)
     val qsSpread = numMap(_.spread)
+    // per-rep raw times, rep-aligned (index 0 = the warmup pass)
+    val qsReps = results.map { s =>
+      "\"" + s.name + "\":" + repTimes(s.name)
+        .map(_.map(r4).getOrElse("null")).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // "failed" = no rep succeeded (null timing, nonzero exit);
     // "flaky" = some rep failed but a timing exists — the two signals
     // must not contradict each other
@@ -185,7 +199,17 @@ object Bench {
     val batchMin = groupSum(s => !streamingNames(s.name), _.min)
     val streamingMin = groupSum(s => streamingNames(s.name), _.min)
     val groups = s"""{"batch":$batchTotal,"streaming":$streamingTotal,"batch_min":$batchMin,"streaming_min":$streamingMin}"""
-    val full = s"""{"metric":"total","value":$totalJson,"unit":"sec","sum_of_min":$sumOfMinJson,"sum_of_min_n":$minCovered,"queries":$qs,"queries_min":$qsMin,"queries_spread":$qsSpread,"groups":$groups,"noise_indicator":$noiseJson,"failed":$failed,"flaky":$flaky,"reps":$reps,"warmup_reps":${if (reps > 1) 1 else 0},"sf":"$sfDir"}"""
+    // medians stop being adjudicable past ~0.5 (r11/r12 both exceeded
+    // 1.0 and their medians carried no signal) — say so at run time,
+    // naming the only valid read, instead of leaving it to the reviewer
+    if (spreads.nonEmpty && spreads((spreads.size - 1) / 2) > 0.5)
+      System.err.println(
+        f"[bench] WARNING: noise_indicator ${spreads((spreads.size - 1) / 2)}%.2f > 0.5 — " +
+          "host was contended; medians (value/queries/groups batch+streaming) are " +
+          "noise, min-of-N (sum_of_min/queries_min/batch_min/streaming_min) is the " +
+          "only valid cross-round read. Per-rep times are in queries_reps — a " +
+          "rep-aligned stripe of inflated cells marks the contention window.")
+    val full = s"""{"metric":"total","value":$totalJson,"unit":"sec","sum_of_min":$sumOfMinJson,"sum_of_min_n":$minCovered,"queries":$qs,"queries_min":$qsMin,"queries_spread":$qsSpread,"queries_reps":$qsReps,"groups":$groups,"noise_indicator":$noiseJson,"failed":$failed,"flaky":$flaky,"reps":$reps,"warmup_reps":${if (reps > 1) 1 else 0},"sf":"$sfDir"}"""
     // The harness capturing this output keeps only a bounded tail; with
     // ~80 queries the one-line detail object outgrows it and the front
     // of the line (including "total") is cut, leaving nothing parseable.

@@ -1257,6 +1257,33 @@ object SparkEntry {
         .orderBy(col("id_a").asc, col("id_b").asc)
     }),
 
+    "mm3_perceptual_dedup" -> ((s, dir) => {
+      // PERCEPTUAL media near-dedup: real PNG pixels → dHash over the
+      // decoded luminance grid → pigeonhole Hamming buckets. Finds the
+      // near-duplicates mm2's byte-level tier cannot: the corpus is
+      // every doc rendered as a structured 96×72 PNG (real JDK codec
+      // path end-to-end), with every 3rd doc re-planted as a
+      // bilinear-resized 64×48 re-encode and every 5th as a harsher
+      // 48×36 re-encode — DIFFERENT bytes, same picture. Rows-only by
+      // design (dHash values are engine-specific constants, like the
+      // MinHash seeds); MultimodalSpec pins planted recall = 1.0 and
+      // the exact pair set on a fixed fixture. Only (id, 64-bit sig)
+      // ever shuffles — payloads stay in the scan stage.
+      val base = Multimodal.syntheticImageTable(t(s, dir, "documents"))
+      def variant(mod: Int, off: Long, w: Int, h: Int) = {
+        val sel = base.filter(pmod(col("doc_id"), lit(mod)) === 0)
+        Multimodal.resizeBatch(sel, w, h).toDF()
+          .select((col("doc_id") + off).as("doc_id"), col("modality"),
+            col("payload"), lit("image/png").as("media_type"),
+            octet_length(col("payload")).cast("long").as("n_bytes"))
+      }
+      val off1 = 10000000L; val off2 = 20000000L
+      val corpus = base.unionByName(variant(3, off1, 64, 48))
+        .unionByName(variant(5, off2, 48, 36))
+      Multimodal.perceptualDupPairs(corpus, maxHamming = 10, bucketCap = 1000)
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    }),
+
     "ev1_tumbling" -> ((s, dir) =>
       Streams.tumblingAgg(t(s, dir, "events"), "1 hour")
         .orderBy(col("window_start").asc, col("event_type").asc)),

@@ -215,18 +215,33 @@ object Dedup {
     * verification. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, maxHamming: Int = 3,
-                   bucketCap: Int = 1000): DataFrame = {
+                   bucketCap: Int = 1000): DataFrame =
+    hamming64Pairs(
+      df.select(col(idCol).as("id"),
+        hashfns.simHashSig(col(textCol), shingleN).as("sig")),
+      maxHamming, bucketCap)
+
+  /** Near-duplicate pairs over ANY 64-bit signature column — the
+    * signature-agnostic core of [[simHashPairs]], also driving
+    * perceptual-hash media dedup ([[graft.multimodal.Multimodal]]'s
+    * dHash). Input: `(id: long, sig: long)`. Pigeonhole block index
+    * (splitting the signature into `maxHamming+1` blocks guarantees
+    * any pair within `maxHamming` shares at least one block — never
+    * an all-pairs scan), capped buckets, codegen'd popcount
+    * verification. */
+  def hamming64Pairs(sigs: DataFrame, maxHamming: Int = 3,
+                     bucketCap: Int = 1000): DataFrame = {
     val blocks = maxHamming + 1
-    val docs = df.select(col(idCol).as("id"),
-      hashfns.simHashSig(col(textCol), shingleN).as("sim"))
+    require(blocks <= 64, s"maxHamming $maxHamming needs $blocks blocks > 64 bits")
+    val docs = sigs.select(col("id"), col("sig"))
     val exploded = docs.select(col("id"),
-      explode(hashfns.simHashBlockKeys(col("sim"), blocks)).as("bk"))
+      explode(hashfns.simHashBlockKeys(col("sig"), blocks)).as("bk"))
     val candidates = boundedPairs(exploded, bucketCap)
     candidates
-      .join(docs.select(col("id").as("id_a"), col("sim").as("sim_a")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("sim").as("sim_b")), "id_b")
+      .join(docs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("hamming",
-        graft.expressions.GraftFunctions.graft_hamming64(col("sim_a"), col("sim_b")))
+        graft.expressions.GraftFunctions.graft_hamming64(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

@@ -217,6 +217,151 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference hash (dHash) of a decoded image: bilinear
+    * resample to a 9×8 luminance grid, bit (x,y) = lum(x,y) > lum(x+1,y).
+    * The classic perceptual fingerprint — low-frequency structure
+    * survives resizing, re-encoding and mild compression artifacts, so
+    * a resized/recompressed near-duplicate lands within a few bits of
+    * its original, findable by the same pigeonhole Hamming machinery
+    * as SimHash ([[graft.dedup.Dedup.hamming64Pairs]]). Pure JDK. */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val small = new java.awt.image.BufferedImage(gw, gh,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    g.setRenderingHint(
+      java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    // area-averaging first when downscaling sharply: a direct bilinear
+    // drawImage to 9×8 samples only a few source pixels per cell and
+    // aliases away the low-frequency structure dHash relies on
+    g.drawImage(img.getScaledInstance(gw, gh, java.awt.Image.SCALE_AREA_AVERAGING),
+      0, 0, null)
+    g.dispose()
+    var h = 0L
+    var y = 0
+    while (y < gh) {
+      var x = 0
+      var rgbPrev = small.getRGB(0, y)
+      while (x < gw - 1) {
+        val rgbNext = small.getRGB(x + 1, y)
+        def lum(rgb: Int): Int =
+          ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114)
+        if (lum(rgbPrev) > lum(rgbNext)) h |= 1L << (y * (gw - 1) + x)
+        rgbPrev = rgbNext
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** dHash for NON-image payloads — the deterministic stub arm: the
+    * byte stream is strided into the same 9×8 grid (cell = mean of its
+    * byte slice) and gradient-hashed identically. Identical payloads
+    * hash identically; it makes no perceptual claim (swap in a real
+    * decoder per modality for that). */
+  private def dHash64Stub(payload: Array[Byte]): Long = {
+    val cells = 72
+    val n = payload.length
+    val sums = new Array[Long](cells); val counts = new Array[Long](cells)
+    var i = 0
+    while (i < n) {
+      val c = (i.toLong * cells / math.max(n, 1)).toInt
+      sums(c) += payload(i) & 0xff; counts(c) += 1
+      i += 1
+    }
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val a = y * 9 + x; val b = a + 1
+        val la = if (counts(a) == 0) 0.0 else sums(a).toDouble / counts(a)
+        val lb = if (counts(b) == 0) 0.0 else sums(b).toDouble / counts(b)
+        if (la > lb) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Perceptual features per media row: 64-bit dHash + which path
+    * produced it ("imageio" = real decode, "stub" = byte-grid arm).
+    * Output `(id, sig, codec)` plugs straight into
+    * [[graft.dedup.Dedup.hamming64Pairs]]. */
+  def perceptualFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        ImageDecoder.readImage(r.payload) match {
+          case Some(img) => (r.doc_id, dHash64(img), "imageio")
+          case None => (r.doc_id, dHash64Stub(r.payload), "stub")
+        }
+      }
+    }.toDF("id", "sig", "codec")
+  }
+
+  /** Media near-duplicate pairs by perceptual hash: decode → dHash →
+    * pigeonhole Hamming buckets → popcount verify. Finds
+    * resized/recompressed near-duplicates that byte-level (sha2) and
+    * embedding-stub dedup cannot — the perceptual tier of media dedup.
+    * Payloads never shuffle: only `(id, 64-bit sig)` leaves the scan,
+    * so the exchange is ~16 bytes/row regardless of media size —
+    * the 100 TB shape. */
+  def perceptualDupPairs(media: DataFrame, maxHamming: Int = 8,
+                         bucketCap: Int = 1000): DataFrame =
+    graft.dedup.Dedup.hamming64Pairs(
+      perceptualFeatures(media).select("id", "sig"), maxHamming, bucketCap)
+
+  /** Deterministic synthetic image corpus for exercising the REAL
+    * decode path at query time (the parquet fixtures carry text, not
+    * pixels): each doc_id renders a structured 96×72 PNG — seeded
+    * gradient background + three seeded solid rectangles — with enough
+    * low-frequency structure for dHash to be stable under resize.
+    * Pure JDK, same bytes on every executor/run. */
+  def syntheticImageTable(docs: DataFrame, width: Int = 96, height: Int = 72): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val img = renderSyntheticImage(id, width, height)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        val bytes = baos.toByteArray
+        MediaRow(id, "image", bytes, "image/png", bytes.length.toLong)
+      }
+    }.toDF()
+  }
+
+  /** Seeded structured image: a coarse 8×6 grid of solid random-color
+    * blocks. Coarse blocks are the point — they give each image an
+    * effectively random 9×8 luminance pattern (so two DIFFERENT images
+    * sit ~32 dHash bits apart, far outside any sane Hamming ball; a
+    * shared global structure like one fixed gradient direction would
+    * correlate every image's low-frequency bits), while surviving
+    * resize/re-encode essentially bit-exactly (block edges land at the
+    * same relative positions at any resolution). */
+  private def renderSyntheticImage(seed: Long, w: Int,
+                                   h: Int): java.awt.image.BufferedImage = {
+    val rnd = new java.util.Random(seed * 0x9E3779B97F4A7C15L + 1)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    val bx = 8; val by = 6
+    (0 until bx).foreach { i =>
+      (0 until by).foreach { j =>
+        g.setColor(new java.awt.Color(rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+        val x0 = i * w / bx; val y0 = j * h / by
+        g.fillRect(x0, y0, (i + 1) * w / bx - x0, (j + 1) * h / by - y0)
+      }
+    }
+    g.dispose()
+    img
+  }
+
   /** Payload → embedding stub: a deterministic hash-derived float
     * vector standing in for a vision/audio encoder. Output plugs
     * straight into [[graft.similarity.Ann]] / [[graft.dedup.Dedup]]

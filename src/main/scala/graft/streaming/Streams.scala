@@ -29,6 +29,11 @@ object Streams {
     * Public: callers (and specs) that need the same normalization as
     * the streaming gates should use this rather than hardcoding one
     * storage type's conversion.
+    *
+    * @note the NTZ arm is instant-preserving ONLY under a UTC session
+    *       (`spark.sql.session.timeZone=UTC`, which [[graft.api.GraftSession]]
+    *       always pins). A pre-built non-UTC session would silently
+    *       shift NTZ event times, so that arm `require`s UTC.
     */
   def eventTs(events: DataFrame, tsCol: String): Column =
     events.schema(tsCol).dataType match {
@@ -41,8 +46,16 @@ object Streams {
         timestamp_micros(expr(s"($tsCol - pmod($tsCol, 1000)) div 1000"))
       case TimestampType => col(tsCol)
       // NTZ → TIMESTAMP is instant-preserving under the UTC session
-      // the library always runs with (GraftSession pins UTC)
-      case TimestampNTZType => col(tsCol).cast(TimestampType)
+      // the library always runs with (GraftSession pins UTC); on a
+      // pre-built non-UTC session the cast would silently SHIFT event
+      // times — fail loudly instead
+      case TimestampNTZType =>
+        val tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        require(tz == "UTC",
+          s"eventTs($tsCol): TIMESTAMP_NTZ → TIMESTAMP is instant-preserving " +
+            s"only under a UTC session, but spark.sql.session.timeZone=$tz. " +
+            "Use GraftSession.init (pins UTC) or set the session timezone to UTC.")
+        col(tsCol).cast(TimestampType)
       case _ => col(tsCol).cast("timestamp")
     }
 
@@ -170,11 +183,13 @@ object Streams {
     val inputPath = asStreamDir(sourcePath)
     val qn = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val src = spark.readStream.schema(schema).parquet(inputPath)
-    val q = tumblingAgg(src, windowLen)
-      .writeStream.format("memory").queryName(qn)
-      .outputMode("complete").trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally if (q.isActive) q.stop()
+    withBackfillStatePartitions(spark) {
+      val q = tumblingAgg(src, windowLen)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
     detachedTable(spark, qn)
   }
 
@@ -208,10 +223,12 @@ object Streams {
     val joined = src.join(broadcast(dim), Seq(joinKey))
       .groupBy(col(joinKey))
       .agg(aggs.head, aggs.tail: _*)
-    val q = joined.writeStream.format("memory").queryName(qn)
-      .outputMode("complete").trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally if (q.isActive) q.stop()
+    withBackfillStatePartitions(spark) {
+      val q = joined.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
     detachedTable(spark, qn)
   }
 
@@ -266,18 +283,43 @@ object Streams {
       (unix_millis(col("r_ts")) - unix_millis(col("l_ts"))).as("delta_ms"),
       col("l_value").as("left_value"), col("r_value").as("right_value"))
     val qn = "graft_ssjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = out.writeStream.format("memory").queryName(qn)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    try {
-      q.awaitTermination()
-      val plan = org.apache.spark.sql.graftbridge.Bridge
-        .lastStreamingExecutedPlan(q).map(_.toString).getOrElse("")
-      require(plan.contains("StreamingSymmetricHashJoin"),
-        "intervalJoinStreamOnce: engine did not plan a stateful " +
-          s"stream-stream join — state bounds unverifiable:\n$plan")
-    } finally if (q.isActive) q.stop()
+    withBackfillStatePartitions(spark) {
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        val plan = org.apache.spark.sql.graftbridge.Bridge
+          .lastStreamingExecutedPlan(q).map(_.toString).getOrElse("")
+        require(plan.contains("StreamingSymmetricHashJoin"),
+          "intervalJoinStreamOnce: engine did not plan a stateful " +
+            s"stream-stream join — state bounds unverifiable:\n$plan")
+      } finally if (q.isActive) q.stop()
+    }
     detachedTable(spark, qn)
+  }
+
+  /** Run `f` with `spark.sql.shuffle.partitions` clamped to
+    * min(current, `n`), restoring the previous value after.
+    *
+    * For the one-shot bounded-backfill gates ONLY: a stateful
+    * streaming query instantiates one state store per shuffle
+    * partition, and every micro-batch pays per-store setup + a delta
+    * commit to the checkpoint — with 32 partitions (64 stores for a
+    * stream-stream join) that fixed cost dwarfs the actual work on a
+    * bounded fixture. Results are partition-count-independent (same
+    * rows, fewer stores), and the state-partition count is baked into
+    * a NEW checkpoint at first start, so a fresh one-shot query can
+    * pick it freely. The unbounded production forms
+    * ([[tumblingAggStream]], [[dedupStream]], ...) are untouched —
+    * at real scale the partition count must be sized to the data,
+    * which is the session's own setting. */
+  private def withBackfillStatePartitions[T](spark: SparkSession, n: Int = 8)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val clamped = math.min(prev.toInt, n)
+    spark.conf.set(key, clamped.toString)
+    try f finally spark.conf.set(key, prev)
   }
 
   /** Wrap a single parquet FILE in a temp dir (symlink) so the file
@@ -381,11 +423,13 @@ object Streams {
     val ev = raw.select(col("user_id"), col("event_id"),
       eventTsMs(raw, "ts").as("ts_ms"), col("value"))
     val qn = "graft_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = sessionizeStatefulDs(ev, gapMinutes)
-      .writeStream.format("memory").queryName(qn)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally if (q.isActive) q.stop()
+    withBackfillStatePartitions(spark) {
+      val q = sessionizeStatefulDs(ev, gapMinutes)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
     detachedTable(spark, qn)
   }
 
@@ -433,10 +477,12 @@ object Streams {
       .withWatermark("__ts_t", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
     val qn = "graft_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = ev.writeStream.format("memory").queryName(qn)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally if (q.isActive) q.stop()
+    withBackfillStatePartitions(spark) {
+      val q = ev.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
     detachedTable(spark, qn)
   }
 

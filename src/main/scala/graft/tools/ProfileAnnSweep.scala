@@ -38,7 +38,9 @@ object ProfileAnnSweep {
       println(f"[sweep] lsh nBits=$nb tables=$tb probes=$pr recall=$r%.3f  ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     println("[sweep] --- IVF-PQ (nCells, nProbe, rerank) ---")
-    for ((nc, np, rr) <- Seq((16, 4, 50), (16, 6, 50), (16, 6, 100), (16, 8, 100))) {
+    for ((nc, np, rr) <- Seq((16, 4, 50), (16, 6, 50), (16, 6, 100), (16, 8, 100),
+                             (16, 8, 250), (16, 12, 250), (16, 12, 500),
+                             (16, 16, 500))) {
       val t0 = System.nanoTime()
       val r = recallOf(Ann.ivfPqTopK(emb, qs, k = k, nCells = nc, nProbe = np,
         m = 8, ksub = 16, rerank = rr))
@@ -49,9 +51,15 @@ object ProfileAnnSweep {
       val r = recallOf(Ann.ivfTopK(emb, qs, k = k, nCells = nc, nProbe = np))
       println(f"[sweep] ivf nCells=$nc nProbe=$np recall=$r%.3f")
     }
-    for ((m, ks, rr) <- Seq((8, 16, 50), (8, 16, 100))) {
+    // the ≥0.9 retrieval-grade frontier (r10 task #4): rerank 25–50·k
+    // and larger codebooks — the rerank scan is broadcast-driven and
+    // column-pruned, so the cost grows with the shortlist, not the
+    // corpus
+    for ((m, ks, rr) <- Seq((8, 16, 50), (8, 16, 100), (8, 16, 250),
+                            (8, 16, 500), (8, 32, 250), (16, 16, 250))) {
+      val t0 = System.nanoTime()
       val r = recallOf(Ann.pqTopK(emb, qs, k = k, m = m, ksub = ks, rerank = rr))
-      println(f"[sweep] pq m=$m ksub=$ks rerank=$rr recall=$r%.3f")
+      println(f"[sweep] pq m=$m ksub=$ks rerank=$rr recall=$r%.3f  ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -82,7 +82,7 @@ object StressGate {
     val spark = GraftSession.local(32, "graft-stress")
     spark.range(100000L).selectExpr("sum(id)").collect() // warmup
 
-    val results = scales.flatMap(s => runScale(spark, dir, s, reps))
+    val results = scales.flatMap(s => runScale(spark, dir, s, reps, oracleScale = scales.min))
 
     println("\n[stress] path                           scale    secs        value  ok")
     results.foreach { r =>
@@ -163,7 +163,7 @@ object StressGate {
     * drives the SAME logic at 20k so every invariant here is also
     * pinned in `sbt test`. */
   def runScale(spark: SparkSession, dir: String, scale: Int, reps: Int,
-               docsPerScale: Long = 500000L): Seq[Res] = {
+               docsPerScale: Long = 500000L, oracleScale: Int = 1): Seq[Res] = {
     val p = StressPlan(docsPerScale * scale)
     println(s"[stress] scale $scale: ${p.total} docs (boilerplate class ${p.seg}), " +
       s"${p.nEmb} embeddings, ${p.nLineitem} lineitem rows → $dir/s$scale")
@@ -316,7 +316,10 @@ object StressGate {
     def q20 = Quantile.exactGrouped(liQ, Seq("grp"), "__val",
       Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)))
     run("q20_quantile_hist", Some(nGrps))(q20.count())
-    if (scale == 1) {
+    // the oracle runs at the SMALLEST configured scale (not a literal
+    // 1): a custom GRAFT_STRESS_SCALES like "2,10" must not silently
+    // skip the correctness check while the gate reports green
+    if (scale == oracleScale) {
       // bit-equality vs the built-in, smallest scale only: the oracle
       // itself buffers every HOT-group value in one aggregation array
       // (the failure mode the histogram plan replaces) — ~1.5M doubles

@@ -113,6 +113,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(found >= 18, s"found only $found of 20 planted twins")
   }
 
+  test("dHash survives resize + re-encode; planted perceptual recall = 1.0") {
+    import spark.implicits._
+    // 30 structured base images; every one re-planted as a 64×48 AND a
+    // 48×36 bilinear re-encode (different bytes, same picture). The
+    // perceptual tier must find EVERY (base, variant) pair — that's
+    // the capability mm2's byte-level tier lacks by construction.
+    val ids = (0L until 30L).toDF("doc_id")
+    val base = Multimodal.syntheticImageTable(ids)
+    def variant(off: Long, w: Int, h: Int) =
+      Multimodal.resizeBatch(base, w, h).toDF()
+        .select((col("doc_id") + off).as("doc_id"), col("modality"),
+          col("payload"), lit("image/png").as("media_type"),
+          octet_length(col("payload")).cast("long").as("n_bytes"))
+    val corpus = base.unionByName(variant(1000L, 64, 48))
+      .unionByName(variant(2000L, 48, 36))
+    // every payload is a real PNG — the whole corpus must take the
+    // imageio arm, or the test is measuring the stub
+    val feats = Multimodal.perceptualFeatures(corpus)
+    assert(feats.filter(col("codec") =!= "imageio").count() == 0)
+    val pairs = Multimodal.perceptualDupPairs(corpus, maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0L until 30L).flatMap(i =>
+      Seq((i, i + 1000L), (i, i + 2000L), (i + 1000L, i + 2000L))).toSet
+    val missed = planted.diff(pairs)
+    assert(missed.isEmpty, s"planted perceptual near-dups missed: $missed")
+    // precision: no pair may BRIDGE two different base images — every
+    // found pair must be within one planted (base, variants) class
+    val bridging = pairs.filterNot { case (a, b) => a % 1000L == b % 1000L }
+    assert(bridging.isEmpty, s"distinct images paired: $bridging")
+  }
+
+  test("perceptual hash stub arm: identical payloads, identical sigs") {
+    import spark.implicits._
+    // non-image payloads take the deterministic byte-grid arm —
+    // identical bytes must produce hamming-0 sigs, and the arm must
+    // be labeled so nobody mistakes it for a perceptual claim
+    val rows = Seq(
+      (1L, "audio", "the same fake payload".getBytes("UTF-8"), "audio/fake", 21L),
+      (2L, "audio", "the same fake payload".getBytes("UTF-8"), "audio/fake", 21L),
+      (3L, "audio", "a different payload!!".getBytes("UTF-8"), "audio/fake", 21L))
+      .toDF("doc_id", "modality", "payload", "media_type", "n_bytes")
+    val f = Multimodal.perceptualFeatures(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(f.values.forall(_._2 == "stub"))
+    assert(f(1L)._1 == f(2L)._1)
+  }
+
   test("embeddingDupPairs bounds per-bucket candidate fan-out (bucketCap)") {
     // pathological bucket: N identical embeddings all co-bucket, in
     // every table; with bucketCap=c the candidate self-join must emit

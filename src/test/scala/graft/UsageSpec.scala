@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.GraftFrame
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import graft.sources.Tables
+import graft.streaming.Streams
+import graft.functions.textfns
+
+/** USAGE.md's executable twin: every code snippet in the guide is
+  * reproduced here verbatim (same calls, same argument names) and run
+  * against the bundled sf0.001 fixtures. If the API drifts from the
+  * document, this spec stops compiling — the doc cannot silently rot.
+  * Keep the two in sync: a change here must be mirrored in USAGE.md
+  * and vice versa.
+  */
+class UsageSpec extends AnyFunSuite {
+  lazy val spark = SparkT.spark
+  private val sfDir = SparkT.sfDir
+
+  test("usage §1: session + table loading") {
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val orders = Tables.load(spark, sfDir, "orders")
+    assert(lineitem.count() > 0 && orders.count() > 0)
+  }
+
+  test("usage §2: verb pipeline") {
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val top = GraftFrame(lineitem)
+      .filter(col("l_quantity") > 10)
+      .mutate("revenue" -> col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .groupBy("l_returnflag")
+      .summarise("total" -> sum(col("revenue")), "n" -> count(lit(1)))
+      .arrange(GraftFrame.desc("total"))
+    val rows = top.collect()
+    assert(rows.nonEmpty)
+    // arranged descending by total
+    val totals = rows.map(_.getDouble(rows.head.fieldIndex("total"))).toSeq
+    assert(totals == totals.sortBy(-_))
+  }
+
+  test("usage §3: dedup pipeline") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val unique = Dedup.exact(docs, "text", "doc_id")
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      shingleN = 7, k = 128, bands = 32, threshold = 0.8)
+    val deduped = Dedup.dedupNear(docs, "doc_id", pairs)
+    assert(unique.count() > 0)
+    // near-dedup can only remove rows relative to exact dedup
+    assert(deduped.count() <= unique.count())
+  }
+
+  test("usage §4: ANN exact + IVF-PQ") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.limit(8)
+    val exact = Ann.bruteForceTopK(emb, queries, k = 10)
+    val approx = Ann.ivfPqTopK(emb, queries, k = 10,
+      nCells = 16, nProbe = 4, m = 8, ksub = 16, rerank = 50)
+    assert(exact.count() == 8 * 10)
+    assert(approx.count() == 8 * 10)
+  }
+
+  test("usage §5: text kernels") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val scored = docs.select(col("doc_id"),
+      textfns.wsTokenCount(col("text")).as("n_tokens"),
+      textfns.langId(col("text")).as("lang"),
+      textfns.qualityScore(col("text")).as("quality"))
+    assert(scored.filter(col("n_tokens") > 0).count() > 0)
+  }
+
+  test("usage §6: batch/stream equivalence") {
+    val events = Tables.load(spark, sfDir, "events")
+    val hourly = Streams.tumblingAgg(events, "1 hour")
+    val streamed = Streams.tumblingAggStreamOnce(spark,
+      s"$sfDir/events.parquet", "1 hour")
+    // the equivalence contract from the guide, checked literally
+    assert(hourly.except(streamed).count() == 0)
+    assert(streamed.except(hourly).count() == 0)
+  }
+
+  test("usage §7: multimodal plumbing") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val media = Multimodal.asMediaTable(docs)
+    val feats = Multimodal.decodeFeatures(media)
+    val small = Multimodal.resizeBatch(media, 64, 48)
+    val nearDups = Multimodal.perceptualDupPairs(media, maxHamming = 8)
+    assert(feats.count() == media.count())
+    assert(small.count() == media.count())
+    // schema contract: (id_a, id_b, hamming)
+    assert(nearDups.columns.toSeq == Seq("id_a", "id_b", "hamming"))
+  }
+}
