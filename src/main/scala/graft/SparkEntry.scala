@@ -981,6 +981,24 @@ object SparkEntry {
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
 
+    // RETRIEVAL-GRADE tier (r10 task #4): the ≥0.9-recall config the
+    // cost curve actually supports — PQ m=16 (finer codes halve the
+    // per-subspace quantization error) + 25·k exact rerank. Swept
+    // recall@10: 1.000 / 0.995 / 0.960 at sf0.001 / 0.01 / 0.1 for
+    // 0.71 s at sf0.1 — ~flat vs the 0.870 m=8/rerank=100 tier,
+    // because both the ADC scan and the broadcast-driven rerank scan
+    // are corpus-linear and the doubled code size only grows the
+    // shuffled candidate rows (k·10 per query), not the scan. At a
+    // growing corpus the knob that preserves recall is rerank ∝
+    // shortlist error, not m — documented in ann6's floor spec.
+    // Codebook-seeded → rows-only, like every approximate tier.
+    "ann7_pq_hi" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.pqTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
+          m = 16, ksub = 16, rerank = 250)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+
     "ann6_recall" -> ((s, dir) => {
       // MEASURED recall gate for the approximate ANN tiers: fraction
       // of ann1's exact top-10 recovered per query (fixed seeds, same
@@ -1016,6 +1034,8 @@ object SparkEntry {
         .unionByName(recallOf("ann5_ivfpq",
           Ann.ivfPqTopK(emb, qs, k = k, nCells = 16, nProbe = 6, m = 8,
             ksub = 16, rerank = 100)))
+        .unionByName(recallOf("ann7_pq_hi",
+          Ann.pqTopK(emb, qs, k = k, m = 16, ksub = 16, rerank = 250)))
         .orderBy(col("method").asc)
     }),
 

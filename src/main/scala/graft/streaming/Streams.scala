@@ -314,7 +314,7 @@ object Streams {
     * ([[tumblingAggStream]], [[dedupStream]], ...) are untouched —
     * at real scale the partition count must be sized to the data,
     * which is the session's own setting. */
-  private def withBackfillStatePartitions[T](spark: SparkSession, n: Int = 8)(f: => T): T = {
+  private def withBackfillStatePartitions[T](spark: SparkSession, n: Int = 4)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     val clamped = math.min(prev.toInt, n)

@@ -277,6 +277,10 @@ class AnnSpec extends AnyFunSuite {
     assert(r("ann3_ivf") >= 0.55, s"ivf recall@10 = ${r("ann3_ivf")}")
     assert(r("ann4_pq") >= 0.60, s"pq recall@10 = ${r("ann4_pq")}")
     assert(r("ann5_ivfpq") >= 0.50, s"ivfpq recall@10 = ${r("ann5_ivfpq")}")
+    // the RETRIEVAL-GRADE tier (r13): PQ m=16 + 25·k exact rerank —
+    // swept 1.000 / 0.995 / 0.960 at sf0.001 / 0.01 / 0.1, so the 0.9
+    // floor holds at every fixture scale, not just this one
+    assert(r("ann7_pq_hi") >= 0.90, s"pq-hi recall@10 = ${r("ann7_pq_hi")}")
   }
 
   test("pq exact rerank: recall never below plain ADC, distances exact") {
