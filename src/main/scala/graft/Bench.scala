@@ -181,9 +181,12 @@ object Bench {
     // compare MINs instead of medians for any regression verdict.
     val spreads = results.flatMap(_.spread).sorted
     // null (not 0.0) when no query had >=2 measured samples: an
-    // unmeasurable noise level must not masquerade as a quiet host
-    val noiseJson =
-      if (spreads.isEmpty) "null" else r4(spreads((spreads.size - 1) / 2))
+    // unmeasurable noise level must not masquerade as a quiet host;
+    // noiseMed is the ONE definition of the suite noise level — the
+    // JSON field and the contended-host warning both derive from it
+    val noiseMed: Option[Double] =
+      if (spreads.isEmpty) None else Some(spreads((spreads.size - 1) / 2))
+    val noiseJson = noiseMed.map(r4).getOrElse("null")
     // sum-of-min: the noise-robust headline — a contended window can
     // inflate the median sum 2x, but the per-query minimum is the
     // repeatable floor (see round-7 adjudication). A query whose every
@@ -202,13 +205,13 @@ object Bench {
     // medians stop being adjudicable past ~0.5 (r11/r12 both exceeded
     // 1.0 and their medians carried no signal) — say so at run time,
     // naming the only valid read, instead of leaving it to the reviewer
-    if (spreads.nonEmpty && spreads((spreads.size - 1) / 2) > 0.5)
+    noiseMed.filter(_ > 0.5).foreach(m =>
       System.err.println(
-        f"[bench] WARNING: noise_indicator ${spreads((spreads.size - 1) / 2)}%.2f > 0.5 — " +
+        f"[bench] WARNING: noise_indicator $m%.2f > 0.5 — " +
           "host was contended; medians (value/queries/groups batch+streaming) are " +
           "noise, min-of-N (sum_of_min/queries_min/batch_min/streaming_min) is the " +
           "only valid cross-round read. Per-rep times are in queries_reps — a " +
-          "rep-aligned stripe of inflated cells marks the contention window.")
+          "rep-aligned stripe of inflated cells marks the contention window."))
     val full = s"""{"metric":"total","value":$totalJson,"unit":"sec","sum_of_min":$sumOfMinJson,"sum_of_min_n":$minCovered,"queries":$qs,"queries_min":$qsMin,"queries_spread":$qsSpread,"queries_reps":$qsReps,"groups":$groups,"noise_indicator":$noiseJson,"failed":$failed,"flaky":$flaky,"reps":$reps,"warmup_reps":${if (reps > 1) 1 else 0},"sf":"$sfDir"}"""
     // The harness capturing this output keeps only a bounded tail; with
     // ~80 queries the one-line detail object outgrows it and the front

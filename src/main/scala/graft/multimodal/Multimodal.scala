@@ -336,6 +336,17 @@ object Multimodal {
     }.toDF()
   }
 
+  /** [[resizeBatch]] re-projected back onto the media-table schema
+    * with ids shifted by `idOffset` — the "replant a re-encoded
+    * variant of every row" shape the perceptual-dedup query and its
+    * pinning spec both use; one definition so the two can't silently
+    * diverge if [[MediaRow]] ever changes. */
+  def resizedMediaTable(media: DataFrame, idOffset: Long, w: Int, h: Int): DataFrame =
+    resizeBatch(media, w, h).toDF()
+      .select((col("doc_id") + idOffset).as("doc_id"), col("modality"),
+        col("payload"), lit("image/png").as("media_type"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+
   /** Seeded structured image: a coarse 8×6 grid of solid random-color
     * blocks. Coarse blocks are the point — they give each image an
     * effectively random 9×8 luminance pattern (so two DIFFERENT images

@@ -48,10 +48,17 @@ object Streams {
       // NTZ → TIMESTAMP is instant-preserving under the UTC session
       // the library always runs with (GraftSession pins UTC); on a
       // pre-built non-UTC session the cast would silently SHIFT event
-      // times — fail loudly instead
+      // times — fail loudly instead. Read the conf WITHOUT a default
+      // (the entry always resolves — passing a default would make
+      // Spark validate it as a timezone) and compare the normalized
+      // ZONE, not the string: "Etc/UTC", "GMT", "+00:00" and "Z" are
+      // all instant-preserving too.
       case TimestampNTZType =>
-        val tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "")
-        require(tz == "UTC",
+        val tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+        val isUtc = scala.util.Try(
+          java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS).normalized() ==
+            java.time.ZoneOffset.UTC).getOrElse(false)
+        require(isUtc,
           s"eventTs($tsCol): TIMESTAMP_NTZ → TIMESTAMP is instant-preserving " +
             s"only under a UTC session, but spark.sql.session.timeZone=$tz. " +
             "Use GraftSession.init (pins UTC) or set the session timezone to UTC.")
@@ -314,13 +321,25 @@ object Streams {
     * ([[tumblingAggStream]], [[dedupStream]], ...) are untouched —
     * at real scale the partition count must be sized to the data,
     * which is the session's own setting. */
-  private def withBackfillStatePartitions[T](spark: SparkSession, n: Int = 4)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    val clamped = math.min(prev.toInt, n)
-    spark.conf.set(key, clamped.toString)
-    try f finally spark.conf.set(key, prev)
-  }
+  private def withBackfillStatePartitions[T](spark: SparkSession, n: Int = 4)(f: => T): T =
+    // serialized on this object: the read/set/restore of a
+    // session-GLOBAL conf is not reentrant — two concurrent gates on a
+    // shared session could otherwise interleave as read(200) read(4)
+    // restore(200) restore(4) and leave the session clamped forever.
+    // The gates are one-shot bounded backfills; serializing them costs
+    // nothing that matters.
+    Streams.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      // a non-integer value (e.g. "auto" under a vendor fork) means we
+      // can't meaningfully clamp — run unchanged rather than throw
+      scala.util.Try(prev.toInt).toOption match {
+        case Some(p) =>
+          spark.conf.set(key, math.min(p, n).toString)
+          try f finally spark.conf.set(key, prev)
+        case None => f
+      }
+    }
 
   /** Wrap a single parquet FILE in a temp dir (symlink) so the file
     * streaming source — which monitors a DIRECTORY — has a valid

@@ -120,12 +120,9 @@ class MultimodalSpec extends AnyFunSuite {
     // perceptual tier must find EVERY (base, variant) pair — that's
     // the capability mm2's byte-level tier lacks by construction.
     val ids = (0L until 30L).toDF("doc_id")
-    val base = Multimodal.syntheticImageTable(ids)
+    val base = Multimodal.syntheticImageTable(ids).localCheckpoint()
     def variant(off: Long, w: Int, h: Int) =
-      Multimodal.resizeBatch(base, w, h).toDF()
-        .select((col("doc_id") + off).as("doc_id"), col("modality"),
-          col("payload"), lit("image/png").as("media_type"),
-          octet_length(col("payload")).cast("long").as("n_bytes"))
+      Multimodal.resizedMediaTable(base, off, w, h)
     val corpus = base.unionByName(variant(1000L, 64, 48))
       .unionByName(variant(2000L, 48, 36))
     // every payload is a real PNG — the whole corpus must take the
