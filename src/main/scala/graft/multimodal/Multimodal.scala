@@ -310,11 +310,21 @@ object Multimodal {
     * embedding-stub dedup cannot — the perceptual tier of media dedup.
     * Payloads never shuffle: only `(id, 64-bit sig)` leaves the scan,
     * so the exchange is ~16 bytes/row regardless of media size —
-    * the 100 TB shape. */
+    * the 100 TB shape.
+    *
+    * `materializeSigs` (default on, the [[graft.dedup.Dedup.minHashLshPairs]]
+    * discipline): the pair generator references the signature table
+    * four times (bucket self-join sides + both verify joins), and
+    * without materialization each reference re-decodes every payload —
+    * the one expensive step. A localCheckpoint of the ~16-byte rows
+    * decodes once; keep it off only for tiny ad-hoc inputs. */
   def perceptualDupPairs(media: DataFrame, maxHamming: Int = 8,
-                         bucketCap: Int = 1000): DataFrame =
-    graft.dedup.Dedup.hamming64Pairs(
-      perceptualFeatures(media).select("id", "sig"), maxHamming, bucketCap)
+                         bucketCap: Int = 1000,
+                         materializeSigs: Boolean = true): DataFrame = {
+    val feats = perceptualFeatures(media).select("id", "sig")
+    val sigs = if (materializeSigs) feats.localCheckpoint() else feats
+    graft.dedup.Dedup.hamming64Pairs(sigs, maxHamming, bucketCap)
+  }
 
   /** Deterministic synthetic image corpus for exercising the REAL
     * decode path at query time (the parquet fixtures carry text, not
