@@ -222,4 +222,39 @@ class PropertySpec extends AnyFunSuite {
       assert(got == truth, s"seed $s: clusters $got != planted $truth")
     }
   }
+
+  test("hamming64Pairs: pigeonhole completeness — every ≤maxHamming pair found") {
+    // the structural guarantee the perceptual/SimHash tier rests on:
+    // splitting a 64-bit signature into maxHamming+1 blocks means any
+    // pair within maxHamming shares at least one unchanged block, so
+    // candidate generation can NEVER miss a true pair (while buckets
+    // stay under bucketCap). Property-checked: random base sigs, each
+    // perturbed by flipping 0..maxHamming RANDOM bit positions
+    // (including positions in the uncovered high bits when 64 doesn't
+    // divide evenly) — the (base, variant) pair must always surface
+    // with the exact popcount distance.
+    (1 to trials).foreach { s =>
+      val rnd = new scala.util.Random(s * 7919L)
+      val maxHamming = 1 + rnd.nextInt(7) // blocks ∈ [2, 8]
+      val n = 40
+      val rows = (0 until n).flatMap { i =>
+        val base = rnd.nextLong()
+        val flips = rnd.nextInt(maxHamming + 1)
+        val positions = rnd.shuffle((0 until 64).toList).take(flips)
+        val variant = positions.foldLeft(base)((v, p) => v ^ (1L << p))
+        Seq((i.toLong, base), (i.toLong + 1000L, variant))
+      }
+      val sigs = rows.toDF("id", "sig")
+      val found = graft.dedup.Dedup.hamming64Pairs(sigs, maxHamming)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      rows.grouped(2).foreach { pair =>
+        val Seq((idA, a), (idB, b)) = pair
+        val dist = java.lang.Long.bitCount(a ^ b)
+        assert(found.get((idA, idB)).orElse(found.get((idB, idA)))
+          .contains(dist),
+          s"seed $s maxHamming $maxHamming: planted pair ($idA,$idB) at " +
+            s"distance $dist not found or wrong distance (got ${found.get((idA, idB))})")
+      }
+    }
+  }
 }
