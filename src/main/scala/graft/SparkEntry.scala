@@ -1387,6 +1387,23 @@ object SparkEntry {
           unix_millis(col("__ts_t")).as("ts_ms"), col("value"))
         .orderBy(col("event_id").asc)),
 
+    "ev10_dedup_rocksdb" -> ((s, dir) =>
+      // ev7's streaming dedup with the state store that survives
+      // 100 TB/day: RocksDBStateStoreProvider keeps dedup keys in
+      // native memtables + SST files (disk-bounded) instead of the
+      // default in-heap map (which OOMs when keys-per-watermark-window
+      // outgrow executor heap). Results are provider-independent by
+      // contract — this gate PROVES it by replaying ev7's exact oracle
+      // through RocksDB; the helper additionally requires rocksdb*
+      // metrics in the progress events, so a silent fallback to the
+      // default store cannot pass.
+      Streams.dedupStreamOnce(s, s"$dir/events.parquet",
+          keyCols = Seq("event_id"), watermark = "2 hours",
+          stateStore = Some(Streams.RocksDbStateStore))
+        .select(col("event_id"), col("event_type"),
+          unix_millis(col("__ts_t")).as("ts_ms"), col("value"))
+        .orderBy(col("event_id").asc)),
+
     "ev3_funnel" -> ((s, dir) => {
       // staged funnel view → click → purchase: each stage's entry time
       // is the user's first qualifying event strictly after the prior
@@ -2849,6 +2866,14 @@ object SparkEntry {
          FROM w WHERE session_seq < mx ORDER BY 1, 2""",
 
     "ev7_dedup_stream" ->
+      """SELECT event_id, event_type,
+           CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_ms,
+           value
+         FROM events ORDER BY event_id""",
+
+    // same transform, same oracle — the gate's claim is that the
+    // RocksDB provider changes WHERE state lives, never the result
+    "ev10_dedup_rocksdb" ->
       """SELECT event_id, event_type,
            CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_ms,
            value

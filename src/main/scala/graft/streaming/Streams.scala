@@ -341,6 +341,38 @@ object Streams {
       }
     }
 
+  /** Fully-qualified class name of Spark's RocksDB state store
+    * provider (ships in the Spark distribution, no extra dependency).
+    * This is the store for state that outgrows executor heap: the
+    * default HDFS-backed provider keeps every key in an in-heap map,
+    * so streaming dedup over billions of keys per watermark window
+    * OOMs at 100 TB/day ingest — RocksDB keeps state in native
+    * memtables + SST files (disk-bounded, not heap-bounded) for ~µs
+    * JNI lookup cost. Pass to [[dedupStreamOnce]]'s `stateStore` (or
+    * set `spark.sql.streaming.stateStore.providerClass` session-wide)
+    * to switch; results are provider-independent by contract and the
+    * ev10 gate pins that equality against ev7's oracle every round. */
+  val RocksDbStateStore: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `f` with session conf `key` set to `value` (when provided),
+    * restoring the previous value — or unsetting — after. Serialized
+    * on this object like [[withBackfillStatePartitions]]: the
+    * read/set/restore of session-global state is not reentrant. */
+  private def withSessionConf[T](spark: SparkSession, key: String,
+                                 value: Option[String])(f: => T): T =
+    value match {
+      case None => f
+      case Some(v) => Streams.synchronized {
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, v)
+        try f finally prev match {
+          case Some(p) => spark.conf.set(key, p)
+          case None => spark.conf.unset(key)
+        }
+      }
+    }
+
   /** Wrap a single parquet FILE in a temp dir (symlink) so the file
     * streaming source — which monitors a DIRECTORY — has a valid
     * basePath; directories pass through. */
@@ -480,7 +512,8 @@ object Streams {
     */
   def dedupStreamOnce(spark: SparkSession, sourcePath: String,
                       keyCols: Seq[String],
-                      watermark: String = "2 hours"): DataFrame = {
+                      watermark: String = "2 hours",
+                      stateStore: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val schema = spark.read.parquet(sourcePath).schema
     val srcFile = new java.io.File(sourcePath)
@@ -496,11 +529,31 @@ object Streams {
       .withWatermark("__ts_t", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
     val qn = "graft_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withBackfillStatePartitions(spark) {
-      val q = ev.writeStream.format("memory").queryName(qn)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally if (q.isActive) q.stop()
+    withSessionConf(spark, "spark.sql.streaming.stateStore.providerClass", stateStore) {
+      withBackfillStatePartitions(spark) {
+        val q = ev.writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+          // the requested provider must have actually RUN, not been
+          // silently ignored: RocksDB surfaces its own custom state
+          // metrics in the progress events — their absence means the
+          // engine fell back to the default in-heap store and the
+          // "state bounded by disk" claim is unverified (same
+          // discipline as the StreamingSymmetricHashJoin plan assert)
+          if (stateStore.exists(_.contains("RocksDB"))) {
+            import scala.jdk.CollectionConverters._
+            val hasRocks = q.recentProgress.toSeq
+              .flatMap(_.stateOperators.toSeq)
+              .exists(_.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")))
+            require(hasRocks,
+              "dedupStreamOnce: RocksDB state store requested but no rocksdb* " +
+                "custom metrics appeared in any progress event — the provider " +
+                "did not take effect")
+          }
+        } finally if (q.isActive) q.stop()
+      }
     }
     detachedTable(spark, qn)
   }

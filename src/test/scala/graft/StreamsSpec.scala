@@ -104,6 +104,27 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("RocksDB state store: same dedup rows as the default provider") {
+    // the provider changes WHERE state lives (native memtables + SST
+    // files instead of the in-heap map — the only store shape that
+    // survives billions of dedup keys per watermark window), never the
+    // result. The helper itself requires rocksdb* metrics in the
+    // progress events, so this test failing with "provider did not
+    // take effect" means silent fallback, and a row diff means a
+    // provider-dependent result — both gate-worthy defects.
+    val src = s"${SparkT.sfDir}/events.parquet"
+    val default = Streams.dedupStreamOnce(spark, src,
+      keyCols = Seq("event_id"), watermark = "2 hours")
+    val rocks = Streams.dedupStreamOnce(spark, src,
+      keyCols = Seq("event_id"), watermark = "2 hours",
+      stateStore = Some(Streams.RocksDbStateStore))
+    assert(default.except(rocks).count() == 0)
+    assert(rocks.except(default).count() == 0)
+    // the conf was restored: the session isn't left running RocksDB
+    assert(spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").forall(!_.contains("RocksDB")))
+  }
+
   test("streaming tumbling agg equals the batch form on the same data") {
     // materialize events with a proper timestamp column, then replay it
     // through readStream — Structured Streaming's batch-equivalence
