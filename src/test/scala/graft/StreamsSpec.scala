@@ -125,6 +125,50 @@ class StreamsSpec extends AnyFunSuite {
       "spark.sql.streaming.stateStore.providerClass").forall(!_.contains("RocksDB")))
   }
 
+  test("checkpointed restart: only new files processed, totals exactly-once") {
+    // the production shape for scheduled incremental backfills: the
+    // SAME query restarted against the SAME checkpoint must (a) skip
+    // every file already committed — proved by the restart run's
+    // numInputRows — and (b) merge restored aggregate state with the
+    // new data into EXACTLY the batch result over the full input.
+    // This is the engine's exactly-once bookkeeping contract, the
+    // reason the *Once gates are also the scheduled-backfill story.
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = SparkT.table("events")
+    val ev = raw.withColumn("ts", Streams.eventTs(raw, "ts"))
+      .select("ts", "event_type", "value")
+    val half1 = ev.filter(col("event_type") =!= lit("purchase"))
+    val half2 = ev.filter(col("event_type") === lit("purchase"))
+    val srcDir = Files.createTempDirectory("graft_restart_src").toString
+    val ckpt = Files.createTempDirectory("graft_restart_ckpt").toString
+    half1.write.mode("append").parquet(srcDir)
+
+    def runOnce(): Long = {
+      spark.catalog.dropTempView("graft_restart_test")
+      val src = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+      val q = Streams.tumblingAgg(src, "1 hour")
+        .writeStream.format("memory").queryName("graft_restart_test")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      try {
+        q.awaitTermination()
+        q.recentProgress.map(_.numInputRows).sum
+      } finally if (q.isActive) q.stop()
+    }
+
+    runOnce()
+    half2.write.mode("append").parquet(srcDir)
+    val restartRows = runOnce()
+    assert(restartRows == half2.count(),
+      s"restart reprocessed committed files: read $restartRows rows, " +
+        s"expected only the ${half2.count()} new ones")
+    val got = spark.table("graft_restart_test")
+    val want = Streams.tumblingAgg(ev, "1 hour")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0,
+      "restarted backfill result differs from the batch oracle")
+  }
+
   test("streaming tumbling agg equals the batch form on the same data") {
     // materialize events with a proper timestamp column, then replay it
     // through readStream — Structured Streaming's batch-equivalence
