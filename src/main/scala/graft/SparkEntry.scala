@@ -7,7 +7,7 @@ import graft.api.GraftFrame.{asc, desc}
 import graft.dedup.Dedup
 import graft.functions.{hashfns, textfns}
 import graft.multimodal.Multimodal
-import graft.operators.{Decontam, Freq}
+import graft.operators.{Decontam, Freq, Shuffle}
 import graft.similarity.Ann
 import graft.streaming.Streams
 
@@ -1512,18 +1512,19 @@ object SparkEntry {
 
     "cur4_split" -> ((s, dir) =>
       // reproducible 80/10/10 train/valid/test split: assignment by an
-      // overflow-safe affine hash, so any engine (and any rerun)
-      // reproduces the exact membership — a seeded randomSplit cannot
-      // cross engines. The multiplier (MINSTD 48271) deliberately
-      // DIFFERS from cur3's sampler hash: with the same constants the
-      // split would be perfectly correlated with the mixture
-      // keep-filter (every kept row of a rate<=0.8 source would land
-      // in train). Thresholds are floor(0.8p)/floor(0.9p) for
-      // p = 2^31-1, hardcoded so both sides agree to the integer.
+      // overflow-safe avalanche hash (Shuffle.decisionHash — one
+      // affine step is monotone below id ~35590 and put 100% of every
+      // fixture corpus in "train" before the r13 fix; the xorshift
+      // rounds make threshold decisions uniform at every id range), so
+      // any engine (and any rerun) reproduces the exact membership —
+      // a seeded randomSplit cannot cross engines. The constants
+      // (MINSTD 48271 / 11213) deliberately DIFFER from cur3's sampler
+      // hash: with the same constants the split would be perfectly
+      // correlated with the mixture keep-filter. Thresholds are
+      // floor(0.8p)/floor(0.9p) for p = 2^31-1, hardcoded so both
+      // sides agree to the integer.
       t(s, dir, "documents")
-        .withColumn("h",
-          ((col("doc_id") % lit(2147483647L)) * lit(48271L) + lit(11213L))
-            % lit(2147483647L))
+        .withColumn("h", Shuffle.decisionHash(col("doc_id"), 48271L, 11213L))
         .withColumn("split",
           when(col("h") < lit(1717986917L), lit("train"))
             .when(col("h") < lit(1932735282L), lit("valid"))
@@ -1535,17 +1536,19 @@ object SparkEntry {
       // quality-weighted importance resampling: each doc survives with
       // probability equal to its quality score — the per-ROW-rate
       // counterpart to cur3's per-source rates (upweights clean text
-      // without a hard threshold). Same deterministic affine-hash
-      // sampler discipline; constants (69069/362437) differ from BOTH
-      // cur3's sampler and cur4's splitter so the three decisions are
-      // pairwise independent. Scan-side end to end: score (fused
-      // kernel), hash, and keep-filter all fold into the scan; only
-      // (source, counts) reach the one aggregate shuffle.
+      // without a hard threshold). Same deterministic avalanche-hash
+      // sampler discipline (decisionHash: the pre-r13 single affine
+      // step with the 69069 multiplier was monotone over the whole
+      // fixture id range, making the keep decision correlate with
+      // doc_id instead of being uniform); constants (69069/362437)
+      // differ from BOTH cur3's sampler and cur4's splitter so the
+      // three decisions are pairwise independent. Scan-side end to
+      // end: score (fused kernel), hash, and keep-filter all fold
+      // into the scan; only (source, counts) reach the one aggregate
+      // shuffle.
       val docs = t(s, dir, "documents")
         .withColumn("q", textfns.qualityScore(col("text")))
-        .withColumn("h",
-          ((col("doc_id") % lit(2147483647L)) * lit(69069L) + lit(362437L))
-            % lit(2147483647L))
+        .withColumn("h", Shuffle.decisionHash(col("doc_id"), 69069L, 362437L))
       val kept = docs
         .filter(col("h") < floor(col("q") * lit(2147483647.0)).cast("long"))
         .groupBy("source").agg(count(lit(1)).as("n_kept"),
@@ -1557,6 +1560,28 @@ object SparkEntry {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           col("avg_q_before"), col("avg_q_kept"))
         .orderBy(col("source").asc)
+    }),
+
+    "cur6_cluster_split" -> ((s, dir) => {
+      // LEAKAGE-PROOF split: cur4 hashes each doc_id, so two copies of
+      // the same text can straddle train and eval — the eval number
+      // then scores memorization. Here the assignment unit is the
+      // duplicate CLUSTER: every doc hashes its cluster representative
+      // (min id over the exact-dup component), so a whole duplicate
+      // class lands in one split by construction; singletons use the
+      // SAME constants as cur4 and split identically. The oracle
+      // replays rep = min(doc_id) OVER (PARTITION BY normalized text)
+      // — exact-dup clusters are SQL-expressible, which is why the
+      // declared query uses them; LSH near-dup pairs plug into the
+      // same leakageSafeSplit for the sub-1.0 tiers (spec-pinned).
+      val d = docsWithExactDups(s, dir)
+      val pairs = Dedup.exactDupMap(d, "text", "doc_id")
+        .select(col("keep_id").as("id_a"), col("dup_id").as("id_b"))
+      Dedup.leakageSafeSplit(d, "doc_id", pairs)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_clusters"))
+        .orderBy(col("split").asc)
     }),
 
     "txt14_pack" -> ((s, dir) => {
@@ -2510,11 +2535,21 @@ object SparkEntry {
          FROM rates r LEFT JOIN kept k USING (source)
          ORDER BY source""",
 
+    // the avalanche chain replays q47's proven xor/shift syntax with
+    // the splitter's own constants
     "cur4_split" ->
-      """WITH h AS (
-           SELECT source,
-             ((doc_id % 2147483647) * 48271 + 11213) % 2147483647 AS h
-           FROM documents)
+      """WITH a AS (
+           SELECT source, xor(doc_id, (doc_id >> 32) + 11213) AS t0
+           FROM documents),
+         b AS (
+           SELECT source, ((t0 % 2147483647) * 48271 + 11213) % 2147483647 AS t1
+           FROM a),
+         c AS (
+           SELECT source, (xor(t1, t1 >> 15) * 1664525 + 1013904223) % 2147483647 AS h1
+           FROM b),
+         h AS (
+           SELECT source, (xor(h1, h1 >> 13) * 22695477 + 77557187) % 2147483647 AS h
+           FROM c)
          SELECT source,
            CASE WHEN h < 1717986917 THEN 'train'
                 WHEN h < 1932735282 THEN 'valid'
@@ -2531,13 +2566,25 @@ object SparkEntry {
              len(regexp_extract_all(text, '[.,;:!?]')) AS punct_hits,
              length(text) AS n_chars
            FROM documents),
-         scored AS (
+         scored0 AS (
            SELECT doc_id, source,
              least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
                + least(CAST(stop_hits AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) * 5.0, 1.0) * 0.3
                + (1.0 - least(CAST(punct_hits AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0)) * 0.2 AS q,
-             ((doc_id % 2147483647) * 69069 + 362437) % 2147483647 AS h
+             xor(doc_id, (doc_id >> 32) + 362437) AS t0
            FROM s),
+         scored1 AS (
+           SELECT doc_id, source, q,
+             ((t0 % 2147483647) * 69069 + 362437) % 2147483647 AS t1
+           FROM scored0),
+         scored2 AS (
+           SELECT doc_id, source, q,
+             (xor(t1, t1 >> 15) * 1664525 + 1013904223) % 2147483647 AS h1
+           FROM scored1),
+         scored AS (
+           SELECT doc_id, source, q,
+             (xor(h1, h1 >> 13) * 22695477 + 77557187) % 2147483647 AS h
+           FROM scored2),
          kept AS (
            SELECT source, count(*) AS n_kept, round(avg(q), 4) AS avg_q_kept
            FROM scored WHERE h < CAST(floor(q * 2147483647.0) AS BIGINT)
@@ -2550,6 +2597,29 @@ object SparkEntry {
            b.avg_q_before, k.avg_q_kept
          FROM base b LEFT JOIN kept k USING (source)
          ORDER BY b.source""",
+
+    // exact-dup clusters are SQL-expressible (normalized-text groups,
+    // the dd1 equivalence), so the leakage-proof split replays fully:
+    // rep = min id over the text group, then cur4's affine hash on rep
+    "cur6_cluster_split" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents),
+         rep AS (
+           SELECT doc_id,
+             min(doc_id) OVER (
+               PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS rep
+           FROM all_docs),
+         ha AS (SELECT rep, xor(rep, (rep >> 32) + 11213) AS t0 FROM rep),
+         hb AS (SELECT rep, ((t0 % 2147483647) * 48271 + 11213) % 2147483647 AS t1 FROM ha),
+         hc AS (SELECT rep, (xor(t1, t1 >> 15) * 1664525 + 1013904223) % 2147483647 AS h1 FROM hb),
+         h AS (SELECT rep, (xor(h1, h1 >> 13) * 22695477 + 77557187) % 2147483647 AS hv FROM hc)
+         SELECT CASE WHEN hv < 1717986917 THEN 'train'
+                     WHEN hv < 1932735282 THEN 'valid'
+                     ELSE 'test' END AS split,
+           count(*) AS n_docs, count(DISTINCT rep) AS n_clusters
+         FROM h GROUP BY 1 ORDER BY 1""",
 
     "txt14_pack" ->
       """WITH d AS (

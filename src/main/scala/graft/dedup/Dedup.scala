@@ -51,6 +51,39 @@ object Dedup {
       .select(col("keep_id"), col(idCol).as("dup_id"))
   }
 
+  /** Leakage-proof reproducible train/valid/test split: the unit of
+    * assignment is the duplicate CLUSTER, not the document.
+    *
+    * A per-document split (the cur4 shape) lets two copies of the same
+    * text straddle train and eval — the eval number then scores
+    * memorization, the quiet contamination every dedup pipeline
+    * exists to prevent. Here every document hashes its CLUSTER
+    * representative (min id over the component of `pairs`, via
+    * [[duplicateClusters]] — exact-dup pairs from [[exactDupMap]] or
+    * LSH near-dup pairs both plug in), so a whole duplicate class
+    * lands in exactly one split by construction. Singletons hash
+    * their own id with the SAME affine constants as the per-doc
+    * split, so a duplicate-free corpus splits identically to it.
+    * Output: `docs` + `rep` (cluster representative) + `split`
+    * (train/valid/test at 80/10/10, MINSTD thresholds, engine- and
+    * rerun-reproducible like every graft sampler). */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+      .select(col("id").as(idCol), col("cluster_id"))
+    docs.join(clusters, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col(idCol)))
+      // the splitter's avalanche hash (48271/11213 — the constants are
+      // the split's identity; see Shuffle.decisionHash for why one
+      // affine step is NOT enough for threshold decisions)
+      .withColumn("__h",
+        graft.operators.Shuffle.decisionHash(col("rep"), 48271L, 11213L, "leakageSafeSplit"))
+      .withColumn("split",
+        when(col("__h") < 1717986917L, "train")
+          .when(col("__h") < 1932735282L, "valid")
+          .otherwise("test"))
+      .drop("cluster_id", "__h")
+  }
+
   private def boundedPairs(exploded: DataFrame, bucketCap: Int): DataFrame = {
     // Cap each bucket before the self-join: a bucket of B rows yields
     // B^2/2 pairs, so a handful of degenerate buckets would dominate

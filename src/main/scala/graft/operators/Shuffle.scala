@@ -58,33 +58,52 @@ object Shuffle {
     * < 2^57): no Spark Long wrap, no DuckDB BIGINT overflow error —
     * bit-for-bit replayable. xor and >> agree across engines because
     * every intermediate is non-negative (ids must be ≥ 0). */
-  def shuffleKey(idCol: Column, epoch: Int): Column = {
+  def shuffleKey(idCol: Column, epoch: Int): Column =
+    decisionHash(idCol, Mult, Add + epoch.toLong * EpochStride, "shuffleKey")
+
+  /** Avalanche-quality 31-bit hash of a non-negative id for per-row
+    * DECISIONS (split membership, keep/drop sampling) as well as the
+    * epoch orders: affine map mod P keyed by (`mult`, `add`), then two
+    * xorshift-multiply rounds.
+    *
+    * The nonlinear rounds are load-bearing for THRESHOLD decisions
+    * exactly as they are for orders: one affine step alone is MONOTONE
+    * over any id range where id·mult never wraps P — with the
+    * splitter's 48271 multiplier that is every id below ~35590, so a
+    * fixture-scale corpus (and the dense low-id head of any real one)
+    * would land 100% under the 0.8·P "train" threshold (measured:
+    * the pre-fix cur4 put every fixture doc in train at all SFs, a
+    * degenerate split the hash-matched oracle could not catch because
+    * both sides computed the same monotone map).
+    *
+    * Distinct (`mult`, `add`) pairs keep decisions pairwise
+    * independent across operators (mixture/split/resample/epoch).
+    * Every intermediate stays under 2^63, xor/>> agree across engines
+    * on the enforced non-negative domain — bit-for-bit replayable in
+    * DuckDB (see the q47/cur4/cur5/cur6 oracles). */
+  def decisionHash(idCol: Column, mult: Long, add: Long,
+                   caller: String = "decisionHash"): Column = {
     // widen FIRST: shiftright on an IntegerType column is a Java int
     // shift, which masks the distance to 5 bits — `int >> 32` is a
     // no-op, so an int32 id column would mix differently than the same
     // ids stored as int64 (and differently than the DuckDB replay,
     // where BIGINT >> 32 really shifts), breaking the byte-identical
-    // permutation contract
+    // replay contract
     val idRaw = idCol.cast("long")
     // enforce the documented non-negativity precondition: engine >>
     // and % semantics diverge on negatives (Spark's % keeps the sign,
     // and >> on a negative sign-extends), so a negative id would
-    // silently produce an engine-divergent, epoch-correlated order —
-    // fail loudly at the first bad row instead
+    // silently produce an engine-divergent decision — fail loudly at
+    // the first bad row instead
     val id = when(idRaw < 0, raise_error(concat(
-      lit("shuffleKey: id must be non-negative, got "), idRaw.cast("string"))))
+      lit(s"$caller: id must be non-negative, got "), idRaw.cast("string"))))
       .otherwise(idRaw)
-    // Fold the HIGH 32 id bits in (epoch-keyed) BEFORE the mod-P
-    // reduction: a bare `id % P` first step would give every pair of
-    // ids congruent mod P an identical key in EVERY epoch — with the
-    // ascending-id tiebreak, ids {x, x+P, x+2P, …} would emit in the
-    // same relative order every epoch, a systematic bias at corpora
-    // past 2^31 documents. Epoch inside the pre-mix also makes the
-    // residual 31-bit collision CLASSES differ per epoch, so no pair
-    // of ids ties in two different epochs' orders. id must be
-    // non-negative (engine >> semantics on negatives differ).
-    val t0 = id.bitwiseXOR(shiftright(id, 32) + lit(Add + epoch.toLong * EpochStride))
-    val t1 = ((t0 % lit(P)) * lit(Mult) + lit(Add + epoch.toLong * EpochStride)) % lit(P)
+    // Fold the HIGH 32 id bits in (salted) BEFORE the mod-P reduction:
+    // a bare `id % P` first step would give every pair of ids
+    // congruent mod P an identical key under EVERY salt — a
+    // systematic bias at corpora past 2^31 documents.
+    val t0 = id.bitwiseXOR(shiftright(id, 32) + lit(add))
+    val t1 = ((t0 % lit(P)) * lit(mult) + lit(add)) % lit(P)
     val t2 = t1.bitwiseXOR(shiftright(t1, 15))
     val h1 = (t2 * lit(1664525L) + lit(1013904223L)) % lit(P)
     val t3 = h1.bitwiseXOR(shiftright(h1, 13))

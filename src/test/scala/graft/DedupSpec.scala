@@ -326,4 +326,45 @@ class DedupSpec extends AnyFunSuite {
       Dedup.minHashLshPairs(d, "doc_id", "text", k = 100, bands = 32)
     }
   }
+
+  test("leakageSafeSplit: no duplicate class straddles train/eval; singletons match per-doc split") {
+    // exact route (the declared cur6 query shape): every same-text
+    // class must land in exactly ONE split — a straddling class makes
+    // the eval number score memorization
+    val pairs = Dedup.exactDupMap(withExact, "text", "doc_id")
+      .select(col("keep_id").as("id_a"), col("dup_id").as("id_b"))
+    val split = Dedup.leakageSafeSplit(withExact, "doc_id", pairs)
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val straddle = split.groupBy(norm.as("t"))
+      .agg(countDistinct(col("split")).as("ns")).filter(col("ns") > 1).count()
+    assert(straddle == 0, s"$straddle duplicate classes straddle splits")
+    // proportions stay near 80/10/10 (hash uniformity sanity band)
+    val frac = split.filter(col("split") === "train").count().toDouble / split.count()
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+    // a duplicate-free corpus splits EXACTLY like the per-doc hash
+    // (same constants) — leakage safety costs nothing without dups
+    val solo = Dedup.leakageSafeSplit(docs, "doc_id",
+      Dedup.exactDupMap(docs, "text", "doc_id")
+        .select(col("keep_id").as("id_a"), col("dup_id").as("id_b")))
+    val perDoc = docs
+      .withColumn("__h",
+        graft.operators.Shuffle.decisionHash(col("doc_id"), 48271L, 11213L))
+      .withColumn("split_pd",
+        when(col("__h") < 1717986917L, "train")
+          .when(col("__h") < 1932735282L, "valid").otherwise("test"))
+      .select(col("doc_id"), col("split_pd"))
+    assert(solo.join(perDoc, "doc_id")
+      .filter(col("split") =!= col("split_pd")).count() == 0)
+    // near-dup route: LSH pairs plug into the same split — every
+    // planted (i, i+10000) near-copy pair must co-split
+    val nearPairs = Dedup.minHashLshPairs(withNear, "doc_id", "text",
+      shingleN = 7, k = 128, bands = 32, threshold = 0.5)
+    val nearSplit = Dedup.leakageSafeSplit(withNear, "doc_id", nearPairs)
+      .select(col("doc_id"), col("split"))
+    val coSplit = nearSplit.as("a")
+      .join(nearSplit.select((col("doc_id") - 10000L).as("doc_id"),
+        col("split").as("split_b")), "doc_id")
+    assert(coSplit.filter(col("split") =!= col("split_b")).count() == 0,
+      "a planted near-duplicate pair straddles splits")
+  }
 }
