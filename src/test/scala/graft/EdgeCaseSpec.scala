@@ -76,4 +76,43 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Skew.skewAwareJoin(emptyDocs, right, "doc_id",
       hotThreshold = 10, sampleFraction = 0.2).count() == 0)
   }
+
+  test("hamming64Pairs: empty input is empty; >63 maxHamming refused") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id", "sig")
+    assert(Dedup.hamming64Pairs(empty, maxHamming = 4).count() == 0)
+    // maxHamming+1 pigeonhole blocks must fit in 64 bits — 64+ would
+    // silently produce zero-width block keys instead of a guarantee
+    intercept[IllegalArgumentException] {
+      Dedup.hamming64Pairs(empty, maxHamming = 64)
+    }
+  }
+
+  test("decisionHash raises on null and negative ids — no silent routing") {
+    // a null id must NOT hash to null (downstream threshold CaseWhens
+    // would silently route the row to their otherwise-branch, e.g.
+    // every bad row into the "test" split) — it must raise
+    import spark.implicits._
+    val nulls = Seq[(java.lang.Long, String)]((null, "x")).toDF("doc_id", "t")
+    val eN = intercept[Exception] {
+      nulls.select(Shuffle.decisionHash(col("doc_id"), 48271L, 11213L)).collect()
+    }
+    assert(eN.getMessage != null)
+    val negs = Seq((-1L, "x")).toDF("doc_id", "t")
+    intercept[Exception] {
+      negs.select(Shuffle.decisionHash(col("doc_id"), 48271L, 11213L)).collect()
+    }
+  }
+
+  test("leakageSafeSplit: empty pairs = per-doc behavior, empty docs = empty") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val split = Dedup.leakageSafeSplit(docs, "doc_id", noPairs)
+    assert(split.count() == 2)
+    // with no pairs, every doc is its own cluster representative
+    assert(split.filter(col("rep") =!= col("doc_id")).count() == 0)
+    val emptyDocs2 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.leakageSafeSplit(emptyDocs2, "doc_id", noPairs).count() == 0)
+  }
 }
