@@ -1710,7 +1710,38 @@ object SparkEntry {
             .as("pair_recall"))
         .select(lit("minhash_lsh_t05").as("method"),
           col("n_exact_pairs"), col("n_lsh_pairs"), col("pair_recall"))
-    })
+    }),
+
+    "dd12_dup_spans" -> ((s, dir) =>
+      // substring-LEVEL exact dedup (the repeated-passage view of
+      // "deduplicating training data"): every 8-word sliding window
+      // occurring ≥2 times corpus-wide marks its range; overlapping
+      // ranges merge to maximal spans per doc. Document-level dedup
+      // cannot see these — a doc sharing one boilerplate passage with
+      // a thousand others is a near-duplicate of none of them. Text
+      // never shuffles: windows travel as a 128-bit digest pair, the
+      // interval merge is a per-doc window. Oracle replays windows via
+      // the txt11 list-slice idiom, grouping on the raw window TEXT —
+      // digest-vs-text grouping agreement is exactly the collision-
+      // freedom claim, so a digest collision would fail the hash gate.
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+          windowWords = 8, minOccurrences = 2L)
+        .orderBy(col("doc_id").asc, col("span_start").asc)),
+
+    "cur7_stratified" -> ((s, dir) =>
+      // deterministic stratified fixed-size sample: exactly
+      // min(5, |source|) docs per source, membership = the 5 smallest
+      // avalanche-hash values (own constants 16807/49297, pairwise
+      // independent of the cur3/cur4/cur5/q47 hashes) with id
+      // tiebreak. Rides the BoundedTopK partial aggregate — ≤5
+      // candidate rows per (task, stratum) shuffle, never a
+      // stratum-wide window sort. The oracle replays the xor-chain
+      // hash and row_number()s per stratum.
+      Shuffle.stratifiedSample(
+          t(s, dir, "documents").select("doc_id", "source", "lang"),
+          Seq("source"), "doc_id", n = 5)
+        .select("source", "doc_id", "lang")
+        .orderBy(col("source").asc, col("doc_id").asc))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2970,6 +3001,63 @@ object SparkEntry {
       """SELECT event_id, event_type,
            CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_ms,
            value
-         FROM events ORDER BY event_id"""
+         FROM events ORDER BY event_id""",
+
+    // windows replayed via the txt11 list-slice idiom; duplicate test
+    // groups on the raw window TEXT where graft groups on a 128-bit
+    // digest pair — agreement IS the collision-freedom claim. Interval
+    // merge = textbook gaps-and-islands over running max end.
+    "dd12_dup_spans" ->
+      """WITH d AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM documents),
+         win AS (
+           SELECT doc_id, s, array_to_string(w[(s+1):(s+8)], ' ') AS g
+           FROM (SELECT doc_id, w,
+                   unnest(range(0, greatest(len(w) - 7, 0))) AS s
+                 FROM d)),
+         dup AS (SELECT g FROM win GROUP BY g HAVING count(*) >= 2),
+         hits AS (
+           SELECT doc_id, s, s + 8 AS e FROM win JOIN dup USING (g)),
+         m AS (
+           SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           FROM hits),
+         isl AS (
+           SELECT doc_id, s, e,
+             sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+           FROM m)
+         SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+           max(e) - min(s) AS span_words
+         FROM isl GROUP BY doc_id, gid
+         ORDER BY doc_id, span_start""",
+
+    "cur7_stratified" ->
+      """WITH a AS (
+           SELECT doc_id, source, lang,
+             xor(doc_id, (doc_id >> 32) + 49297) AS t0
+           FROM documents),
+         b AS (
+           SELECT doc_id, source, lang,
+             ((t0 % 2147483647) * 16807 + 49297) % 2147483647 AS t1
+           FROM a),
+         c AS (
+           SELECT doc_id, source, lang,
+             (xor(t1, t1 >> 15) * 1664525 + 1013904223) % 2147483647 AS h1
+           FROM b),
+         h AS (
+           SELECT doc_id, source, lang,
+             (xor(h1, h1 >> 13) * 22695477 + 77557187) % 2147483647 AS hh
+           FROM c),
+         r AS (
+           SELECT doc_id, source, lang,
+             row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
+           FROM h)
+         SELECT source, doc_id, lang FROM r WHERE rk <= 5
+         ORDER BY source, doc_id"""
   )
 }

@@ -780,4 +780,120 @@ object Dedup {
               .graft_sorted_contains(coalesce(col("__bpos"), noBanned), i)))))
       .drop("__bpos")
   }
+
+  // ---- duplicated-span detection (substring-level exact dedup) ---------
+
+  /** Maximal duplicated word spans per document: every `windowWords`-
+    * word sliding window (stride 1, whitespace-normalized words) whose
+    * text occurs at least `minOccurrences` times ANYWHERE in the corpus
+    * (another doc or the same doc again) marks its word range as
+    * duplicated; overlapping/adjacent marked ranges merge into maximal
+    * spans. This is the window-hash formulation of substring-level
+    * exact dedup — the repeated-passage remover that document-level
+    * dedup (dd1) and near-dedup (dd7/dd8) cannot express, because a
+    * doc that shares one boilerplate paragraph with a thousand others
+    * is NOT a near-duplicate of any of them.
+    *
+    * Output: (idCol, span_start, span_end, span_words) — 0-based word
+    * index, end exclusive; spans per doc are disjoint and sorted.
+    *
+    * Scale shape: text never shuffles. Windows exist only as a pair of
+    * independent 64-bit digests computed scan-side from the split
+    * array (grouping on the 128-bit pair keeps the corpus-wide false
+    * merge expectation ≈ n²/2^129 — a single xxhash64 would see
+    * birthday collisions near 10^10 windows, well inside a 100 TB
+    * corpus); the duplicate-digest aggregate gets map-side combine;
+    * the join back to window positions is digest-only. The interval
+    * merge is a per-document window (partitioned by id — bounded by
+    * max doc length, never a global sort).
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      windowWords: Int = 8,
+                      minOccurrences: Long = 2L): DataFrame = {
+    require(windowWords >= 2, s"duplicatedSpans: windowWords must be >= 2, got $windowWords")
+    require(minOccurrences >= 2L,
+      s"duplicatedSpans: minOccurrences must be >= 2, got $minOccurrences")
+    val W = windowWords
+    val win = windowDigests(docs, idCol, textCol, W)
+    // total occurrence count per window text (both digests agree ⇒
+    // same 128-bit key); only digests + a long count shuffle
+    val dup = win.groupBy("__h1", "__h2")
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minOccurrences)
+      .select("__h1", "__h2")
+    val hits = win.join(dup, Seq("__h1", "__h2"))
+      .select(col(idCol), col("__s"), (col("__s") + lit(W)).as("__e"))
+    // gaps-and-islands per doc: a window starting at or before the
+    // running max end extends the current span (adjacent coverage is
+    // contiguous word coverage, so it merges too)
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__s").asc)
+    val prevMax = max(col("__e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val island = when(prevMax.isNull || col("__s") > prevMax, 1L).otherwise(0L)
+    hits
+      .withColumn("__isl", sum(island)
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__s")).as("span_start"), max(col("__e")).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_words"))
+  }
+
+  /** Sliding windows of `w` normalized words as (id, start, digest
+    * pair): one scan-side projection — the split array never leaves
+    * the scan stage, the window string exists only inside the hash
+    * evaluation. Docs shorter than `w` words produce no windows. */
+  private def windowDigests(docs: DataFrame, idCol: String,
+                            textCol: String, w: Int): DataFrame = {
+    val words = split(textfns.normalizeText(col(textCol)), " ")
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), words.as("__w"))
+      // guard the short-doc arm explicitly: Spark's sequence(a, b)
+      // DESCENDS when b < a, so a doc under w words would otherwise
+      // explode into negative "starts" whose slice() reads from the
+      // array's END — bogus windows, silently. Empty array ⇒ explode
+      // drops the doc, the documented no-windows contract.
+      .withColumn("__s", explode(
+        when(size(col("__w")) >= w,
+          sequence(lit(0L), size(col("__w")).cast("long") - lit(w.toLong)))
+          .otherwise(array().cast("array<long>"))))
+      .select(col(idCol), col("__s"),
+        concat_ws(" ", slice(col("__w"), col("__s").cast("int") + 1, lit(w)))
+          .as("__g"))
+      .select(col(idCol), col("__s"),
+        xxhash64(col("__g")).as("__h1"),
+        xxhash64(lit("graft-span-h2"), col("__g")).as("__h2"))
+  }
+
+  /** The rewrite counterpart of [[duplicatedSpans]]: documents with
+    * every duplicated span's words removed (surviving words rejoined
+    * with single spaces in original order). Docs with no duplicated
+    * span pass through at their whitespace-normalized form; a doc that
+    * is entirely duplicated coverage becomes the empty string —
+    * deletion is a separate policy decision, like [[paragraphDedup]].
+    *
+    * The span list joins back by id (spans per doc are tiny — bounded
+    * by words/windowWords intervals) and the rewrite is one
+    * higher-order filter over the split array; text still never
+    * shuffles (the join moves only (id, start, end) triples to the
+    * doc's partition).
+    */
+  def dropDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          windowWords: Int = 8,
+                          minOccurrences: Long = 2L): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, windowWords, minOccurrences)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("__spans"))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ",
+            filter(split(textfns.normalizeText(col(textCol)), " "),
+              (_, i) => !exists(coalesce(col("__spans"),
+                  array().cast("array<struct<s:long,e:long>>")),
+                sp => i >= sp.getField("s") && i < sp.getField("e"))))))
+      .drop("__spans")
+  }
 }

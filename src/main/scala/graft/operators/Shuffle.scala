@@ -122,4 +122,37 @@ object Shuffle {
     require(epoch >= 0, s"epochShuffle: epoch must be non-negative, got $epoch")
     df.orderBy(shuffleKey(col(idCol), epoch).asc, col(idCol).asc)
   }
+
+  private val StratMult = 16807L // MINSTD original; ≠ every other sampler's
+  private val StratAdd = 49297L
+
+  /** Deterministic stratified fixed-SIZE sample: exactly
+    * min(n, |stratum|) rows per stratum, membership decided by ranking
+    * the stratum's rows under the avalanche [[decisionHash]] (own
+    * constants, pairwise independent of the mixture/split/resample/
+    * epoch hashes) with ascending-id tiebreak. The per-COUNT
+    * counterpart of cur3's per-source rates: rate-based sampling
+    * cannot promise "exactly 500 docs per language" for an eval set,
+    * and a seeded `ORDER BY rand()` per stratum is partition-layout
+    * dependent — this reproduces exact membership across engines,
+    * reruns, and cluster sizes.
+    *
+    * Scale shape: rides the BoundedTopK partial aggregate (q34's
+    * physical path) — every task keeps at most n candidate rows per
+    * stratum, so the shuffle moves ≤ n·tasks rows per stratum instead
+    * of window-sorting whole strata (a 10-billion-row stratum costs
+    * its scan plus n rows per task, never a stratum-wide sort).
+    */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String], idCol: String,
+                       n: Int): DataFrame = {
+    require(strataCols.nonEmpty, "stratifiedSample: need at least one stratum column")
+    require(n > 0, s"stratifiedSample: n must be positive, got $n")
+    val hashed = df.withColumn("__strat_h",
+      decisionHash(col(idCol), StratMult, StratAdd, "stratifiedSample"))
+    graft.api.GraftFrame(hashed)
+      .groupBy(strataCols: _*)
+      .sliceMinAgg(col("__strat_h"), n, col(idCol))
+      .df
+      .drop("__strat_h")
+  }
 }

@@ -373,4 +373,88 @@ class DedupSpec extends AnyFunSuite {
     assert(coSplit.filter(col("split") =!= col("split_b")).count() == 0,
       "a planted duplicate pair straddles splits via the LSH route")
   }
+
+  // ---- duplicated-span detection --------------------------------------
+
+  /** Synthetic corpus with word-exactly-known duplication: unique
+    * filler words everywhere except a planted 10-word passage shared
+    * by docs 1 and 2 (doc 2 at a different offset), and doc 3
+    * repeating an 8-word run inside itself. Unique fillers (`u<id>`)
+    * guarantee no accidental window collisions. */
+  private def spanDocs = {
+    import spark.implicits._
+    def u(d: Int, n: Int) = (0 until n).map(i => s"u${d}x$i").mkString(" ")
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val run8 = "r1 r2 r3 r4 r5 r6 r7 r8"
+    Seq(
+      (1L, s"${u(1, 6)} $passage ${u(1, 5).replace("u1x", "v1x")}"),
+      (2L, s"$passage ${u(2, 9)}"),
+      (3L, s"${u(3, 4)} $run8 ${u(3, 3).replace("u3x", "w3x")} $run8 ${u(3, 2).replace("u3x", "y3x")}"),
+      (4L, u(4, 12)),
+      (5L, "short doc"), // < windowWords ⇒ no windows at all
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+  }
+
+  test("duplicatedSpans finds exactly the planted cross-doc passage, merged maximal") {
+    val spans = Dedup.duplicatedSpans(spanDocs, "doc_id", "text",
+        windowWords = 8, minOccurrences = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    // doc 1: passage at words 6..16; doc 2: words 0..10 — the three
+    // 8-windows inside a 10-word passage merge to ONE maximal span
+    assert(spans.count(_._1 == 1L) == 1)
+    assert(spans.find(_._1 == 1L).get == ((1L, 6L, 16L)))
+    assert(spans.find(_._1 == 2L).get == ((2L, 0L, 10L)))
+    // doc 3: the 8-word run occurs twice WITHIN the doc (positions 4
+    // and 15) — intra-doc repetition counts; spans don't bridge the
+    // 3 unique words between them
+    assert(spans.filter(_._1 == 3L).toSeq == Seq((3L, 4L, 12L), (3L, 15L, 23L)))
+    // unique-filler docs, short docs, null docs: no spans
+    assert(!spans.exists(s => s._1 >= 4L))
+  }
+
+  test("duplicatedSpans span_words column equals end-start; disjoint per doc") {
+    val spans = Dedup.duplicatedSpans(spanDocs, "doc_id", "text", 8, 2L)
+    assert(spans.filter(col("span_words") =!= col("span_end") - col("span_start"))
+      .count() == 0)
+    // disjointness: spans per doc never overlap (merge correctness)
+    val overlaps = spans.as("a").join(spans.as("b"),
+      col("a.doc_id") === col("b.doc_id") &&
+        col("a.span_start") < col("b.span_start") &&
+        col("b.span_start") < col("a.span_end"))
+    assert(overlaps.count() == 0)
+  }
+
+  test("dropDuplicatedSpans removes exactly the duplicated words, keeps order") {
+    val cleaned = Dedup.dropDuplicatedSpans(spanDocs, "doc_id", "text", 8, 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 2: passage stripped, unique tail survives verbatim
+    assert(cleaned(2L) == (0 until 9).map(i => s"u2x$i").mkString(" "))
+    // doc 1: fillers on both sides survive in order
+    assert(cleaned(1L) ==
+      (0 until 6).map(i => s"u1x$i").mkString(" ") + " " +
+      (0 until 5).map(i => s"v1x$i").mkString(" "))
+    // doc 4 untouched (normalized form); doc 5 too short; doc 6 null-preserved
+    assert(cleaned(4L) == (0 until 12).map(i => s"u4x$i").mkString(" "))
+    assert(cleaned(5L) == "short doc")
+    assert(cleaned(6L) == null)
+  }
+
+  test("duplicatedSpans on the fixture corpus matches a window-count lower bound") {
+    // the fixture generator plants recurring phrases: the span set
+    // must be non-empty and every span at least windowWords wide
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", 8, 2L)
+    assert(spans.count() > 0)
+    assert(spans.filter(col("span_words") < 8).count() == 0)
+  }
+
+  test("duplicatedSpans validates its parameters") {
+    intercept[IllegalArgumentException] {
+      Dedup.duplicatedSpans(spanDocs, "doc_id", "text", windowWords = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.duplicatedSpans(spanDocs, "doc_id", "text", minOccurrences = 1L)
+    }
+  }
 }

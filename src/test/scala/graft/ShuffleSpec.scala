@@ -70,4 +70,65 @@ class ShuffleSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("non-negative"), e.getMessage)
   }
+
+  // ---- stratified fixed-size sampling ---------------------------------
+
+  test("stratifiedSample: exactly min(n, stratum size) rows per stratum") {
+    val d = SparkT.table("documents").select("doc_id", "source", "lang")
+    val sizes = Shuffle.stratifiedSample(d, Seq("source"), "doc_id", 3)
+      .groupBy("source").count().collect()
+    val strata = d.select("source").distinct().count()
+    assert(sizes.length == strata)
+    val perStratum = d.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { r =>
+      assert(r.getLong(1) == math.min(3L, perStratum(r.getString(0))))
+    }
+  }
+
+  test("stratifiedSample: n larger than every stratum returns the whole frame") {
+    val d = SparkT.table("documents").select("doc_id", "source")
+    val out = Shuffle.stratifiedSample(d, Seq("source"), "doc_id", 1000000)
+    assert(out.count() == d.count())
+  }
+
+  test("stratifiedSample membership is partition-layout independent") {
+    val d = SparkT.table("documents").select("doc_id", "source")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Shuffle.stratifiedSample(df, Seq("source"), "doc_id", 4)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(d) == ids(d.repartition(13)))
+    assert(ids(d) == ids(d.repartition(1)))
+  }
+
+  test("stratifiedSample keeps all input columns and no helper column") {
+    val d = SparkT.table("documents").select("doc_id", "source", "lang")
+    val out = Shuffle.stratifiedSample(d, Seq("source"), "doc_id", 2)
+    assert(out.columns.toSeq == Seq("doc_id", "source", "lang"))
+  }
+
+  test("stratifiedSample decorrelates from the split hash (independent constants)") {
+    // if the sample hash reused cur4's split constants, the sampled
+    // set would be exactly the lowest-hash head of the TRAIN split —
+    // per-stratum samples must instead spread across splits roughly
+    // like the 80/10/10 base rates. Weak-form check: at 20 strata × 5
+    // docs the sample must NOT be 100% train.
+    val d = SparkT.table("documents").select("doc_id", "source")
+    val sampled = Shuffle.stratifiedSample(d, Seq("source"), "doc_id", 5)
+      .withColumn("h", Shuffle.decisionHash(col("doc_id"), 48271L, 11213L))
+      .withColumn("split",
+        when(col("h") < 1717986917L, "train")
+          .when(col("h") < 1932735282L, "valid").otherwise("test"))
+    val nonTrain = sampled.filter(col("split") =!= "train").count()
+    assert(nonTrain > 0, "stratified sample is the low head of the split hash")
+  }
+
+  test("stratifiedSample plan: bounded partial aggregate, no window sort") {
+    val d = SparkT.table("documents").select("doc_id", "source")
+    val q = Shuffle.stratifiedSample(d, Seq("source"), "doc_id", 5)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("graft_bounded_topk"), p.take(800))
+    assert(!p.contains("Window"), "no window sort allowed:\n" + p.take(800))
+  }
 }
