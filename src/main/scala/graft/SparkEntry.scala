@@ -7,7 +7,7 @@ import graft.api.GraftFrame.{asc, desc}
 import graft.dedup.Dedup
 import graft.functions.{hashfns, textfns}
 import graft.multimodal.Multimodal
-import graft.operators.{Decontam, Freq, Shuffle}
+import graft.operators.{Decontam, Freq, Layout, Shuffle}
 import graft.similarity.Ann
 import graft.streaming.Streams
 
@@ -1728,6 +1728,24 @@ object SparkEntry {
           windowWords = 8, minOccurrences = 2L)
         .orderBy(col("doc_id").asc, col("span_start").asc)),
 
+    "q51_zorder" -> ((s, dir) =>
+      // Z-order (Morton) layout key: the write-side data-skipping
+      // lever — interleaving the bits of two predicate columns gives
+      // every written file a small bounding BOX of both, where a
+      // linear sort leaves the second column's min/max envelope
+      // full-width in every file (LayoutSpec measures the areas; this
+      // query pins the raw bit-interleave math engine-for-engine —
+      // the oracle rebuilds the identical 32-term expression).
+      g(s, dir, "lineitem")
+        .mutate(
+          "p" -> col("l_partkey") % 256,
+          "sm" -> col("l_suppkey") % 256)
+        .mutate("zkey" -> Layout.mortonKey(col("p"), col("sm"), 8))
+        .select("l_orderkey", "l_linenumber", "p", "sm", "zkey")
+        .arrange(asc("zkey"), asc("l_orderkey"), asc("l_linenumber"),
+          asc("p"), asc("sm"))
+        .df),
+
     "cur7_stratified" -> ((s, dir) =>
       // deterministic stratified fixed-size sample: exactly
       // min(5, |source|) docs per source, membership = the 5 smallest
@@ -3035,6 +3053,23 @@ object SparkEntry {
            max(e) - min(s) AS span_words
          FROM isl GROUP BY doc_id, gid
          ORDER BY doc_id, span_start""",
+
+    // the 32-term interleave is generated from the same (j → positions
+    // 2j / 2j+1) rule the engine expression uses — one source of truth
+    // per engine, agreement pinned per row by the hash gate
+    "q51_zorder" -> {
+      val terms = (0 until 8).flatMap(j => Seq(
+        s"(((p >> $j) & 1) << ${2 * j})",
+        s"(((sm >> $j) & 1) << ${2 * j + 1})")).mkString(" | ")
+      s"""WITH m AS (
+           SELECT l_orderkey, l_linenumber,
+             l_partkey % 256 AS p, l_suppkey % 256 AS sm
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber, p, sm,
+           ($terms) AS zkey
+         FROM m
+         ORDER BY zkey, l_orderkey, l_linenumber, p, sm"""
+    },
 
     "cur7_stratified" ->
       """WITH a AS (

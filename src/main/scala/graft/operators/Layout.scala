@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout for scan pruning — the write-side
+  * lever that decides how much of a 100 TB table a two-predicate
+  * query has to read.
+  *
+  * A table sorted by one column prunes scans on that column only: the
+  * parquet row-group min/max envelopes of every OTHER column stay
+  * full-width, so `WHERE part = p AND supp = s` still reads the whole
+  * table when it is laid out by order key. Interleaving the bits of
+  * several columns (a Morton / Z-order curve) gives every involved
+  * column partial locality: each written file covers a small
+  * hyper-rectangle of the key space, and any box predicate intersects
+  * few of them. This is the same layout idea the lakehouse engines
+  * expose as `OPTIMIZE ... ZORDER BY` — here as a plain DataFrame
+  * transform + write, with the locality claim MEASURED in LayoutSpec
+  * (sum of per-file bounding-box areas, z-order vs linear sort).
+  *
+  * Scale shape: rank normalization is one Greenwald-Khanna sketch
+  * pass per column (a 2^bits-point cut array to the driver, ~KBs);
+  * the z-key itself is a scan-side bit-interleave expression inside
+  * whole-stage codegen; the write is ONE range exchange on the key —
+  * exactly the sorted-write shape, no extra shuffle versus any
+  * clustered write.
+  */
+object Layout {
+
+  /** Raw Morton interleave of two non-negative ints, `bits` low bits
+    * each: bit j of `a` lands at position 2j, bit j of `b` at 2j+1.
+    * Values must sit in [0, 2^bits) — out-of-range bits would
+    * silently alias distant keys onto nearby curve positions, so the
+    * preconditions raise instead. For arbitrary (skewed, unbounded,
+    * non-integer) columns use [[zOrderKey]], which rank-normalizes
+    * first.
+    *
+    * The expression is a static 2·bits-term bitwise sum — fully
+    * codegen'd, no UDF, engine-replayable (the q51 oracle rebuilds
+    * the identical term list in DuckDB).
+    */
+  def mortonKey(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"mortonKey: bits must be in [1,31], got $bits")
+    val lim = 1L << bits
+    def checked(c: Column, name: String) = {
+      val v = c.cast("long")
+      when(v.isNull || v < 0 || v >= lim,
+        raise_error(concat(lit(s"mortonKey: $name must be in [0, $lim), got "),
+          coalesce(v.cast("string"), lit("NULL")))))
+        .otherwise(v)
+    }
+    val av = checked(a, "a"); val bv = checked(b, "b")
+    val terms = (0 until bits).flatMap { j =>
+      Seq(
+        shiftleft(shiftright(av, j).bitwiseAND(lit(1L)), 2 * j),
+        shiftleft(shiftright(bv, j).bitwiseAND(lit(1L)), 2 * j + 1))
+    }
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Equi-depth cut points for one column: 2^bits − 1 interior
+    * quantiles from one sketch pass. Duplicate cuts (low-cardinality
+    * columns) are fine — the rank map counts strictly-smaller cuts,
+    * so a run of equal cuts collapses to one bucket boundary. */
+  private def cuts(df: DataFrame, colName: String, bits: Int): Array[Double] = {
+    val n = (1 << bits) - 1
+    val probs = (1 to n).map(_.toDouble / (1 << bits)).toArray
+    df.stat.approxQuantile(colName, probs, 0.001)
+  }
+
+  /** Z-order key over arbitrary numeric columns: each column is
+    * rank-normalized to [0, 2^bits) buckets by its own equi-depth cut
+    * array (skew-proof where equi-width bucketing is not — a heavy
+    * hitter occupies one bucket instead of dragging the whole range),
+    * then bucket bits interleave round-robin (bit j of column i at
+    * position j·k + i).
+    *
+    * The cut arrays are tiny driver-side literals folded into the
+    * scan-side expression; nulls rank below every value (bucket 0),
+    * keeping them clustered rather than scattered.
+    */
+  def zOrderKey(df: DataFrame, colNames: Seq[String], bits: Int = 8): Column = {
+    require(colNames.size >= 2, "zOrderKey: need at least two columns to interleave")
+    val k = colNames.size
+    require(k * bits <= 62, s"zOrderKey: $k cols x $bits bits exceeds a long key")
+    val bucketCols = colNames.zipWithIndex.map { case (c, i) =>
+      val cut = cuts(df, c, bits)
+      // rank = number of cuts strictly below the value; null → 0
+      val v = col(c).cast("double")
+      val rank = cut.foldLeft(lit(0L)) { (acc, q) =>
+        acc + when(v > q, 1L).otherwise(0L)
+      }
+      (when(v.isNull, lit(0L)).otherwise(rank), i)
+    }
+    val terms = bucketCols.flatMap { case (bucket, i) =>
+      (0 until bits).map { j =>
+        shiftleft(shiftright(bucket, j).bitwiseAND(lit(1L)), j * k + i)
+      }
+    }
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` z-order-clustered on `colNames` into `nFiles` files:
+    * ONE range exchange on the interleaved key, sort within
+    * partitions, drop the key. Each output file then covers a small
+    * hyper-rectangle of the column space — any box predicate touches
+    * few files, and parquet row-group min/max pruning inside each
+    * file gets tight envelopes for EVERY clustered column. */
+  def zOrderWrite(df: DataFrame, colNames: Seq[String], path: String,
+                  nFiles: Int, bits: Int = 8): Unit = {
+    require(nFiles >= 1, s"zOrderWrite: nFiles must be positive, got $nFiles")
+    df.withColumn("__zkey", zOrderKey(df, colNames, bits))
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+}
