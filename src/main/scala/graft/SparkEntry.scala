@@ -1728,6 +1728,22 @@ object SparkEntry {
           windowWords = 8, minOccurrences = 2L)
         .orderBy(col("doc_id").asc, col("span_start").asc)),
 
+    "dd13_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup-style cluster-scoped semantic dedup: k-means cells +
+      // within-cell distance-ordered window verify. Same planted-twin
+      // shape as dd5 — but where dd5's SRP buckets can split a pair
+      // straddling a random hyperplane, identical twins ALWAYS share
+      // a k-means cell at identical centroid distance. Rows-only
+      // (centroid seeds); planted recall + no-false-positive floor
+      // pinned in DedupSpec.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val twins = emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+      Dedup.semanticDupPairs(emb.unionByName(twins), "vec_id", "embedding",
+          nCells = 16, threshold = 0.99, windowSize = 6)
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    }),
+
     "q51_zorder" -> ((s, dir) =>
       // Z-order (Morton) layout key: the write-side data-skipping
       // lever — interleaving the bits of two predicate columns gives

@@ -604,6 +604,73 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** SemDeDup-style cluster-scoped semantic near-duplicate pairs:
+    * k-means centroids (driver-side Lloyd's over a bounded uniform
+    * sample — the Ann coarse-quantizer discipline) partition the
+    * embedding space; within each cell, members sort by distance to
+    * their centroid and each compares to its next `windowSize`
+    * neighbors in that order; cosine ≥ `threshold` emits a pair.
+    *
+    * Complements [[embeddingDupPairs]] (SRP-LSH): random-hyperplane
+    * buckets can split a near-identical pair that straddles a
+    * hyperplane, while near-identical vectors ALWAYS land in the same
+    * k-means cell at near-identical centroid distance — adjacent in
+    * the sort, inside any window. The approximation is the converse
+    * edge: a pair straddling a cell boundary is missed (the classic
+    * SemDeDup trade, recall pinned on planted fixtures in DedupSpec).
+    *
+    * Scale shape: N·nCells distance evaluations scan-side (one
+    * broadcast centroid array), ONE hash exchange on cell id, a
+    * per-cell sort bounded by cell occupancy (size nCells ∝ √N to
+    * keep cells bounded), then N·windowSize cosine verifications —
+    * never the Σ|cell|² all-pairs blow-up of the original SemDeDup
+    * formulation, and never an N² join. Embedding vectors shuffle
+    * once (to their cell) — unavoidable for the verify step.
+    */
+  def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                       nCells: Int = 16, threshold: Double = 0.95,
+                       windowSize: Int = 6, seed: Long = 42L,
+                       maxTrainRows: Int = 16384): DataFrame = {
+    require(nCells >= 1, s"semanticDupPairs: nCells must be positive, got $nCells")
+    require(windowSize >= 1, s"semanticDupPairs: windowSize must be positive, got $windowSize")
+    val spark = df.sparkSession
+    val train = graft.similarity.Ann.trainSample(df, vecCol, 1.0, maxTrainRows, seed)
+    val centers = graft.similarity.Ann.lloydKMeans(train, nCells, iters = 15, seed)
+    val bc = spark.sparkContext.broadcast(centers)
+    val cellDist = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        val cv = cs(c)
+        while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      (best, bestD)
+    }
+    val assigned = df
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<float>").as("v"))
+      .withColumn("__cd", cellDist(col("v")))
+      .select(col("id"), col("v"),
+        col("__cd._1").as("cell"), col("__cd._2").as("dist"))
+    val byCell = Window.partitionBy("cell")
+      .orderBy(col("dist").asc, col("id").asc)
+    val ranked = assigned.withColumn("rk", row_number().over(byCell))
+    val right = ranked.select(col("cell"), col("rk").as("rk_b"),
+      col("id").as("id_r"), col("v").as("v_r"))
+    ranked
+      .withColumn("rk_b",
+        explode(sequence(col("rk") + 1, col("rk") + windowSize)))
+      .join(right, Seq("cell", "rk_b"))
+      .withColumn("cosine", vecfns.cosine(col("v"), col("v_r")))
+      .filter(col("cosine") >= threshold)
+      .select(least(col("id"), col("id_r")).as("id_a"),
+        greatest(col("id"), col("id_r")).as("id_b"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Per-element cost of one banned md5-hex fingerprint inside the
     * folded broadcast array: 32 UTF-8 bytes of hex + the UnsafeArray
     * offset-and-size slot, rounded up to cover task-side copies. */

@@ -252,7 +252,7 @@ object Ann {
     * reaches `maxTrainRows` with near-certainty. Callers that know
     * their corpus size can still pass an explicit `trainFraction` and
     * skip the probe. */
-  private def trainSample(corpus: DataFrame, vecCol: String,
+  private[graft] def trainSample(corpus: DataFrame, vecCol: String,
                           trainFraction: Double, maxTrainRows: Int,
                           seed: Long): Array[Array[Float]] = {
     val base =
@@ -277,7 +277,7 @@ object Ann {
   /** Deterministic k-means++ seeding + Lloyd's iterations, local.
     * Empty clusters keep their previous center. Double accumulation,
     * float centroids (matching the stored embedding precision). */
-  private[similarity] def lloydKMeans(points: Array[Array[Float]], k: Int,
+  private[graft] def lloydKMeans(points: Array[Array[Float]], k: Int,
                                       iters: Int, seed: Long): Array[Array[Float]] = {
     require(points.nonEmpty, "ivf: empty training sample")
     val dim = points(0).length

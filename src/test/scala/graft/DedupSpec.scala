@@ -449,6 +449,54 @@ class DedupSpec extends AnyFunSuite {
     assert(spans.filter(col("span_words") < 8).count() == 0)
   }
 
+  // ---- semantic (cluster-scoped) dedup --------------------------------
+
+  private def embeddings = SparkT.table("embeddings")
+    .select(col("vec_id"), col("embedding"))
+
+  test("semanticDupPairs recovers every planted identical twin") {
+    val twins = embeddings.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val pairs = Dedup.semanticDupPairs(embeddings.unionByName(twins),
+      "vec_id", "embedding", nCells = 16, threshold = 0.99, windowSize = 6)
+    val planted = pairs.filter(col("id_b") === col("id_a") + 10000L).count()
+    val nTwins = twins.count()
+    assert(planted == nTwins, s"found $planted of $nTwins planted twins")
+    // verification honest: nothing below threshold leaks out
+    assert(pairs.filter(col("cosine") < 0.99).count() == 0)
+  }
+
+  test("semanticDupPairs finds noised near-twins SRP bucketing could straddle") {
+    import spark.implicits._
+    // copies with one dim nudged by 1e-3: cosine ≈ 0.999998 — still a
+    // near-duplicate; a hyperplane through the nudge direction could
+    // split an SRP bucket, but the k-means cell assignment cannot move
+    val noised = embeddings.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 20000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"))
+    val pairs = Dedup.semanticDupPairs(embeddings.unionByName(noised),
+      "vec_id", "embedding", nCells = 16, threshold = 0.999, windowSize = 6)
+    val planted = pairs.filter(col("id_b") === col("id_a") + 20000L).count()
+    assert(planted == 50L, s"found $planted of 50 noised near-twins")
+  }
+
+  test("semanticDupPairs: no false pairs on the natural corpus (max cosine 0.48)") {
+    val pairs = Dedup.semanticDupPairs(embeddings, "vec_id", "embedding",
+      nCells = 16, threshold = 0.9, windowSize = 6)
+    assert(pairs.count() == 0)
+  }
+
+  test("semanticDupPairs pairs plug into the shared cluster machinery") {
+    val twins = embeddings.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val all = embeddings.unionByName(twins)
+    val pairs = Dedup.semanticDupPairs(all, "vec_id", "embedding",
+      nCells = 16, threshold = 0.99, windowSize = 6)
+    val survivors = Dedup.dedupNear(all, "vec_id", pairs)
+    assert(survivors.count() == all.count() - 30)
+  }
+
   test("duplicatedSpans validates its parameters") {
     intercept[IllegalArgumentException] {
       Dedup.duplicatedSpans(spanDocs, "doc_id", "text", windowWords = 1)
