@@ -7,7 +7,7 @@ import graft.api.GraftFrame.{asc, desc}
 import graft.dedup.Dedup
 import graft.functions.{hashfns, textfns}
 import graft.multimodal.Multimodal
-import graft.operators.{Decontam, Freq, Layout, Shuffle}
+import graft.operators.{Bpe, Decontam, Freq, Layout, Shuffle}
 import graft.similarity.Ann
 import graft.streaming.Streams
 
@@ -1727,6 +1727,24 @@ object SparkEntry {
       Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
           windowWords = 8, minOccurrences = 2L)
         .orderBy(col("doc_id").asc, col("span_start").asc)),
+
+    "txt17_bpe" -> ((s, dir) => {
+      // real subword tokenization: train 20 BPE merges on the corpus
+      // (deterministic — count argmax with lexicographic tie-break, no
+      // seeds), tokenize scan-side with the broadcast merge table,
+      // return the token frequency head. Rows-only: replaying 20
+      // rounds of distributed pair-merge training in SQL is not a
+      // reasonable oracle; BpeSpec instead pins the distributed
+      // trainer EQUAL to a local reference implementation, plus
+      // encode round-trip and determinism contracts.
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.train(docs, "text", numMerges = 20)
+      Bpe.encode(docs, "doc_id", "text", merges)
+        .select(explode(col("tokens")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(100)
+    }),
 
     "dd13_semantic_dedup" -> ((s, dir) => {
       // SemDeDup-style cluster-scoped semantic dedup: k-means cells +
