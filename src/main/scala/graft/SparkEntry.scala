@@ -1422,6 +1422,31 @@ object SparkEntry {
           unix_millis(col("__ts_t")).as("ts_ms"), col("value"))
         .orderBy(col("event_id").asc)),
 
+    "ev11_neardedup_stream" -> ((s, dir) => {
+      // streaming NEAR-dedup (crawl ingestion): every 5th doc also
+      // arrives as a whitespace-mangled variant (raw bytes differ —
+      // byte-level dedup keeps both), PLUS the at-least-once double
+      // delivery. The content-signature state (equal shingle sets ⇒
+      // equal 128-bit signature) must reduce all of it to one survivor
+      // per normalized-text class. Output projects the class-invariant
+      // normalized md5 (which ARRIVAL survives is race-dependent; its
+      // class fingerprint is not), so DuckDB replays the whole gate as
+      // DISTINCT md5(normalized text) over the same planted union.
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val variants = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("  "), regexp_replace(col("text"), " ", "  ")).as("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ev11")
+      base.unionByName(variants).coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/corpus")
+      val part = new java.io.File(s"$tmp/corpus").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head.getAbsolutePath
+      Streams.nearDedupStreamOnce(s, part, textCol = "text", shingleN = 5)
+        .select(textfns.contentFingerprint(col("text")).as("content_fp"))
+        .orderBy(col("content_fp").asc)
+    }),
+
     "ev3_funnel" -> ((s, dir) => {
       // staged funnel view → click → purchase: each stage's entry time
       // is the user's first qualifying event strictly after the prior
@@ -3054,6 +3079,16 @@ object SparkEntry {
            CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_ms,
            value
          FROM events ORDER BY event_id""",
+
+    "ev11_neardedup_stream" ->
+      """WITH all_docs AS (
+           SELECT text FROM documents
+           UNION ALL
+           SELECT '  ' || regexp_replace(text, ' ', '  ', 'g')
+           FROM documents WHERE doc_id % 5 = 0)
+         SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+           AS content_fp
+         FROM all_docs ORDER BY content_fp""",
 
     // windows replayed via the txt11 list-slice idiom; duplicate test
     // groups on the raw window TEXT where graft groups on a 128-bit

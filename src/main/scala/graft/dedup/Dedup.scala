@@ -144,6 +144,24 @@ object Dedup {
     Seq(xxhash64(canon).as("fp1"), xxhash64(lit(FpSalt), canon).as("fp2"))
   }
 
+  /** Content signature for threshold-1.0 near-dedup as ONE column:
+    * both independent 64-bit set fingerprints of the doc's distinct
+    * shingle-hash set, as a (fp1, fp2) struct. Equal shingle SETS
+    * (whitespace/case perturbations, word repetitions — everything
+    * word-order-set-preserving) always get equal signatures; unequal
+    * sets collide on both with probability 2^-128. This is the
+    * spanning-pair sort key packaged for key-equality consumers —
+    * e.g. streaming `dropDuplicatesWithinWatermark` (ev11), where the
+    * pair-based batch machinery cannot run. Computed scan-side by the
+    * fused shingle kernel; only the 16-byte struct reaches state. */
+  def contentSignature(text: Column, shingleN: Int,
+                       charLevel: Boolean = false): Column = {
+    val sh =
+      if (charLevel) hashfns.charShingleHashes(text, shingleN)
+      else hashfns.shingleHashes(text, shingleN)
+    struct(setFingerprints(sh): _*)
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * shingle → k-minhash signature → `bands` band keys → bucket

@@ -558,6 +558,52 @@ object Streams {
     detachedTable(spark, qn)
   }
 
+  /** Streaming NEAR-dedup — the crawl-ingestion shape: documents
+    * arrive as a stream (no event-time column of their own; ingestion
+    * time is the event time, the standard crawl contract), each is
+    * reduced scan-side to its 128-bit content signature
+    * ([[graft.dedup.Dedup.contentSignature]]: equal shingle SETS ⇒
+    * equal signatures — whitespace/case/repetition variants dedup,
+    * not just byte-identical redeliveries), and
+    * `dropDuplicatesWithinWatermark` keeps the first arrival per
+    * signature. State holds only (16-byte signature, timestamp) pairs
+    * and expires with the watermark — bounded regardless of corpus
+    * rate, and the document text itself never enters the state store.
+    *
+    * Same simulated at-least-once source as [[dedupStreamOnce]]
+    * (two symlink deliveries of one parquet file, no write job).
+    * Determinism note: which ARRIVAL survives a signature class is
+    * race-dependent, so callers must project survivor columns that
+    * are CLASS-invariant (the ev11 gate projects the normalized-text
+    * md5, identical across every member of a class by construction).
+    */
+  def nearDedupStreamOnce(spark: SparkSession, sourcePath: String,
+                          textCol: String = "text", shingleN: Int = 5,
+                          watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(sourcePath).schema
+    val srcFile = new java.io.File(sourcePath)
+    require(srcFile.isFile, s"nearDedupStreamOnce expects a parquet file, got $sourcePath")
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_neardedup")
+    Seq("delivery1.parquet", "delivery2.parquet").foreach { n =>
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve(n), srcFile.toPath.toAbsolutePath)
+    }
+    val ev = spark.readStream.schema(schema).parquet(d.toString)
+      .withColumn("__sig", graft.dedup.Dedup.contentSignature(col(textCol), shingleN))
+      .withColumn("__ingest_ts", current_timestamp())
+      .withWatermark("__ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("__sig")
+    val qn = "graft_neardedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withBackfillStatePartitions(spark) {
+      val q = ev.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    detachedTable(spark, qn)
+  }
+
   /** Rolling per-user running totals (batch window-function form used
     * by the q18_window oracle query). */
   def runningTotals(events: DataFrame): DataFrame = {

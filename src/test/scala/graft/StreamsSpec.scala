@@ -104,6 +104,36 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dedup collapses whitespace variants AND redeliveries") {
+    import spark.implicits._
+    import graft.functions.textfns
+    // three distinct texts; one also arrives as a whitespace-mangled
+    // variant (different bytes, same shingle SET) — plus the helper's
+    // built-in double delivery. Survivors: one per content class.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "red green blue cyan magenta yellow"),
+      (11L, "  alpha  beta gamma   delta epsilon  zeta ")
+    ).toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("graft_neardedup_stream").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .head.getAbsolutePath
+
+    val got = Streams.nearDedupStreamOnce(spark, part, textCol = "text",
+      shingleN = 3)
+    assert(got.count() == 3, "one survivor per content class expected")
+    // class-invariant projection: the survivor fingerprints equal the
+    // batch distinct set exactly
+    val gotFps = got.select(textfns.contentFingerprint(col("text")).as("fp"))
+      .collect().map(_.getString(0)).toSet
+    val wantFps = docs.select(textfns.contentFingerprint(col("text")).as("fp"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(gotFps == wantFps)
+  }
+
   test("RocksDB state store: same dedup rows as the default provider") {
     // the provider changes WHERE state lives (native memtables + SST
     // files instead of the in-heap map — the only store shape that
