@@ -332,6 +332,21 @@ object StressGate {
       check("q20_eq_builtin", qDiff == 0, qDiff, "0 (symmetric diff)")
     }
 
+    // --- dd12 duplicated spans: substring-level dedup at corpus
+    // scale. Every member of a duplicate class shares its WHOLE text,
+    // so all its 8-word windows are duplicated and merge to exactly
+    // one full-width span; singleton bodies are class-unique hash
+    // words, so they contribute none. Closed form: dupRows spans, each
+    // 30 words wide (5 header + 1 cls + 24 body). The heavy stage is
+    // the window-digest aggregate (~23 windows/doc — 115M windows at
+    // scale 10, digests only); the per-doc interval merge partitions
+    // by doc. The linearity band is the claim: a corpus-wide window
+    // table that stopped combining map-side would blow the ratio.
+    def dd12 = Dedup.duplicatedSpans(d, "doc_id", "text", windowWords = 8)
+    run("dd12_dup_spans", Some(p.dupRows))(dd12.count())
+    run("dd12_span_words", Some(p.dupRows * 30))(
+      dd12.agg(sum(col("span_words"))).collect()(0).getLong(0))
+
     def checksum(j: DataFrame): Long = j.agg(
       sum((col("l_quantity") * col("o_totalprice")).cast("long")) + count(lit(1)))
       .collect()(0).getLong(0)

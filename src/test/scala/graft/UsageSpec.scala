@@ -94,4 +94,55 @@ class UsageSpec extends AnyFunSuite {
     // schema contract: (id_a, id_b, hamming)
     assert(nearDups.columns.toSeq == Seq("id_a", "id_b", "hamming"))
   }
+
+  test("usage §3b: duplicated spans + rewrite") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", windowWords = 8)
+    val scrubbed = Dedup.dropDuplicatedSpans(docs, "doc_id", "text", windowWords = 8)
+    assert(spans.columns.toSeq ==
+      Seq("doc_id", "span_start", "span_end", "span_words"))
+    assert(scrubbed.count() == docs.count())
+  }
+
+  test("usage §3c: semantic dedup pairs") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val pairs = Dedup.semanticDupPairs(emb, "vec_id", "embedding",
+      nCells = 16, threshold = 0.9, windowSize = 6)
+    assert(pairs.columns.toSeq == Seq("id_a", "id_b", "cosine"))
+  }
+
+  test("usage §5b: BPE train + encode") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val merges = graft.operators.Bpe.train(docs, "text", numMerges = 10)
+    val tokens = graft.operators.Bpe.encode(docs, "doc_id", "text", merges)
+    assert(merges.nonEmpty)
+    assert(tokens.filter(col("n_tokens") <= 0).count() == 0)
+  }
+
+  test("usage §6b: streaming near-dedup by content signature") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_usage_ev11").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .head.getAbsolutePath
+    val survivors = Streams.nearDedupStreamOnce(spark, part, textCol = "text")
+    // fixture docs are content-distinct: double delivery collapses back
+    assert(survivors.count() == docs.count())
+  }
+
+  test("usage §7b: curation, sampling, layout") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val sample = graft.operators.Shuffle.stratifiedSample(
+      docs, Seq("source"), "doc_id", n = 5)
+    val epoch3 = graft.operators.Shuffle.epochShuffle(docs, "doc_id", epoch = 3)
+    val zdir = java.nio.file.Files.createTempDirectory("graft_usage_z").toString
+    graft.operators.Layout.zOrderWrite(lineitem, Seq("l_partkey", "l_suppkey"),
+      s"$zdir/lineitem_z", nFiles = 32)
+    assert(sample.groupBy("source").count()
+      .filter(col("count") > 5).count() == 0)
+    assert(epoch3.count() == docs.count())
+    assert(spark.read.parquet(s"$zdir/lineitem_z").count() == lineitem.count())
+  }
 }
