@@ -1331,6 +1331,30 @@ object SparkEntry {
         .orderBy(col("id_a").asc, col("id_b").asc)
     }),
 
+    "mm4_audio_dedup" -> ((s, dir) => {
+      // AUDIO near-dedup through the real JDK codec (javax.sound WAV
+      // decode end-to-end): every doc renders as one second of seeded
+      // amplitude-modulated PCM; every 3rd re-plants at half volume
+      // and every 5th at quarter volume — different bytes everywhere,
+      // same recording. The 64-window envelope hash is EXACTLY
+      // gain-invariant (RMS comparisons survive any positive gain),
+      // so the planted variants co-bucket where byte-level dedup sees
+      // unrelated blobs. Rows-only like mm3 (hash-design values);
+      // MultimodalSpec pins header decode, exact gain invariance,
+      // planted recall 1.0 and zero cross-recording pairs. Corpus
+      // bounded to doc_id < 500 for the same reason as mm3: the WAV
+      // synthesis exists only because the fixtures carry no audio.
+      val base = Multimodal.syntheticAudioTable(
+        t(s, dir, "documents").filter(col("doc_id") < 500)).localCheckpoint()
+      def variant(mod: Int, off: Long, gain: Double) =
+        Multimodal.gainScaledAudioTable(
+          base.filter(pmod(col("doc_id"), lit(mod)) === 0), off, gain)
+      val corpus = base.unionByName(variant(3, 10000000L, 0.5))
+        .unionByName(variant(5, 20000000L, 0.25))
+      Multimodal.audioDupPairs(corpus, maxHamming = 2, bucketCap = 1000)
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    }),
+
     "ev1_tumbling" -> ((s, dir) =>
       Streams.tumblingAgg(t(s, dir, "events"), "1 hour")
         .orderBy(col("window_start").asc, col("event_type").asc)),

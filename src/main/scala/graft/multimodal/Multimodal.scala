@@ -418,4 +418,251 @@ object Multimodal {
         greatest(lit(1), (col("n_bytes") / 1024).cast("int")))
       .withColumn("sampled_frames",
         slice(sequence(lit(0), col("n_frames_est") - 1, lit(stride)), 1, maxFrames))
+
+  // ---- audio: real JDK codec (javax.sound WAV/PCM) --------------------
+
+  /** Decoded audio description; `codec` = "javasound" (real WAV parse
+    * + PCM decode) or "stub" (payload-derived fallback — same total-
+    * pipeline contract as [[ImageDecoder]]). */
+  case class AudioInfo(doc_id: Long, sample_rate: Int, channels: Int,
+                       bits: Int, n_samples: Long, duration_ms: Long,
+                       codec: String)
+
+  /** WAV decode via `javax.sound.sampled` — the audio twin of
+    * [[ImageDecoder]]: magic-byte sniff first (RIFF....WAVE), header
+    * bounds checked before any sample allocation, every failure mode
+    * falls back to the stub arm so the pipeline stays total. */
+  object AudioDecoder {
+    private def isWav(p: Array[Byte]): Boolean =
+      p.length >= 44 &&
+        p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+    /** Refuse payloads claiming more than ~64M samples (256 MB of
+      * 16-bit stereo) — the MaxPixels discipline for audio. */
+    val MaxSamples: Long = 64L * 1024 * 1024
+
+    /** Real WAV bytes → (format info, mono-mixed samples in [-1, 1]);
+      * None for anything else. */
+    def readPcm(payload: Array[Byte]): Option[(Int, Int, Int, Array[Double])] =
+      if (!isWav(payload)) None
+      else try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val f = in.getFormat
+          val nFrames = in.getFrameLength
+          val ch = f.getChannels
+          val bits = f.getSampleSizeInBits
+          if (nFrames <= 0 || nFrames * ch > MaxSamples || bits != 16 ||
+              f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            None
+          else {
+            val raw = in.readAllBytes()
+            val n = nFrames.toInt
+            val out = new Array[Double](n)
+            val le = !f.isBigEndian
+            var i = 0
+            while (i < n) {
+              // mix channels to mono
+              var acc = 0.0
+              var c = 0
+              while (c < ch) {
+                val o = (i * ch + c) * 2
+                val s =
+                  if (le) ((raw(o + 1) << 8) | (raw(o) & 0xff)).toShort
+                  else ((raw(o) << 8) | (raw(o + 1) & 0xff)).toShort
+                acc += s / 32768.0
+                c += 1
+              }
+              out(i) = acc / ch
+              i += 1
+            }
+            Some((f.getSampleRate.toInt, ch, bits, out))
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Gain-invariant 64-bit audio fingerprint: the dHash idea on the
+    * TIME axis — the signal splits into 64 equal windows, each
+    * window's RMS energy forms the envelope, and bit i records
+    * env(i+1) > env(i) (bit 63: last > first). Multiplying the signal
+    * by any positive gain scales every window's RMS identically, so
+    * comparisons — and the hash — are exactly invariant: a re-leveled
+    * re-encode of the same recording co-buckets where byte-level
+    * dedup sees an unrelated blob. Plugs into
+    * [[graft.dedup.Dedup.hamming64Pairs]] like the image dHash. */
+  def envelopeHash64(samples: Array[Double]): Long = {
+    val w = 64
+    val n = samples.length
+    if (n == 0) return 0L
+    val rms = new Array[Double](w)
+    var i = 0
+    while (i < w) {
+      val from = (i.toLong * n / w).toInt
+      val to = ((i + 1).toLong * n / w).toInt
+      var acc = 0.0
+      var j = from
+      while (j < to) { acc += samples(j) * samples(j); j += 1 }
+      rms(i) = if (to > from) math.sqrt(acc / (to - from)) else 0.0
+      i += 1
+    }
+    var h = 0L
+    i = 0
+    while (i < w - 1) {
+      if (rms(i + 1) > rms(i)) h |= 1L << i
+      i += 1
+    }
+    if (rms(w - 1) > rms(0)) h |= 1L << 63
+    h
+  }
+
+  /** Audio features per media row — real decode where the payload is
+    * PCM WAV, stub-derived otherwise; total either way. */
+  def audioFeatures(media: DataFrame): Dataset[AudioInfo] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        AudioDecoder.readPcm(r.payload) match {
+          case Some((sr, ch, bits, samples)) =>
+            AudioInfo(r.doc_id, sr, ch, bits, samples.length.toLong,
+              samples.length.toLong * 1000L / math.max(sr, 1), "javasound")
+          case None =>
+            val n = r.payload.length
+            val lead = if (n > 0) r.payload(0) & 0xff else 0
+            AudioInfo(r.doc_id, 8000 + lead, 1 + (n % 2), 16, n / 2L,
+              (n / 2L) * 1000L / (8000 + lead), "stub")
+        }
+      }
+    }
+  }
+
+  /** (id, sig, codec) — audio twin of [[perceptualFeatures]]. */
+  def audioPerceptualFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        AudioDecoder.readPcm(r.payload) match {
+          case Some((_, _, _, samples)) => (r.doc_id, envelopeHash64(samples), "javasound")
+          case None => (r.doc_id, dHash64Stub(r.payload), "stub")
+        }
+      }
+    }.toDF("id", "sig", "codec")
+  }
+
+  /** Audio near-duplicate pairs by envelope hash — decode → 64-bit
+    * signature → pigeonhole Hamming buckets → popcount verify. Only
+    * (id, sig) shuffles; payloads stay in the scan stage. */
+  def audioDupPairs(media: DataFrame, maxHamming: Int = 4,
+                    bucketCap: Int = 1000,
+                    materializeSigs: Boolean = true): DataFrame = {
+    val feats = audioPerceptualFeatures(media).select("id", "sig")
+    val sigs = if (materializeSigs) feats.localCheckpoint() else feats
+    graft.dedup.Dedup.hamming64Pairs(sigs, maxHamming, bucketCap)
+  }
+
+  /** Deterministic synthetic WAV corpus (the audio
+    * [[syntheticImageTable]]): per doc_id, one second of a seeded
+    * sine carrier amplitude-modulated by a 64-step envelope whose
+    * adjacent steps are forced DISTINCT — so every envelope
+    * comparison carries a real margin and the hash is stable under
+    * requantization. 16-bit mono PCM wrapped through the real
+    * javax.sound writer; same bytes on every executor/run. */
+  def syntheticAudioTable(docs: DataFrame, sampleRate: Int = 8192,
+                          nSamples: Int = 8192): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val bytes = renderSyntheticWav(id, sampleRate, nSamples)
+        MediaRow(id, "audio", bytes, "audio/wav", bytes.length.toLong)
+      }
+    }.toDF()
+  }
+
+  /** Re-encode every row at a different volume: decoded PCM × `gain`,
+    * requantized, rewritten through the WAV writer with ids shifted —
+    * every byte differs, the recording (and its envelope hash) does
+    * not. The audio analogue of [[resizedMediaTable]]. */
+  def gainScaledAudioTable(media: DataFrame, idOffset: Long,
+                           gain: Double): DataFrame = {
+    require(gain > 0 && gain <= 1.0,
+      s"gainScaledAudioTable: gain must be in (0, 1], got $gain")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        AudioDecoder.readPcm(r.payload).map { case (sr, _, _, samples) =>
+          val scaled = samples.map(_ * gain)
+          val bytes = writeWav(scaled, sr)
+          MediaRow(r.doc_id + idOffset, "audio", bytes, "audio/wav",
+            bytes.length.toLong)
+        }
+      }
+    }.toDF()
+  }
+
+  private def renderSyntheticWav(seed: Long, sampleRate: Int,
+                                 nSamples: Int): Array[Byte] = {
+    val w = 64
+    val freq = 200.0 + java.lang.Long.remainderUnsigned(seed * 2654435761L, 1200L)
+    // 16 coarse envelope levels; adjacent windows forced distinct so
+    // every comparison bit has a quantization-proof margin. Levels
+    // come from a full splitmix64 avalanche — a plain LCG mod 16
+    // reads only the LOW bits, where `i * K` with any odd K is a
+    // RAMP (K ≡ odd mod 16): every seed then produces the same
+    // sawtooth envelope up to phase, and all recordings co-bucket
+    // (measured: 56 cross-recording pairs in a 60-doc fixture)
+    def mix64(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val levels = new Array[Double](w)
+    var prev = -1
+    var i = 0
+    while (i < w) {
+      var lvl = (java.lang.Long.remainderUnsigned(
+        mix64(seed * 8191L + i), 16L)).toInt
+      if (lvl == prev) lvl = (lvl + 1) % 16
+      levels(i) = 0.25 + 0.75 * lvl / 16.0
+      prev = lvl
+      i += 1
+    }
+    val samples = new Array[Double](nSamples)
+    i = 0
+    while (i < nSamples) {
+      val win = (i.toLong * w / nSamples).toInt
+      samples(i) = levels(win) * 0.6 *
+        math.sin(2.0 * math.Pi * freq * i / sampleRate)
+      i += 1
+    }
+    writeWav(samples, sampleRate)
+  }
+
+  /** [-1,1] samples → 16-bit LE mono WAV bytes via the real
+    * javax.sound writer (no hand-rolled headers). */
+  private def writeWav(samples: Array[Double], sampleRate: Int): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = math.max(-1.0, math.min(1.0, samples(i)))
+      val v = math.round(s * 32767.0).toShort
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
 }

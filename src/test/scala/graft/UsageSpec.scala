@@ -95,6 +95,15 @@ class UsageSpec extends AnyFunSuite {
     assert(nearDups.columns.toSeq == Seq("id_a", "id_b", "hamming"))
   }
 
+  test("usage §7a: audio features + gain-invariant dedup") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val media = Multimodal.syntheticAudioTable(docs.filter(col("doc_id") < 50))
+    val audio = Multimodal.audioFeatures(media)
+    val audioDups = Multimodal.audioDupPairs(media, maxHamming = 4)
+    assert(audio.filter(col("codec") === "javasound").count() == 50)
+    assert(audioDups.count() == 0) // distinct recordings: no pairs
+  }
+
   test("usage §3b: duplicated spans + rewrite") {
     val docs = Tables.load(spark, sfDir, "documents")
     val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", windowWords = 8)
