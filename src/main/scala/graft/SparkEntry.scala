@@ -1777,6 +1777,21 @@ object SparkEntry {
           windowWords = 8, minOccurrences = 2L)
         .orderBy(col("doc_id").asc, col("span_start").asc)),
 
+    "ann8_filtered" -> ((s, dir) => {
+      // metadata-FILTERED exact vector search: each query retrieves
+      // only within its own label class (the "nearest neighbors in
+      // this language/license/source" shape). Post-filtering a global
+      // top-k loses neighbors for rare classes; this is one corpus
+      // scan with per-class query buckets + bounded heaps. Quantized
+      // scoring ⇒ bit-identical to the SQL twin, so the oracle is
+      // ann1's replay with the label join predicate added.
+      val emb = t(s, dir, "embeddings")
+      Ann.filteredTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
+          matchCols = Seq("label"), quantized = true)
+        .select("query_id", "rank", "neighbor_id", "score")
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+
     "txt17_bpe" -> ((s, dir) => {
       // real subword tokenization: train 20 BPE merges on the corpus
       // (deterministic — count argmax with lexicographic tie-break, no
@@ -2931,6 +2946,35 @@ object SparkEntry {
            FROM ranked)
          SELECT query_id, rank, neighbor_id, score FROM top
          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "ann8_filtered" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, label,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qq
+           FROM embeddings WHERE vec_id < 20),
+         c AS (
+           SELECT vec_id AS neighbor_id, label,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+           FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+             CAST(list_dot_product(qv, qq) AS DOUBLE) AS d,
+             CAST(list_dot_product(qv, qv) AS DOUBLE) AS na,
+             CAST(list_dot_product(qq, qq) AS DOUBLE) AS nb
+           FROM c JOIN q ON c.label = q.label
+           WHERE neighbor_id <> query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+             CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                  ELSE sign(d) * d * d / (na * nb) END AS score
+           FROM scored),
+         top AS (
+           SELECT query_id, neighbor_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+           FROM ranked)
+         SELECT query_id, rank, neighbor_id, score FROM top
+         WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "txt1_tokens" ->
       """SELECT doc_id,

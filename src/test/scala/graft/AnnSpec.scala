@@ -362,4 +362,42 @@ class AnnSpec extends AnyFunSuite {
         m = 8, ksub = 257)
     }
   }
+
+  test("filteredTopK: every neighbor shares the query's label; rare class keeps its k") {
+    val emb = SparkT.table("embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val got = Ann.filteredTopK(emb, queries, k = 5,
+      matchCols = Seq("label"), quantized = true)
+    // membership: join back both sides' labels — zero mismatches
+    val lbl = emb.select(col("vec_id"), col("label"))
+    val mismatches = got
+      .join(lbl.select(col("vec_id").as("query_id"), col("label").as("ql")), "query_id")
+      .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), "neighbor_id")
+      .filter(col("ql") =!= col("nl")).count()
+    assert(mismatches == 0)
+    // every query with >= 5 in-class candidates gets exactly 5 rows
+    val classSizes = emb.groupBy("label").count()
+    val expected = queries.select(col("vec_id").as("query_id"), col("label"))
+      .join(classSizes, "label")
+      .select(col("query_id"), least(lit(5L), col("count") - 1).as("want"))
+    val short = got.groupBy("query_id").count()
+      .join(expected, "query_id").filter(col("count") =!= col("want")).count()
+    assert(short == 0)
+    // the filtered result is NOT the post-filtered global top-k: for
+    // at least one query, global top-5 contains an out-of-class
+    // neighbor (otherwise this test proves nothing)
+    val global = Ann.bruteForceTopK(emb, queries, k = 5, quantized = true)
+    val crossClass = global
+      .join(lbl.select(col("vec_id").as("query_id"), col("label").as("ql")), "query_id")
+      .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), "neighbor_id")
+      .filter(col("ql") =!= col("nl")).count()
+    assert(crossClass > 0, "fixture too easy: global top-k never leaves the class")
+  }
+
+  test("filteredTopK validates matchCols") {
+    val emb = SparkT.table("embeddings")
+    intercept[IllegalArgumentException] {
+      Ann.filteredTopK(emb, emb.limit(2), k = 1, matchCols = Seq.empty)
+    }
+  }
 }

@@ -64,6 +64,14 @@ class UsageSpec extends AnyFunSuite {
     assert(approx.count() == 8 * 10)
   }
 
+  test("usage §4b: filtered vector search") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.limit(8)
+    val filtered = Ann.filteredTopK(emb, queries, k = 10,
+      matchCols = Seq("label"))
+    assert(filtered.count() > 0)
+  }
+
   test("usage §5: text kernels") {
     val docs = Tables.load(spark, sfDir, "documents")
     val scored = docs.select(col("doc_id"),
