@@ -1715,6 +1715,28 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id").asc)
     }),
 
+    "dd14_index_dedup" -> ((s, dir) => {
+      // dd9 through a PERSISTED signature index — the incremental
+      // pipeline: the reference snapshot's signatures + fingerprints
+      // + shingle sets are built once, written to parquet, read back,
+      // and the crawl dedups against the index without ever touching
+      // reference TEXT. Same parameters and SAME ORACLE as dd9: the
+      // round-trip through parquet must be row-identical to the
+      // text-side computation (the index path IS the text path
+      // applied to a freshly built index — this query proves the
+      // persisted round trip preserves that).
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ref = d.filter(col("doc_id") % 10 === 0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dd14")
+      Dedup.buildSignatureIndex(ref, "doc_id", "text", shingleN = 7, k = 32)
+        .write.mode("overwrite").parquet(s"$tmp/ref_index")
+      val index = s.read.parquet(s"$tmp/ref_index")
+      Dedup.crossDedupWithIndex(d, index, "doc_id", "text",
+          shingleN = 7, k = 32, bands = 8, threshold = 1.0,
+          spanning = true)
+        .select(col("doc_id")).orderBy(col("doc_id").asc)
+    }),
+
     "dd10_char_dedup" -> ((s, dir) => {
       // charLevel (CJK) dedup gate: whitespace shingling sees a CJK
       // doc as ONE word (zero shingles, recall silently zero) —
@@ -1867,7 +1889,14 @@ object SparkEntry {
     * / measured-floor ScalaTest specs instead, and dd11/ann6/q28b put
     * the measured quality numbers themselves in the correctness dump.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = oracleSqlBase
+    // dd14 = dd9 through the persisted signature index: same inputs,
+    // same parameters, same contract — one oracle, two physical paths
+    m + ("dd14_index_dedup" -> m("dd9_cross_dedup"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
 
     "q01_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax

@@ -512,34 +512,106 @@ object Dedup {
         "representative' imply 'matches every member of its fingerprint group'")
     require(bands > 0 && k % bands == 0,
       s"crossNearDupPairs: k ($k) must be a positive multiple of bands ($bands)")
-    val rowsPerBand = k / bands
-    // same knobs as minHashLshPairs: charLevel for scripts without
-    // word boundaries; materializeSigs checkpoints each side's
-    // (id, signature) projection once instead of re-running the
-    // shingle+minhash kernel for its two uses (band keys + estimate
-    // join) — ON at corpus scale, recompute wins at benchmark scale
+    val index = buildSignatureIndex(reference, idCol, textCol, shingleN, k,
+      seed, charLevel)
+    crossNearDupPairsIndexed(corpus,
+      if (materializeSigs) index.localCheckpoint(true) else index,
+      idCol, textCol, shingleN, k, bands, threshold, seed, bucketCap,
+      charLevel, materializeSigs, spanning)
+  }
+
+  /** Reference-side signature INDEX for incremental cross-corpus
+    * dedup: (ref_id, sig, fp1, fp2, sh) — exactly the projections
+    * [[crossNearDupPairs]] derives from reference text, factored out
+    * so they can be computed ONCE per reference snapshot, written to
+    * parquet, and reused by every subsequent crawl
+    * ([[crossNearDupPairsIndexed]] / [[crossDedupWithIndex]]). The
+    * daily incremental pipeline then never reads reference TEXT
+    * again — it scans an index whose size is signatures + shingle
+    * sets, and a 100-crawl month pays the reference shingling cost
+    * once instead of 100 times.
+    *
+    * The index embeds its construction parameters: consumers must
+    * pass the SAME (shingleN, k, seed, charLevel) on the corpus side
+    * — [[crossNearDupPairsIndexed]] cross-checks k against the stored
+    * signature width at plan time and the rest via the `params`
+    * column, failing loudly instead of silently matching nothing. */
+  def buildSignatureIndex(reference: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 3, k: Int = 128, seed: Long = 42L,
+                          charLevel: Boolean = false): DataFrame = {
     def shingleHashesOf(c: Column) =
       if (charLevel) hashfns.charShingleHashes(c, shingleN)
       else hashfns.shingleHashes(c, shingleN)
     def shingleSetOf(c: Column): Column =
       if (charLevel) hashfns.charShingleHashes(c, shingleN)
       else hashfns.distinctWordShingles(c, shingleN)
-    def sigOf(df: DataFrame, as: String) = {
-      val cols = col(idCol).as(as) +:
+    val cols = Seq(
+      col(idCol).as("ref_id"),
+      graft.expressions.GraftFunctions.graft_minhash(
+        shingleHashesOf(col(textCol)), k, seed).as("sig")) ++
+      setFingerprints(shingleHashesOf(col(textCol))) ++
+      Seq(shingleSetOf(col(textCol)).as("sh"),
+        lit(s"$shingleN/$k/$seed/$charLevel").as("params"))
+    reference.select(cols: _*)
+  }
+
+  /** [[crossNearDupPairs]] with the reference side supplied as a
+    * prebuilt [[buildSignatureIndex]] frame (typically read back from
+    * parquet) — the incremental-crawl path. Row-identical to the
+    * text-side computation by construction: the text path IS this
+    * function applied to a freshly built index. */
+  def crossNearDupPairsIndexed(corpus: DataFrame, index: DataFrame,
+                               idCol: String, textCol: String,
+                               shingleN: Int = 3, k: Int = 128, bands: Int = 32,
+                               threshold: Double = 0.5, seed: Long = 42L,
+                               bucketCap: Int = 1000,
+                               charLevel: Boolean = false,
+                               materializeSigs: Boolean = false,
+                               spanning: Boolean = false): DataFrame = {
+    require(!spanning || threshold == 1.0,
+      s"crossNearDupPairsIndexed: spanning matching is only sound at " +
+        s"threshold=1.0 (got $threshold)")
+    require(bands > 0 && k % bands == 0,
+      s"crossNearDupPairsIndexed: k ($k) must be a positive multiple of bands ($bands)")
+    // parameter drift = silent zero recall (different seeds never
+    // collide): the embedded params column makes it a loud error
+    require(index.columns.contains("params"),
+      "crossNearDupPairsIndexed: index lacks the params column — build it " +
+        "with Dedup.buildSignatureIndex")
+    val want = s"$shingleN/$k/$seed/$charLevel"
+    val rowsPerBand = k / bands
+    def shingleHashesOf(c: Column) =
+      if (charLevel) hashfns.charShingleHashes(c, shingleN)
+      else hashfns.shingleHashes(c, shingleN)
+    def shingleSetOf(c: Column): Column =
+      if (charLevel) hashfns.charShingleHashes(c, shingleN)
+      else hashfns.distinctWordShingles(c, shingleN)
+    // the guard must ride a column every downstream path CONSUMES:
+    // a raise_error left on `params` itself gets column-pruned away
+    // (no consumer ⇒ never evaluated ⇒ silent zero recall after all)
+    val checkedIndex = index.withColumn("ref_id",
+      when(col("params") =!= want, raise_error(concat(
+        lit(s"crossNearDupPairsIndexed: index built with params "),
+        col("params"), lit(s", query side uses $want — rebuild the index or " +
+          "match the parameters"))))
+        .otherwise(col("ref_id")))
+    val sigC = {
+      val cols = col(idCol).as("corpus_id") +:
         graft.expressions.GraftFunctions.graft_minhash(
-          shingleHashesOf(col(textCol)), k, seed).as(s"sig_$as") +:
+          shingleHashesOf(col(textCol)), k, seed).as("sig_corpus_id") +:
         (if (spanning) setFingerprints(shingleHashesOf(col(textCol))) else Nil)
-      val plan = df.select(cols: _*)
+      val plan = corpus.select(cols: _*)
       if (materializeSigs) plan.localCheckpoint(true) else plan
     }
+    val sigR = checkedIndex.select(
+      (col("ref_id") +: col("sig").as("sig_ref_id") +:
+        (if (spanning) Seq(col("fp1"), col("fp2")) else Nil)): _*)
     def bandsOf(sig: DataFrame, as: String) = {
       val cols = (col(as) +:
         (if (spanning) Seq(col("fp1"), col("fp2")) else Nil)) :+
         explode(hashfns.lshBandKeys(col(s"sig_$as"), bands, rowsPerBand)).as("bk")
       sig.select(cols: _*)
     }
-    val sigC = sigOf(corpus, "corpus_id")
-    val sigR = sigOf(reference, "ref_id")
     val candidates = if (spanning) {
       // one representative per (bucket, set-fingerprint) on the
       // reference side; corpus rows join their OWN fingerprint group
@@ -567,11 +639,12 @@ object Dedup {
         .graft_minhash_agreement(col("sig_corpus_id"), col("sig_ref_id")))
       .filter(col("est") >= math.max(0.0, threshold - 0.15))
       .select("corpus_id", "ref_id")
-    def shOf(df: DataFrame, as: String) = df.select(col(idCol).as(as),
-      shingleSetOf(col(textCol)).as(s"sh_$as"))
+    val shC = corpus.select(col(idCol).as("corpus_id"),
+      shingleSetOf(col(textCol)).as("sh_corpus_id"))
+    val shR = checkedIndex.select(col("ref_id"), col("sh").as("sh_ref_id"))
     estimated
-      .join(shOf(corpus, "corpus_id"), "corpus_id")
-      .join(shOf(reference, "ref_id"), "ref_id")
+      .join(shC, "corpus_id")
+      .join(shR, "ref_id")
       .withColumn("jaccard", hashfns.jaccard(col("sh_corpus_id"), col("sh_ref_id")))
       .filter(col("jaccard") >= threshold)
       .select(col("corpus_id"), col("ref_id"),
@@ -590,6 +663,25 @@ object Dedup {
                  materializeSigs: Boolean = false,
                  spanning: Boolean = false): DataFrame = {
     val matched = crossNearDupPairs(corpus, reference, idCol, textCol,
+      shingleN, k, bands, threshold, seed, bucketCap, charLevel,
+      materializeSigs, spanning)
+      .select(col("corpus_id").as(idCol)).distinct()
+    corpus.join(matched, Seq(idCol), "left_anti")
+  }
+
+  /** [[crossDedup]] against a prebuilt signature index — the
+    * incremental-crawl entry point: build + persist the index once
+    * per reference snapshot, then each new crawl pays only its own
+    * shingling plus an index scan. */
+  def crossDedupWithIndex(corpus: DataFrame, index: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleN: Int = 3, k: Int = 128, bands: Int = 32,
+                          threshold: Double = 0.5, seed: Long = 42L,
+                          bucketCap: Int = 1000,
+                          charLevel: Boolean = false,
+                          materializeSigs: Boolean = false,
+                          spanning: Boolean = false): DataFrame = {
+    val matched = crossNearDupPairsIndexed(corpus, index, idCol, textCol,
       shingleN, k, bands, threshold, seed, bucketCap, charLevel,
       materializeSigs, spanning)
       .select(col("corpus_id").as(idCol)).distinct()

@@ -449,6 +449,50 @@ class DedupSpec extends AnyFunSuite {
     assert(spans.filter(col("span_words") < 8).count() == 0)
   }
 
+  // ---- persisted signature index (incremental cross-corpus) -----------
+
+  test("indexed cross-dedup pairs equal the text-side path below threshold 1.0 too") {
+    val ref = docs.filter(col("doc_id") % 10 === 0)
+    val direct = Dedup.crossNearDupPairs(withNear, ref, "doc_id", "text",
+      shingleN = 7, threshold = 0.5)
+    val index = Dedup.buildSignatureIndex(ref, "doc_id", "text", shingleN = 7)
+    val viaIndex = Dedup.crossNearDupPairsIndexed(withNear, index,
+      "doc_id", "text", shingleN = 7, threshold = 0.5)
+    assert(direct.exceptAll(viaIndex).count() == 0)
+    assert(viaIndex.exceptAll(direct).count() == 0)
+    assert(direct.count() > 0)
+  }
+
+  test("index round-trips through parquet row-identically") {
+    val ref = docs.filter(col("doc_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig_index").toString
+    Dedup.buildSignatureIndex(ref, "doc_id", "text", shingleN = 7, k = 32)
+      .write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val deduped = Dedup.crossDedupWithIndex(withExact, index, "doc_id", "text",
+      shingleN = 7, k = 32, bands = 8, threshold = 1.0, spanning = true)
+    val direct = Dedup.crossDedup(withExact, ref, "doc_id", "text",
+      shingleN = 7, k = 32, bands = 8, threshold = 1.0, spanning = true)
+    assert(deduped.select("doc_id").exceptAll(direct.select("doc_id")).count() == 0)
+    assert(direct.select("doc_id").exceptAll(deduped.select("doc_id")).count() == 0)
+  }
+
+  test("index parameter drift fails loudly instead of matching nothing") {
+    val ref = docs.filter(col("doc_id") % 10 === 0)
+    val index = Dedup.buildSignatureIndex(ref, "doc_id", "text", shingleN = 7)
+    val e = intercept[Exception] {
+      Dedup.crossNearDupPairsIndexed(docs, index, "doc_id", "text",
+        shingleN = 3, threshold = 0.5).count()
+    }
+    assert(e.getMessage.contains("params") ||
+      Option(e.getCause).exists(_.getMessage.contains("params")), e.getMessage)
+    // an index frame lacking the params column is refused at plan time
+    intercept[IllegalArgumentException] {
+      Dedup.crossNearDupPairsIndexed(docs, index.drop("params"),
+        "doc_id", "text", shingleN = 7, threshold = 0.5)
+    }
+  }
+
   // ---- semantic (cluster-scoped) dedup --------------------------------
 
   private def embeddings = SparkT.table("embeddings")

@@ -64,6 +64,19 @@ class UsageSpec extends AnyFunSuite {
     assert(approx.count() == 8 * 10)
   }
 
+  test("usage §3d: persisted signature index round trip") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val trainingSet = docs.filter(col("doc_id") % 10 === 0)
+    val crawl = docs
+    val dir = java.nio.file.Files.createTempDirectory("graft_usage_idx").toString
+    Dedup.buildSignatureIndex(trainingSet, "doc_id", "text", shingleN = 7)
+      .write.mode("overwrite").parquet(s"$dir/train_sig_index")
+    val fresh = Dedup.crossDedupWithIndex(crawl,
+      spark.read.parquet(s"$dir/train_sig_index"),
+      "doc_id", "text", shingleN = 7, threshold = 0.8)
+    assert(fresh.count() < crawl.count())
+  }
+
   test("usage §4b: filtered vector search") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val queries = emb.limit(8)
