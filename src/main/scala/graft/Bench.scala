@@ -114,7 +114,8 @@ object Bench {
     // round-over-round signal.
     val streamingNames = Set(
       "ev5_tumbling_stream", "ev6_sessionize_stateful", "ev7_dedup_stream",
-      "ev8_stream_static_join", "ev9_stream_stream_join", "ev10_dedup_rocksdb")
+      "ev8_stream_static_join", "ev9_stream_stream_join", "ev10_dedup_rocksdb",
+      "ev11_neardedup_stream")
     case class Stat(name: String, med: Option[Double], min: Option[Double],
                     spread: Option[Double], firstErr: Option[String])
     val results = named.map { case (name, _) =>
