@@ -207,7 +207,12 @@ object Bpe {
     val rank = merges.zipWithIndex.toMap
     val tokenize = udf { (text: String) =>
       if (text == null) null
-      else text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      // Locale.ROOT: a bare toLowerCase uses the JVM default locale,
+      // so an executor running under tr_TR would dot-map 'I'
+      // differently than Spark's locale-independent lower() — the
+      // train/encode normalizations must agree byte-for-byte
+      else text.toLowerCase(java.util.Locale.ROOT).trim
+        .split("\\s+").filter(_.nonEmpty).toSeq
         .flatMap(w => encodeWord(w, rank))
     }
     docs.select(col(idCol), tokenize(col(textCol)).as("tokens"))
