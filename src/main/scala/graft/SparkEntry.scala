@@ -1866,6 +1866,23 @@ object SparkEntry {
           asc("p"), asc("sm"))
         .df),
 
+    "q52_fuzzy_join" -> ((s, dir) => {
+      // edit-distance similarity self-join on the part-name vocabulary
+      // (entity resolution): all name pairs within levenshtein 2, via
+      // PassJoin segment filtering — k+1 segments, pigeonhole says a
+      // within-k pair agrees exactly on one segment, so candidates
+      // come from ONE equi-join on (segment index, length, gram) keys
+      // instead of the name cross-product; exact verify then only
+      // discards. Sound + complete (spec pins equality with all-pairs
+      // ground truth); DuckDB replays the quadratic definition.
+      val names = g(s, dir, "part")
+        .selectExpr2("name" -> lower(col("p_name"))).distinct_().df
+      graft.operators.FuzzyJoin.selfPairs(names, "name", "name", maxDistance = 2)
+        .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
+          col("distance"))
+        .orderBy(col("name_a").asc, col("name_b").asc)
+    }),
+
     "cur7_stratified" -> ((s, dir) =>
       // deterministic stratified fixed-size sample: exactly
       // min(5, |source|) docs per source, membership = the 5 smallest
@@ -3236,6 +3253,14 @@ object SparkEntry {
          FROM m
          ORDER BY zkey, l_orderkey, l_linenumber, p, sm"""
     },
+
+    "q52_fuzzy_join" ->
+      """WITH nm AS (SELECT DISTINCT lower(p_name) AS name FROM part)
+         SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
+         FROM nm a JOIN nm b ON a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= 2
+         ORDER BY name_a, name_b""",
 
     "cur7_stratified" ->
       """WITH a AS (

@@ -64,6 +64,14 @@ class UsageSpec extends AnyFunSuite {
     assert(approx.count() == 8 * 10)
   }
 
+  test("usage §3a2: fuzzy string self-join") {
+    val df = Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey").as("id"), lower(col("p_name")).as("name"))
+    val pairs = graft.operators.FuzzyJoin.selfPairs(df, "id", "name",
+      maxDistance = 2)
+    assert(pairs.count() > 0)
+  }
+
   test("usage §3d: persisted signature index round trip") {
     val docs = Tables.load(spark, sfDir, "documents")
     val trainingSet = docs.filter(col("doc_id") % 10 === 0)
