@@ -391,6 +391,29 @@ object SparkEntry {
         .arrange(asc("user_id"), asc("rn"))
         .df),
 
+    "q53_window2" -> ((s, dir) => {
+      // the full analytic-window family in one declared query:
+      // lag/lead (offset), ntile (equi-depth bucketing),
+      // percent_rank/cume_dist (relative position), first/last value
+      // over a running frame — one window spec, one exchange, no
+      // spill risk (per-user partitions). Ties broken by o_orderkey
+      // so both engines agree on the total order.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g(s, dir, "orders").df
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .withColumn("first_price", first(col("o_totalprice")).over(run))
+        .orderBy(col("o_custkey").asc, col("o_totalprice").asc,
+          col("o_orderkey").asc)
+    }),
+
     "q19_semi_anti" -> ((s, dir) => {
       val bigOrders = g(s, dir, "orders").filter(col("o_totalprice") > 3000.0)
       val cust = g(s, dir, "customer")
@@ -1798,6 +1821,28 @@ object SparkEntry {
       Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
           windowWords = 8, minOccurrences = 2L)
         .orderBy(col("doc_id").asc, col("span_start").asc)),
+
+    "txt18_dup_profile" -> ((s, dir) => {
+      // per-document duplication PROFILE: the curation metric on top
+      // of dd12 — what fraction of each doc's words sit inside a
+      // corpus-duplicated span (the "how boilerplate is this page"
+      // score used to rank docs for pruning, vs dd12's span listing).
+      // One extra aggregate over the span set; same digest-only scale
+      // shape.
+      val docs = t(s, dir, "documents")
+      val spans = Dedup.duplicatedSpans(docs, "doc_id", "text",
+          windowWords = 8, minOccurrences = 2L)
+        .groupBy("doc_id").agg(sum(col("span_words")).as("dup_words"))
+      val words = docs.select(col("doc_id"),
+        size(split(textfns.normalizeText(col("text")), " ")).cast("long")
+          .as("n_words"))
+      words.join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+          round(coalesce(col("dup_words"), lit(0L)).cast("double") /
+            col("n_words"), 4).as("dup_ratio"))
+        .orderBy(col("doc_id").asc)
+    }),
 
     "ann8_filtered" -> ((s, dir) => {
       // metadata-FILTERED exact vector search: each query retrieves
@@ -3254,6 +3299,20 @@ object SparkEntry {
          ORDER BY zkey, l_orderkey, l_linenumber, p, sm"""
     },
 
+    "q53_window2" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice, 1) OVER w AS prev_price,
+           lead(o_totalprice, 1) OVER w AS next_price,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           first_value(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_custkey, o_totalprice, o_orderkey""",
+
     "q52_fuzzy_join" ->
       """WITH nm AS (SELECT DISTINCT lower(p_name) AS name FROM part)
          SELECT a.name AS name_a, b.name AS name_b,
@@ -3261,6 +3320,44 @@ object SparkEntry {
          FROM nm a JOIN nm b ON a.name < b.name
          WHERE levenshtein(a.name, b.name) <= 2
          ORDER BY name_a, name_b""",
+
+    "txt18_dup_profile" ->
+      """WITH d AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM documents),
+         win AS (
+           SELECT doc_id, s, array_to_string(w[(s+1):(s+8)], ' ') AS g
+           FROM (SELECT doc_id, w,
+                   unnest(range(0, greatest(len(w) - 7, 0))) AS s
+                 FROM d)),
+         dup AS (SELECT g FROM win GROUP BY g HAVING count(*) >= 2),
+         hits AS (
+           SELECT doc_id, s, s + 8 AS e FROM win JOIN dup USING (g)),
+         m AS (
+           SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           FROM hits),
+         isl AS (
+           SELECT doc_id, s, e,
+             sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+           FROM m),
+         spans AS (
+           SELECT doc_id, min(s) AS s0, max(e) AS e0
+           FROM isl GROUP BY doc_id, gid),
+         agg AS (
+           SELECT doc_id, CAST(sum(e0 - s0) AS BIGINT) AS dup_words
+           FROM spans GROUP BY 1),
+         wc AS (
+           SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM d)
+         SELECT wc.doc_id, n_words,
+           coalesce(dup_words, 0) AS dup_words,
+           round(coalesce(dup_words, 0) / CAST(n_words AS DOUBLE), 4) AS dup_ratio
+         FROM wc LEFT JOIN agg USING (doc_id)
+         ORDER BY doc_id""",
 
     "cur7_stratified" ->
       """WITH a AS (
