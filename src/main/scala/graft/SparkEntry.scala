@@ -1877,6 +1877,28 @@ object SparkEntry {
         .limit(100)
     }),
 
+    "cur8_embed_outliers" -> ((s, dir) => {
+      // embedding data-quality gate: plant 10 corrupt vectors (a far
+      // constant offset — a broken encoder emitting saturated values)
+      // among the natural corpus; per-CELL distance z-scores against
+      // the BASELINE-trained quantizer must flag exactly the planted
+      // rows at z>3. Baseline training is the point: a coherent batch
+      // of corruption in the scored frame is big enough to capture
+      // its own k-means cell and score z≈0 against itself (the
+      // masking failure, spec-pinned) — centroids AND moments here
+      // come from the clean corpus. Rows-only (centroid seeds);
+      // DedupSpec pins planted precision/recall = 1.0.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val corrupt = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 50000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(10.0f)).as("embedding"))
+      Dedup.embeddingOutliers(emb.unionByName(corrupt), "vec_id", "embedding",
+          nCells = 16, zThreshold = 3.0, trainOn = emb)
+        .filter(col("is_outlier"))
+        .select(col("id"))
+        .orderBy(col("id").asc)
+    }),
+
     "dd13_semantic_dedup" -> ((s, dir) => {
       // SemDeDup-style cluster-scoped semantic dedup: k-means cells +
       // within-cell distance-ordered window verify. Same planted-twin

@@ -781,6 +781,82 @@ object Dedup {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Embedding OUTLIER detection — the vector-side data-quality gate
+    * (corrupt encoders, zero vectors, wrong-modality rows): assign
+    * each vector to its nearest k-means centroid (the semanticDupPairs
+    * coarse quantizer), then flag rows whose distance-to-centroid
+    * z-score WITHIN their cell exceeds `zThreshold`. Per-cell
+    * normalization matters: a tight cluster's mild outlier and a
+    * diffuse cluster's normal member can sit at the same absolute
+    * distance — global thresholds flag whole diffuse clusters.
+    *
+    * Output: (id, cell, dist, z, is_outlier) for every row — the
+    * caller decides drop vs audit. Scale shape: N·nCells distance
+    * evaluations scan-side, one aggregate for the per-cell moments
+    * (broadcast back), one more scan — never a sort, never a window
+    * over an unpartitioned frame.
+    *
+    * `trainOn` (default: `df` itself) is the distribution the
+    * centroids AND moments learn from. Pass a trusted baseline (the
+    * previous vetted snapshot, a clean sample) when corruption may be
+    * CLUSTERED: a coherent batch of corrupt vectors in the scored
+    * frame is big enough to capture its own k-means cell and score
+    * z ≈ 0 against itself — the classic masking failure, pinned by
+    * the spec. Self-training remains right for scattered one-off
+    * anomalies.
+    */
+  def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
+                        nCells: Int = 16, zThreshold: Double = 3.0,
+                        seed: Long = 42L,
+                        maxTrainRows: Int = 16384,
+                        trainOn: DataFrame = null): DataFrame = {
+    require(nCells >= 1, s"embeddingOutliers: nCells must be positive, got $nCells")
+    require(zThreshold > 0, s"embeddingOutliers: zThreshold must be positive, got $zThreshold")
+    val spark = df.sparkSession
+    val trainDf = Option(trainOn).getOrElse(df)
+    val train = graft.similarity.Ann.trainSample(trainDf, vecCol, 1.0, maxTrainRows, seed)
+    val centers = graft.similarity.Ann.lloydKMeans(train, nCells, iters = 15, seed)
+    val bc = spark.sparkContext.broadcast(centers)
+    val cellDist = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        val cv = cs(c)
+        while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      (best, math.sqrt(bestD))
+    }
+    def assign(d: DataFrame) = d
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<float>").as("v"))
+      .withColumn("__cd", cellDist(col("v")))
+      .select(col("id"), col("__cd._1").as("cell"), col("__cd._2").as("dist"))
+    val assigned = assign(df)
+    // moments from the TRAIN distribution too: corrupt rows in the
+    // scored frame would otherwise inflate their cell's spread and
+    // mask themselves even under baseline-trained centroids
+    val moments = (if (trainOn == null) assigned else assign(trainDf))
+      .groupBy("cell").agg(
+        avg(col("dist")).as("__mu"), stddev_samp(col("dist")).as("__sd"))
+    // left join: under baseline training a scored row can land in a
+    // cell with NO train members (an empty cluster kept its previous
+    // center) — no train support means no evidence the row is normal,
+    // so it flags (z = +Inf). A 1-member or zero-variance train cell
+    // has a mean but no spread — z 0, nothing to be an outlier
+    // against.
+    assigned.join(broadcast(moments), Seq("cell"), "left")
+      .withColumn("z",
+        when(col("__mu").isNull, lit(Double.PositiveInfinity))
+          .when(col("__sd").isNull || col("__sd") === 0.0, lit(0.0))
+          .otherwise((col("dist") - col("__mu")) / col("__sd")))
+      .withColumn("is_outlier", col("z") > zThreshold)
+      .select(col("id"), col("cell"), col("dist"),
+        round(col("z"), 4).as("z"), col("is_outlier"))
+  }
+
   /** Per-element cost of one banned md5-hex fingerprint inside the
     * folded broadcast array: 32 UTF-8 bytes of hex + the UnsafeArray
     * offset-and-size slot, rounded up to cover task-side copies. */

@@ -541,6 +541,43 @@ class DedupSpec extends AnyFunSuite {
     assert(survivors.count() == all.count() - 30)
   }
 
+  test("embeddingOutliers (baseline-trained) flags exactly the planted corrupt vectors") {
+    val corrupt = embeddings.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 50000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(10.0f)).as("embedding"))
+    val out = Dedup.embeddingOutliers(embeddings.unionByName(corrupt),
+      "vec_id", "embedding", nCells = 16, zThreshold = 3.0,
+      trainOn = embeddings)
+    val flagged = out.filter(col("is_outlier"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(flagged == (0L until 10L).map(_ + 50000L).toSet,
+      s"flagged=$flagged")
+    // every row gets a verdict; z never null/NaN
+    assert(out.count() == embeddings.count() + 10)
+    assert(out.filter(col("z").isNull || isnan(col("z"))).count() == 0)
+  }
+
+  test("embeddingOutliers: SELF-trained scoring masks a coherent corrupt batch (documented)") {
+    // the failure mode the trainOn parameter exists for: a clustered
+    // batch of corruption captures its own k-means cell when the
+    // quantizer trains on the scored frame, and scores z ≈ 0 against
+    // itself. If this ever starts flagging, the masking caveat in the
+    // scaladoc (and the baseline-training advice) needs rewriting.
+    val corrupt = embeddings.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 50000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(10.0f)).as("embedding"))
+    val selfTrained = Dedup.embeddingOutliers(embeddings.unionByName(corrupt),
+      "vec_id", "embedding", nCells = 16, zThreshold = 3.0)
+    val flagged = selfTrained.filter(col("is_outlier") && col("id") >= 50000L).count()
+    assert(flagged == 0, "self-training unexpectedly defeated masking")
+  }
+
+  test("embeddingOutliers: clean corpus at z>4 flags nothing") {
+    val out = Dedup.embeddingOutliers(embeddings, "vec_id", "embedding",
+      nCells = 16, zThreshold = 4.0)
+    assert(out.filter(col("is_outlier")).count() == 0)
+  }
+
   test("duplicatedSpans validates its parameters") {
     intercept[IllegalArgumentException] {
       Dedup.duplicatedSpans(spanDocs, "doc_id", "text", windowWords = 1)
