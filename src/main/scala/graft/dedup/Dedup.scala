@@ -159,7 +159,18 @@ object Dedup {
     val sh =
       if (charLevel) hashfns.charShingleHashes(text, shingleN)
       else hashfns.shingleHashes(text, shingleN)
-    struct(setFingerprints(sh): _*)
+    // sub-shingle fallback: a doc under shingleN words has an EMPTY
+    // shingle set, and "equal empty sets" would give every short doc
+    // the same signature — streaming dedup would then silently
+    // collapse all short docs into one survivor. Short docs fall back
+    // to fingerprints of the exact normalized text: identical short
+    // texts still dedup, different ones never co-sign.
+    val norm = textfns.normalizeText(text)
+    val fp1 = when(size(sh) > 0, xxhash64(sort_array(sh)))
+      .otherwise(xxhash64(norm))
+    val fp2 = when(size(sh) > 0, xxhash64(lit(FpSalt), sort_array(sh)))
+      .otherwise(xxhash64(lit(FpSalt), norm))
+    struct(fp1.as("fp1"), fp2.as("fp2"))
   }
 
   /** MinHash + LSH near-duplicate pairs.
@@ -512,10 +523,13 @@ object Dedup {
         "representative' imply 'matches every member of its fingerprint group'")
     require(bands > 0 && k % bands == 0,
       s"crossNearDupPairs: k ($k) must be a positive multiple of bands ($bands)")
-    val index = buildSignatureIndex(reference, idCol, textCol, shingleN, k,
-      seed, charLevel)
+    // the index stays a LAZY plan here: materializeSigs applies to the
+    // signature projection inside the indexed core (the pre-refactor
+    // contract) — checkpointing the whole index would also materialize
+    // the reference-text-sized shingle-set arrays and the fingerprints
+    // the non-spanning path never reads
     crossNearDupPairsIndexed(corpus,
-      if (materializeSigs) index.localCheckpoint(true) else index,
+      buildSignatureIndex(reference, idCol, textCol, shingleN, k, seed, charLevel),
       idCol, textCol, shingleN, k, bands, threshold, seed, bucketCap,
       charLevel, materializeSigs, spanning)
   }
@@ -603,9 +617,15 @@ object Dedup {
       val plan = corpus.select(cols: _*)
       if (materializeSigs) plan.localCheckpoint(true) else plan
     }
-    val sigR = checkedIndex.select(
-      (col("ref_id") +: col("sig").as("sig_ref_id") +:
-        (if (spanning) Seq(col("fp1"), col("fp2")) else Nil)): _*)
+    val sigR = {
+      val plan = checkedIndex.select(
+        (col("ref_id") +: col("sig").as("sig_ref_id") +:
+          (if (spanning) Seq(col("fp1"), col("fp2")) else Nil)): _*)
+      // materialize the SIGNATURE projection only (band keys + the
+      // agreement estimate both read it; column pruning keeps the
+      // shingle-set arrays out of the checkpoint)
+      if (materializeSigs) plan.localCheckpoint(true) else plan
+    }
     def bandsOf(sig: DataFrame, as: String) = {
       val cols = (col(as) +:
         (if (spanning) Seq(col("fp1"), col("fp2")) else Nil)) :+

@@ -37,6 +37,32 @@ object Bpe {
     * characters mid-word, as in the original BPE formulation). */
   val EndOfWord = "</w>"
 
+  /** Word → initial symbol sequence, split by CODE POINT (a per-
+    * UTF-16-unit split would break surrogate pairs into lone
+    * surrogates, which UTF8String replaces with '?' on the
+    * distributed path while JVM strings keep them distinct locally —
+    * divergent merge tables on emoji corpora). */
+  private def symbolizeWord(w: String): Seq[String] =
+    w.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toSeq :+ EndOfWord
+
+  /** Unsigned UTF-8 byte-order comparison — Spark's string ordering.
+    * localTrain's tie-break must use it: UTF-16 code-unit order
+    * disagrees with UTF-8 order for supplementary-plane symbols vs
+    * U+E000..U+FFFF, which would break the spec-pinned
+    * distributed == local merge-table equality. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   private def normWords(docs: DataFrame, textCol: String) =
     docs.filter(col(textCol).isNotNull)
       .select(explode(split(graft.functions.textfns.normalizeText(col(textCol)), " "))
@@ -64,15 +90,20 @@ object Bpe {
       if (reliableCheckpoint) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
 
-    val freqDf = normWords(docs, textCol)
-      .groupBy("word").agg(count(lit(1)).as("freq"))
+    // ONE corpus pass: the aggregate materializes via the lineage
+    // truncation BEFORE the size probe, so neither the count nor the
+    // chosen path re-scans the corpus (the docstring's "only
+    // corpus-scale pass" was previously executed twice — once for
+    // count(), once recomputed for collect()/symbolize)
+    val freqDf = trunc(normWords(docs, textCol)
+      .groupBy("word").agg(count(lit(1)).as("freq")))
     if (freqDf.count() <= driverThreshold) {
       val freqs = freqDf.collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       return localTrain(freqs, numMerges)
     }
 
-    val symbolize = udf { (w: String) => w.map(_.toString) :+ EndOfWord }
+    val symbolize = udf { (w: String) => symbolizeWord(w) }
     var vocab = trunc(freqDf
       .select(symbolize(col("word")).as("syms"), col("freq")))
 
@@ -127,7 +158,7 @@ object Bpe {
                          numMerges: Int): Seq[(String, String)] = {
     var vocab: Array[(Array[String], Long)] =
       freqs.toArray.sortBy(_._1) // deterministic iteration order
-        .map { case (w, f) => (w.map(_.toString).toArray :+ EndOfWord) -> f }
+        .map { case (w, f) => symbolizeWord(w).toArray -> f }
     val out = Seq.newBuilder[(String, String)]
     var m = 0
     var stop = false
@@ -143,7 +174,16 @@ object Bpe {
       }
       if (counts.isEmpty) stop = true
       else {
-        val (pair, n) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        // count desc, then lexicographic (a, b) in UTF-8 BYTE order —
+        // the same total order the distributed orderBy uses
+        val (pair, n) = counts.foldLeft(Option.empty[((String, String), Long)]) {
+          case (None, kv) => Some(kv)
+          case (Some(best @ ((ba, bb), bc)), cand @ ((ca, cb), cc)) =>
+            val candWins = cc > bc ||
+              (cc == bc && (utf8Lt(ca, ba) ||
+                (ca == ba && utf8Lt(cb, bb))))
+            Some(if (candWins) cand else best)
+        }.get
         if (n < 2L) stop = true
         else {
           out += pair
@@ -169,8 +209,9 @@ object Bpe {
     * present. Local and pure; the spec uses it as the reference for
     * train()'s distributed rewrite too. */
   private[graft] def encodeWord(w: String,
-                                rank: Map[(String, String), Int]): Seq[String] = {
-    var syms: Vector[String] = w.map(_.toString).toVector :+ EndOfWord
+                                rank: Map[(String, String), Int],
+                                mergeArr: IndexedSeq[(String, String)]): Seq[String] = {
+    var syms: Vector[String] = symbolizeWord(w).toVector
     var continue = syms.length >= 2
     while (continue) {
       var bestRank = Int.MaxValue
@@ -182,9 +223,10 @@ object Bpe {
       }
       if (bestRank == Int.MaxValue) continue = false
       else {
-        val (a, b) = rank.collectFirst {
-          case (p, r) if r == bestRank => p
-        }.get
+        // O(1): the pair AT bestRank is mergeArr(bestRank) — a
+        // collectFirst scan over the whole map per merge step would
+        // multiply the hot scan-side cost by the merge-table size
+        val (a, b) = mergeArr(bestRank)
         val out = Vector.newBuilder[String]
         var j = 0
         while (j < syms.length) {
@@ -204,16 +246,19 @@ object Bpe {
     * the UDF closure, documents never shuffle. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[(String, String)]): DataFrame = {
+    val mergeArr = merges.toIndexedSeq
     val rank = merges.zipWithIndex.toMap
     val tokenize = udf { (text: String) =>
       if (text == null) null
-      // Locale.ROOT: a bare toLowerCase uses the JVM default locale,
-      // so an executor running under tr_TR would dot-map 'I'
-      // differently than Spark's locale-independent lower() — the
-      // train/encode normalizations must agree byte-for-byte
-      else text.toLowerCase(java.util.Locale.ROOT).trim
+      // lowercase through UTF8String — the exact code path of Spark's
+      // lower(), which train's normalizeText uses. Neither a bare
+      // toLowerCase (JVM default locale) nor Locale.ROOT matches it
+      // for every non-ASCII string, and train/encode normalizations
+      // must agree byte-for-byte
+      else org.apache.spark.unsafe.types.UTF8String
+        .fromString(text).toLowerCase.toString
         .split("\\s+").filter(_.nonEmpty).toSeq
-        .flatMap(w => encodeWord(w, rank))
+        .flatMap(w => encodeWord(w, rank, mergeArr))
     }
     docs.select(col(idCol), tokenize(col(textCol)).as("tokens"))
       .withColumn("n_tokens",

@@ -59,14 +59,18 @@ object Layout {
     terms.reduce(_ bitwiseOR _)
   }
 
-  /** Equi-depth cut points for one column: 2^bits − 1 interior
-    * quantiles from one sketch pass. Duplicate cuts (low-cardinality
-    * columns) are fine — the rank map counts strictly-smaller cuts,
-    * so a run of equal cuts collapses to one bucket boundary. */
-  private def cuts(df: DataFrame, colName: String, bits: Int): Array[Double] = {
+  /** Equi-depth cut points for ALL columns in ONE sketch pass (the
+    * multi-column approxQuantile overload — a per-column call would
+    * scan the table once per clustered column before the write even
+    * starts): 2^bits − 1 interior quantiles each. Duplicate cuts
+    * (low-cardinality columns) are fine — the rank map counts
+    * strictly-smaller cuts, so a run of equal cuts collapses to one
+    * bucket boundary. */
+  private def cuts(df: DataFrame, colNames: Seq[String],
+                   bits: Int): Array[Array[Double]] = {
     val n = (1 << bits) - 1
     val probs = (1 to n).map(_.toDouble / (1 << bits)).toArray
-    df.stat.approxQuantile(colName, probs, 0.001)
+    df.stat.approxQuantile(colNames.toArray, probs, 0.001)
   }
 
   /** Z-order key over arbitrary numeric columns: each column is
@@ -84,8 +88,9 @@ object Layout {
     require(colNames.size >= 2, "zOrderKey: need at least two columns to interleave")
     val k = colNames.size
     require(k * bits <= 62, s"zOrderKey: $k cols x $bits bits exceeds a long key")
+    val allCuts = cuts(df, colNames, bits)
     val bucketCols = colNames.zipWithIndex.map { case (c, i) =>
-      val cut = cuts(df, c, bits)
+      val cut = allCuts(i)
       // rank = number of cuts strictly below the value; null → 0
       val v = col(c).cast("double")
       val rank = cut.foldLeft(lit(0L)) { (acc, q) =>

@@ -22,6 +22,37 @@ import graft.functions.vecfns
   */
 object Ann {
 
+  /** One candidate's score — THE shared kernel of every exact heap
+    * path (bruteForceTopK + filteredTopK): the bit-identical-to-SQL
+    * quantized arithmetic and the float cosine live in exactly one
+    * place, so the exact twins cannot drift apart. */
+  private def scorePair(caller: String, vec: Array[Float], qv: Array[Long],
+                        na: Double, q: Array[Float], qQuantI: Array[Long],
+                        qNbI: Double, quantized: Boolean): Double =
+    if (quantized) {
+      // EXACTLY the SQL twin's arithmetic (and operation order):
+      // integer dots cast to double, then sign(d)*d*d/(na*nb)
+      require(qv.length == qQuantI.length,
+        s"$caller: corpus vector dim ${qv.length} != query vector dim " +
+          s"${qQuantI.length} — mixed-dimension data is a pipeline bug; " +
+          "failing fast beats a silent prefix dot product")
+      val d = longDot(qv, qQuantI).toDouble
+      if (na == 0 || qNbI == 0) 0.0
+      else math.signum(d) * d * d / (na * qNbI)
+    } else {
+      require(vec.length == q.length,
+        s"$caller: corpus vector dim ${vec.length} != query vector dim " +
+          s"${q.length} — mixed-dimension data is a pipeline bug; failing " +
+          "fast beats a silent prefix dot product (or an out-of-bounds crash)")
+      var dot = 0.0; var sna = 0.0; var snb = 0.0; var i = 0
+      while (i < vec.length) {
+        val x = vec(i).toDouble; val y = q(i).toDouble
+        dot += x * y; sna += x * x; snb += y * y; i += 1
+      }
+      if (sna == 0 || snb == 0) 0.0
+      else dot / (math.sqrt(sna) * math.sqrt(snb))
+    }
+
   /** Exact top-k neighbors per query by cosine.
     *
     * `queries` is collected to the driver (it must be the small side —
@@ -67,37 +98,9 @@ object Ann {
             // exclude self-matches — every other tier (SQL/LSH/IVF) does,
             // and the exact twins must return identical neighbor sets
             if (qs(qi)._1 != id) {
-              val s =
-                if (quantized) {
-                  // EXACTLY the SQL twin's arithmetic (and operation
-                  // order): integer dots cast to double, then
-                  // sign(d)*d*d/(na*nb) — bit-identical across engines
-                  if (qv.length != qQuant(qi).length)
-                    throw new IllegalArgumentException(
-                      s"bruteForceTopK: corpus vector dim ${qv.length} != " +
-                        s"query vector dim ${qQuant(qi).length} — mixed-dimension " +
-                        "data is a pipeline bug; failing fast beats a silent " +
-                        "prefix dot product")
-                  val d = longDot(qv, qQuant(qi)).toDouble
-                  val nb = qNb(qi)
-                  if (na == 0 || nb == 0) 0.0
-                  else math.signum(d) * d * d / (na * nb)
-                } else {
-                  val q = qs(qi)._2
-                  if (vec.length != q.length)
-                    throw new IllegalArgumentException(
-                      s"bruteForceTopK: corpus vector dim ${vec.length} != " +
-                        s"query vector dim ${q.length} — mixed-dimension data " +
-                        "is a pipeline bug; failing fast beats a silent prefix " +
-                        "dot product (or an out-of-bounds crash)")
-                  var dot = 0.0; var sna = 0.0; var snb = 0.0; var i = 0
-                  while (i < vec.length) {
-                    val x = vec(i).toDouble; val y = q(i).toDouble
-                    dot += x * y; sna += x * x; snb += y * y; i += 1
-                  }
-                  if (sna == 0 || snb == 0) 0.0
-                  else dot / (math.sqrt(sna) * math.sqrt(snb))
-                }
+              val s = scorePair("bruteForceTopK", vec, qv, na, qs(qi)._2,
+                if (quantized) qQuant(qi) else null,
+                if (quantized) qNb(qi) else 0.0, quantized)
               val h = heaps(qi)
               if (h.size < k) h.enqueue((s, id))
               else {
@@ -149,19 +152,26 @@ object Ann {
     require(matchCols.nonEmpty,
       "filteredTopK: matchCols must be non-empty (use bruteForceTopK for unfiltered)")
     val spark = corpus.sparkSession
+    // SQL equality semantics: a NULL match value matches NOTHING (the
+    // oracle's join predicate never matches NULL) — and concat_ws
+    // SKIPS null arguments, so without this filter (NULL,'mit') and
+    // ('mit',NULL) would collide into one key despite the separator.
+    // Null-keyed rows drop on both sides.
+    def nonNullKeys(df: DataFrame) =
+      df.filter(matchCols.map(col(_).isNotNull).reduce(_ && _))
     // NUL separator (escaped, not a raw byte): a space would make
     // ("a b", "c") and ("a", "b c") collide into one match class for
     // multi-column keys
     def mkey(df: DataFrame) =
       concat_ws("\u0000", matchCols.map(c => col(c).cast("string")): _*)
-    val qRows: Array[(Long, Array[Float], String)] = queries
+    val qRows: Array[(Long, Array[Float], String)] = nonNullKeys(queries)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"),
         mkey(queries))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getString(2)))
     val bc = spark.sparkContext.broadcast(qRows)
 
-    val candidates = corpus
+    val candidates = nonNullKeys(corpus)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"),
         mkey(corpus)).rdd
       .mapPartitions { it =>
@@ -184,26 +194,9 @@ object Ann {
             while (j < qIdx.length) {
               val qi = qIdx(j)
               if (qs(qi)._1 != id) {
-                val s =
-                  if (quantized) {
-                    require(qv.length == qQuant(qi).length,
-                      s"filteredTopK: corpus dim ${qv.length} != query dim ${qQuant(qi).length}")
-                    val d = longDot(qv, qQuant(qi)).toDouble
-                    val nb = qNb(qi)
-                    if (na == 0 || nb == 0) 0.0
-                    else math.signum(d) * d * d / (na * nb)
-                  } else {
-                    val q = qs(qi)._2
-                    require(vec.length == q.length,
-                      s"filteredTopK: corpus dim ${vec.length} != query dim ${q.length}")
-                    var dot = 0.0; var sna = 0.0; var snb = 0.0; var i = 0
-                    while (i < vec.length) {
-                      val x = vec(i).toDouble; val y = q(i).toDouble
-                      dot += x * y; sna += x * x; snb += y * y; i += 1
-                    }
-                    if (sna == 0 || snb == 0) 0.0
-                    else dot / (math.sqrt(sna) * math.sqrt(snb))
-                  }
+                val s = scorePair("filteredTopK", vec, qv, na, qs(qi)._2,
+                  if (quantized) qQuant(qi) else null,
+                  if (quantized) qNb(qi) else 0.0, quantized)
                 val h = heaps(qi)
                 if (h.size < k) h.enqueue((s, id))
                 else {
@@ -374,7 +367,11 @@ object Ann {
     // from the FIRST partitions — reintroducing the head-of-table bias
     // the uniform sample exists to remove. The rand sort touches only
     // the ~4×maxTrainRows sampled rows, not the corpus.
+    // null vectors are unscoreable rows, not training signal — without
+    // this filter a single null landing in the sample NPEs the
+    // driver-side toArray below before any caller-side null handling
     base.select(col(vecCol).cast("array<float>"))
+      .filter(col(vecCol).isNotNull)
       .orderBy(rand(seed + 1)).limit(maxTrainRows)
       .collect().map(_.getSeq[Float](0).toArray)
   }

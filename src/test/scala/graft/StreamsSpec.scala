@@ -114,7 +114,15 @@ class StreamsSpec extends AnyFunSuite {
       (1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "one two three four five six seven"),
       (3L, "red green blue cyan magenta yellow"),
-      (11L, "  alpha  beta gamma   delta epsilon  zeta ")
+      (11L, "  alpha  beta gamma   delta epsilon  zeta "),
+      // sub-shingle docs (< 3 words): their shingle sets are all
+      // EMPTY, so without the normalized-text fallback every short
+      // doc would share one signature and two unrelated ones would
+      // silently collapse — these two must BOTH survive, while the
+      // whitespace variant of the first must still dedup
+      (20L, "hi there"),
+      (21L, "buy pills"),
+      (22L, "  hi   there ")
     ).toDF("doc_id", "text")
     val tmp = Files.createTempDirectory("graft_neardedup_stream").toString
     docs.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -124,7 +132,7 @@ class StreamsSpec extends AnyFunSuite {
 
     val got = Streams.nearDedupStreamOnce(spark, part, textCol = "text",
       shingleN = 3)
-    assert(got.count() == 3, "one survivor per content class expected")
+    assert(got.count() == 5, "one survivor per content class expected")
     // class-invariant projection: the survivor fingerprints equal the
     // batch distinct set exactly
     val gotFps = got.select(textfns.contentFingerprint(col("text")).as("fp"))
