@@ -347,6 +347,18 @@ object StressGate {
     run("dd12_span_words", Some(p.dupRows * 30))(
       dd12.agg(sum(col("span_words"))).collect()(0).getLong(0))
 
+    // --- BPE distributed trainer at a corpus-scale VOCABULARY: the
+    // fixture's singleton classes each carry a unique cls-word, so
+    // distinct words ≈ nClasses (4.7M at scale 10) — the regime the
+    // distributed merge loop exists for (driverThreshold=0 forces it;
+    // the driver cutover would collect millions of rows). Value = the
+    // merge count (pairs are plentiful: header words repeat in every
+    // doc); the linearity band asserts each merge iteration stays one
+    // vocab-linear aggregate.
+    run("txt17_bpe_train", Some(5L))(
+      graft.operators.Bpe.train(d, "text", numMerges = 5,
+        driverThreshold = 0L).length.toLong)
+
     def checksum(j: DataFrame): Long = j.agg(
       sum((col("l_quantity") * col("o_totalprice")).cast("long")) + count(lit(1)))
       .collect()(0).getLong(0)
