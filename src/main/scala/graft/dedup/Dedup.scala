@@ -170,7 +170,11 @@ object Dedup {
       .otherwise(xxhash64(norm))
     val fp2 = when(size(sh) > 0, xxhash64(lit(FpSalt), sort_array(sh)))
       .otherwise(xxhash64(lit(FpSalt), norm))
-    struct(fp1.as("fp1"), fp2.as("fp2"))
+    // null text → null signature, the [[exact]]-dedup convention:
+    // xxhash64 SKIPS null inputs and returns its seed constant, so
+    // without this guard every null-text doc would share one
+    // signature and silently merge
+    when(text.isNotNull, struct(fp1.as("fp1"), fp2.as("fp2")))
   }
 
   /** MinHash + LSH near-duplicate pairs.

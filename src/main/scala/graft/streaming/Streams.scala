@@ -589,7 +589,12 @@ object Streams {
       java.nio.file.Files.createSymbolicLink(
         d.resolve(n), srcFile.toPath.toAbsolutePath)
     }
+    // null-text rows drop from the dedup stream rather than silently
+    // merging: their content signature is null (the exact-dedup null
+    // convention) and dropDuplicates groups nulls TOGETHER — callers
+    // route null-text rows separately
     val ev = spark.readStream.schema(schema).parquet(d.toString)
+      .filter(col(textCol).isNotNull)
       .withColumn("__sig", graft.dedup.Dedup.contentSignature(col(textCol), shingleN))
       .withColumn("__ingest_ts", current_timestamp())
       .withWatermark("__ingest_ts", watermark)

@@ -115,4 +115,85 @@ class EdgeCaseSpec extends AnyFunSuite {
     val emptyDocs2 = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.leakageSafeSplit(emptyDocs2, "doc_id", noPairs).count() == 0)
   }
+
+  // ---- round-13 second-session operators ------------------------------
+
+  test("duplicatedSpans: single doc, exact-window doc, high minOccurrences") {
+    import spark.implicits._
+    // one doc alone: intra-doc windows occur once each — no spans
+    val solo = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(solo, "doc_id", "text", 8).count() == 0)
+    // doc of EXACTLY windowWords words duplicated: one window, one
+    // full-width span per copy
+    val exact8 = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(exact8, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(spans.toSeq == Seq((1L, 0L, 8L), (2L, 0L, 8L)))
+    // raising minOccurrences above the corpus count empties the result
+    assert(Dedup.duplicatedSpans(exact8, "doc_id", "text", 8,
+      minOccurrences = 3L).count() == 0)
+    // empty corpus: no spans, no crash
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(none, "doc_id", "text", 8).count() == 0)
+  }
+
+  test("stratifiedSample: empty frame and null stratum values") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "source")
+    assert(Shuffle.stratifiedSample(empty, Seq("source"), "doc_id", 3).count() == 0)
+    // a NULL stratum is a stratum (GROUP BY semantics): sampled like
+    // any other, never silently dropped
+    val d = Seq((1L, "a"), (2L, "a"), (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "source")
+    val out = Shuffle.stratifiedSample(d, Seq("source"), "doc_id", 2)
+    assert(out.filter(col("source").isNull).count() == 2)
+    assert(out.count() == 4)
+  }
+
+  test("zOrderKey: constant column degrades gracefully, not divergently") {
+    import spark.implicits._
+    val d = (1 to 100).map(i => (7, i)).toDF("x", "y")
+    // x is constant: every cut equals 7, all rows land in x-bucket 0 —
+    // the key still spreads on y and stays deterministic
+    val keys = d.select(graft.operators.Layout.zOrderKey(d, Seq("x", "y"), 4).as("z"))
+      .distinct().count()
+    assert(keys > 1)
+  }
+
+  test("FuzzyJoin: empty frame, and unicode strings compare by content") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    assert(graft.operators.FuzzyJoin.selfPairs(empty, "id", "s", 2).count() == 0)
+    val uni = Seq((1L, "café noir"), (2L, "café noirs"), (3L, "tea"))
+      .toDF("id", "s")
+    val pairs = graft.operators.FuzzyJoin.selfPairs(uni, "id", "s", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1)))
+  }
+
+  test("Bpe: empty and degenerate corpora train to empty merge tables") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Bpe.train(empty, "text", 5).isEmpty)
+    // a single 1-char word: only (char, </w>) exists once — below the
+    // min pair count, nothing merges
+    val one = Seq((1L, "x")).toDF("doc_id", "text")
+    assert(graft.operators.Bpe.train(one, "text", 5).isEmpty)
+    // encode with the empty table still round-trips to char tokens
+    val enc = graft.operators.Bpe.encode(one, "doc_id", "text", Seq.empty)
+      .collect()(0).getSeq[String](1)
+    assert(enc == Seq("x", graft.operators.Bpe.EndOfWord))
+  }
+
+  test("contentSignature: null text yields null signature (dedup groups nulls once)") {
+    import spark.implicits._
+    val d = Seq((1L, null.asInstanceOf[String]), (2L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val sigs = d.select(col("doc_id"),
+      Dedup.contentSignature(col("text"), 3).as("sig")).collect()
+    assert(sigs.find(_.getLong(0) == 1L).get.isNullAt(1))
+    assert(!sigs.find(_.getLong(0) == 2L).get.isNullAt(1))
+  }
 }
