@@ -1963,7 +1963,25 @@ object SparkEntry {
           t(s, dir, "documents").select("doc_id", "source", "lang"),
           Seq("source"), "doc_id", n = 5)
         .select("source", "doc_id", "lang")
-        .orderBy(col("source").asc, col("doc_id").asc))
+        .orderBy(col("source").asc, col("doc_id").asc)),
+
+    "q54_fuzzy_dedup" -> ((s, dir) => {
+      // entity-resolution dedup (the q52 pairs made actionable): one
+      // surviving representative — the min-id member — per connected
+      // component of the within-2-levenshtein name graph, the dd7
+      // pairs → clusters → survivors shape over FuzzyJoin's SPANNING
+      // pair subset (linear in duplication: identical strings collapse
+      // to one representative before segment emission, so a
+      // boilerplate name repeated 10k times costs one probe row, not
+      // 10k² candidate pairs). The oracle replays the quadratic pair
+      // definition and min-label reachability in a recursive CTE.
+      val names = t(s, dir, "part")
+        .groupBy(lower(col("p_name")).as("name"))
+        .agg(min(col("p_partkey")).as("id"))
+      graft.operators.FuzzyJoin.fuzzyDedup(names, "id", "name", maxDistance = 2)
+        .select(col("id"), col("name"))
+        .orderBy(col("id").asc)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3342,6 +3360,27 @@ object SparkEntry {
          FROM nm a JOIN nm b ON a.name < b.name
          WHERE levenshtein(a.name, b.name) <= 2
          ORDER BY name_a, name_b""",
+
+    // connected components are SQL-expressible via recursive min-label
+    // reachability: r enumerates (node, reachable id) over the
+    // symmetric close-pair edge set, min(lab) is the component minimum
+    // — a survivor is a name whose component minimum is its own id
+    "q54_fuzzy_dedup" ->
+      """WITH RECURSIVE nm AS (
+           SELECT lower(p_name) AS name, min(p_partkey) AS id
+           FROM part GROUP BY 1),
+         e AS (
+           SELECT a.id AS src, b.id AS dst FROM nm a JOIN nm b
+           ON a.id <> b.id AND levenshtein(a.name, b.name) <= 2),
+         r(id, lab) AS (
+           SELECT id, id FROM nm
+           UNION
+           SELECT e.dst, r.lab FROM r JOIN e ON r.id = e.src),
+         cc AS (SELECT id, min(lab) AS lab FROM r GROUP BY id)
+         SELECT nm.id AS id, nm.name AS name
+         FROM nm JOIN cc ON nm.id = cc.id
+         WHERE cc.lab = nm.id
+         ORDER BY id""",
 
     "txt18_dup_profile" ->
       """WITH d AS (

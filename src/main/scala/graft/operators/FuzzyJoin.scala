@@ -20,19 +20,49 @@ import org.apache.spark.sql.functions._
   * — the exact `levenshtein` verify then only discards, never
   * recovers.
   *
+  * All lengths, segment boundaries and grams are measured in Unicode
+  * CODE POINTS, not UTF-16 units — Spark's and DuckDB's `levenshtein`
+  * count code-point edits, so a supplementary-plane character (emoji)
+  * must occupy ONE position of the segmentation scheme or within-k
+  * pairs straddling one could be silently missed.
+  *
+  * Hot-key discipline: identical strings are collapsed to ONE
+  * representative (min id per distinct string) BEFORE segment
+  * emission — within-k is invariant under string equality, so segment
+  * keys, the candidate join and the levenshtein verify all run over
+  * DISTINCT strings only. A boilerplate title duplicated m times
+  * contributes one probe row instead of m, so the candidate join
+  * cannot go quadratic in duplication (the failure mode `bucketCap`
+  * guards in the LSH paths — here the collapse is lossless, no cap
+  * needed). Member pairs are expanded back AFTER verification:
+  * complete mode restores the full pair relation (quadratic in class
+  * size because the ANSWER is — a 10k-fold class owns ~50M distance-0
+  * pairs); `spanning = true` instead emits a component-equivalent
+  * linear subset (see [[selfPairs]]) — the setting every clustering
+  * consumer ([[fuzzyDedup]]) uses, and the only sane one at corpus
+  * scale.
+  *
+  * The exact-collapse groups on the string column itself (one
+  * shuffle of the strings): entity-resolution keys are short —
+  * names, titles, addresses — so the shuffle moves kilobytes per
+  * million rows. This operator is not meant for full-document
+  * payloads; dedup documents with the signature-based
+  * [[graft.dedup.Dedup]] family instead.
+  *
   * Scale shape: per-string candidate keys are bounded by the constant
   * (k+1)·(2k+1)² (segment count × compatible lengths × position
   * window) — the join shuffles short (index, length, gram) keys,
   * never the string cross-product; verification touches candidate
-  * pairs only. Strings shorter than k+1 characters cannot host k+1
-  * non-empty segments and take a bounded length-bucket arm instead
-  * (within distance k of them = length ≤ 2k, a finite class).
+  * pairs only, one per DISTINCT-string pair. Strings shorter than
+  * k+1 code points cannot host k+1 non-empty segments and take a
+  * bounded length-bucket arm instead (within distance k of them =
+  * length ≤ 2k, a finite class).
   */
 object FuzzyJoin {
 
   /** PassJoin segmentation: k+1 contiguous (start, len) pieces, the
     * remainder spread over the LAST segments. Deterministic — both
-    * sides must derive the identical scheme. */
+    * sides must derive the identical scheme. Units are code points. */
   private[graft] def segments(m: Int, k: Int): IndexedSeq[(Int, Int)] = {
     val parts = k + 1
     val base = m / parts
@@ -43,21 +73,39 @@ object FuzzyJoin {
   }
 
   /** All unordered pairs (id_a < id_b, distance) within edit distance
-    * `maxDistance`, exact. Null strings never match (SQL semantics). */
+    * `maxDistance`, exact. Null strings never match (SQL semantics) —
+    * null-string rows appear in NO pair.
+    *
+    * @param spanning emit a component-equivalent LINEAR subset of the
+    *        pair relation instead of the complete list: one star edge
+    *        (representative → member, distance 0) per duplicated
+    *        string plus one edge per close DISTINCT-string pair
+    *        (between representatives). Sound for clustering at ANY k:
+    *        members of a string group share their exact string, so
+    *        the complete graph's edges between two groups form a full
+    *        bipartite block exactly when the representatives' distance
+    *        is ≤ k — star + representative edges span the same
+    *        connected components. NOT the complete pair list: a
+    *        duplicate class of m copies yields m−1 pairs, not
+    *        m(m−1)/2, and cross-group pairs surface once per group
+    *        pair. Exactly what [[fuzzyDedup]] /
+    *        [[graft.dedup.Dedup.duplicateClusters]] consume.
+    */
   def selfPairs(df: DataFrame, idCol: String, strCol: String,
-                maxDistance: Int): DataFrame = {
+                maxDistance: Int, spanning: Boolean = false): DataFrame = {
     require(maxDistance >= 0,
       s"FuzzyJoin.selfPairs: maxDistance must be >= 0, got $maxDistance")
     val k = maxDistance
     // probe: the string's own segments, keyed (segIdx, ownLength, gram);
-    // short strings (< k+1 chars) route to the length-bucket arm key
+    // short strings (< k+1 code points) route to the length-bucket arm
     val probeKeys = udf { (s: String) =>
       if (s == null) Seq.empty[(Int, Int, String)]
       else {
-        val m = s.length
+        val cp = s.codePoints.toArray
+        val m = cp.length
         if (m <= k) Seq((-1, 0, ""))
         else segments(m, k).zipWithIndex.map { case ((p, l), i) =>
-          (i, m, s.substring(p, p + l))
+          (i, m, new String(cp, p, l))
         }
       }
     }
@@ -66,7 +114,8 @@ object FuzzyJoin {
     val candKeys = udf { (t: String) =>
       if (t == null) Seq.empty[(Int, Int, String)]
       else {
-        val n = t.length
+        val cp = t.codePoints.toArray
+        val n = cp.length
         val out = scala.collection.mutable.LinkedHashSet.empty[(Int, Int, String)]
         if (n <= 2 * k) out += ((-1, 0, "")) // can match a short-arm probe
         var m = math.max(k + 1, n - k)
@@ -78,7 +127,7 @@ object FuzzyJoin {
             var pos = math.max(0, p - k)
             val end = math.min(n - l, p + k)
             while (pos <= end) {
-              out += ((i, m, t.substring(pos, pos + l)))
+              out += ((i, m, new String(cp, pos, l)))
               pos += 1
             }
             i += 1
@@ -90,21 +139,77 @@ object FuzzyJoin {
     }
     val base = df.select(col(idCol).as("__fid"), col(strCol).as("__fstr"))
       .filter(col("__fstr").isNotNull)
-    val probe = base.select(col("__fid").as("id_p"),
+    // exact-collapse: one representative (min id) per distinct string.
+    // Everything downstream of this point sees each string ONCE.
+    val groups = base.groupBy("__fstr")
+      .agg(min(col("__fid")).as("__rid"), count(lit(1)).as("__cnt"))
+    val reps = groups.select(col("__rid"), col("__fstr"))
+    val probe = reps.select(col("__rid").as("rid_p"),
       explode(probeKeys(col("__fstr"))).as("__k"))
-    val cand = base.select(col("__fid").as("id_c"),
+    val cand = reps.select(col("__rid").as("rid_c"),
       explode(candKeys(col("__fstr"))).as("__k"))
     val candidates = probe.join(cand, probe("__k") === cand("__k"))
-      .filter(col("id_p") =!= col("id_c"))
-      .select(least(col("id_p"), col("id_c")).as("id_a"),
-        greatest(col("id_p"), col("id_c")).as("id_b"))
+      .filter(col("rid_p") =!= col("rid_c"))
+      .select(least(col("rid_p"), col("rid_c")).as("rid_a"),
+        greatest(col("rid_p"), col("rid_c")).as("rid_b"))
       .distinct()
-    val la = base.select(col("__fid").as("id_a"), col("__fstr").as("__sa"))
-    val lb = base.select(col("__fid").as("id_b"), col("__fstr").as("__sb"))
-    candidates
-      .join(la, "id_a").join(lb, "id_b")
+    val la = reps.select(col("__rid").as("rid_a"), col("__fstr").as("__sa"))
+    val lb = reps.select(col("__rid").as("rid_b"), col("__fstr").as("__sb"))
+    // verified close pairs between DISTINCT strings (distance >= 1:
+    // equal strings collapsed into one representative above)
+    val repPairs = candidates
+      .join(la, "rid_a").join(lb, "rid_b")
       .withColumn("distance", levenshtein(col("__sa"), col("__sb")))
       .filter(col("distance") <= k)
-      .select(col("id_a"), col("id_b"), col("distance"))
+      .select(col("rid_a"), col("rid_b"), col("distance"))
+    val members = base.join(groups.select(col("__fstr"), col("__rid")), "__fstr")
+      .select(col("__fid"), col("__rid"))
+    if (spanning) {
+      // star edges within each duplicated-string group (rep = min id,
+      // so rep < member always) + one edge per close group pair
+      val star = members.filter(col("__fid") =!= col("__rid"))
+        .select(col("__rid").as("id_a"), col("__fid").as("id_b"),
+          lit(0).as("distance"))
+      star.unionByName(repPairs.select(col("rid_a").as("id_a"),
+        col("rid_b").as("id_b"), col("distance")))
+    } else {
+      // complete expansion: all within-group pairs at distance 0, and
+      // every cross-group member pair at the verified group distance.
+      // Each unordered pair surfaces exactly once (within: ma < mb;
+      // cross: groups are disjoint and rid_a < rid_b), no distinct().
+      val within = members.select(col("__rid"), col("__fid").as("__ma"))
+        .join(members.select(col("__rid"), col("__fid").as("__mb")), "__rid")
+        .filter(col("__ma") < col("__mb"))
+        .select(col("__ma").as("id_a"), col("__mb").as("id_b"),
+          lit(0).as("distance"))
+      val cross = repPairs
+        .join(members.select(col("__rid").as("rid_a"), col("__fid").as("__ida")), "rid_a")
+        .join(members.select(col("__rid").as("rid_b"), col("__fid").as("__idb")), "rid_b")
+        .select(least(col("__ida"), col("__idb")).as("id_a"),
+          greatest(col("__ida"), col("__idb")).as("id_b"), col("distance"))
+      within.unionByName(cross)
+    }
+  }
+
+  /** End-to-end fuzzy (edit-distance) dedup: keep ONE representative
+    * (the min-id member) per connected component of the within-k pair
+    * graph, plus every unmatched row — the entity-resolution analog
+    * of [[graft.dedup.Dedup.dedupNear]]'s pairs → clusters →
+    * survivors pipeline.
+    *
+    * Pair generation runs in `spanning` mode (linear in duplication,
+    * see [[selfPairs]]); clustering iterates over the small pair
+    * graph; the final filter is an ANTI-join of the input against the
+    * non-representative ids — row payloads never shuffle. Null-string
+    * rows match nothing and therefore all survive.
+    */
+  def fuzzyDedup(df: DataFrame, idCol: String, strCol: String,
+                 maxDistance: Int, maxIter: Int = 30,
+                 reliableCheckpoint: Boolean = false,
+                 driverThreshold: Long = 1L << 20): DataFrame = {
+    val pairs = selfPairs(df, idCol, strCol, maxDistance, spanning = true)
+      .select(col("id_a"), col("id_b"))
+    graft.dedup.Dedup.dedupNear(df, idCol, pairs, maxIter,
+      reliableCheckpoint, driverThreshold)
   }
 }

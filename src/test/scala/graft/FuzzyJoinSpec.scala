@@ -5,7 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.FuzzyJoin
 
 /** PassJoin fuzzy self-join: pinned EQUAL to the all-pairs levenshtein
-  * ground truth (sound + complete, not just high recall). */
+  * ground truth (sound + complete, not just high recall), including
+  * duplicated-string expansion, spanning-mode component equivalence
+  * and supplementary-plane (code-point) inputs. */
 class FuzzyJoinSpec extends AnyFunSuite {
   lazy val spark = SparkT.spark
 
@@ -28,19 +30,117 @@ class FuzzyJoinSpec extends AnyFunSuite {
       .zipWithIndex.map { case (s, i) => (i.toLong, s) }
   }
 
+  private def groundTruth(local: Seq[(Long, String)], k: Int) =
+    (for {
+      (ia, sa) <- local; (ib, sb) <- local if ia < ib
+      d = levenshteinRef(sa, sb) if d <= k
+    } yield (ia, ib, d)).toSet
+
   test("selfPairs equals the all-pairs levenshtein ground truth (k=2)") {
     import spark.implicits._
     val df = names.toDF("id", "s")
     val got = FuzzyJoin.selfPairs(df, "id", "s", maxDistance = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val local = names
-    val want = (for {
-      (ia, sa) <- local; (ib, sb) <- local if ia < ib
-      d = levenshteinRef(sa, sb) if d <= 2
-    } yield (ia, ib, d)).toSet
+    val want = groundTruth(names, 2)
     assert(want.nonEmpty, "fixture produced no close pairs — test is vacuous")
     assert(got == want,
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("duplicated strings: complete mode restores the full pair relation") {
+    import spark.implicits._
+    // a 5-fold and a 3-fold duplicate class one edit apart, plus
+    // singletons near and far — exercises the representative collapse,
+    // the within-group expansion AND the cross-group expansion
+    val local = Seq(
+      "alpha", "alpha", "alpha", "alpha", "alpha",
+      "alphx", "alphx", "alphx",
+      "alpXa", "gamma", "delta", "alphabet")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = local.toDF("id", "s")
+    val got = FuzzyJoin.selfPairs(df, "id", "s", maxDistance = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = groundTruth(local, 2)
+    assert(want.exists(_._3 == 0) && want.exists(_._3 > 0))
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("spanning mode: linear pair count, identical connected components") {
+    import spark.implicits._
+    val local = Seq(
+      "alpha", "alpha", "alpha", "alpha", "alpha",
+      "alphx", "alphx", "alphx",
+      "alpXa", "gamma", "delta", "gamm")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = local.toDF("id", "s")
+    val spanning = FuzzyJoin.selfPairs(df, "id", "s", 2, spanning = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // linear closed form: (members − groups) star edges + close
+    // distinct-string pairs (ground truth over the distinct strings)
+    val distinct = local.groupBy(_._2).map { case (s, ms) => (ms.map(_._1).min, s) }.toSeq
+    val repPairs = groundTruth(distinct, 2)
+    assert(spanning.size == (local.size - distinct.size) + repPairs.size)
+    // same components as the complete relation
+    def components(edges: Set[(Long, Long)]): Set[Set[Long]] = {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        parent.getOrElseUpdate(x, x)
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      }
+      local.foreach { case (i, _) => find(i) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      local.map { case (i, _) => find(i) }.zip(local.map(_._1))
+        .groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+    }
+    val complete = groundTruth(local, 2).map { case (a, b, _) => (a, b) }
+    assert(components(spanning) == components(complete))
+  }
+
+  test("fuzzyDedup keeps the min-id representative per component") {
+    import spark.implicits._
+    val local = Seq(
+      "alpha", "alpha", "alphx", "gamma", "gamm", "zzzzzz",
+      null.asInstanceOf[String], null.asInstanceOf[String])
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = local.toDF("id", "s")
+    val got = FuzzyJoin.fuzzyDedup(df, "id", "s", maxDistance = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // components: {0,1,2} -> 0, {3,4} -> 3, {5} -> 5; null rows 6,7
+    // match nothing and both survive
+    assert(got == Set(0L, 3L, 5L, 6L, 7L))
+  }
+
+  test("supplementary-plane strings segment by code points (k=1 and k=2)") {
+    import spark.implicits._
+    // U+1F600 (😀) and U+1D11E (𝄞) are 2 UTF-16 units but ONE edit
+    // unit for levenshtein — substitutions/insertions around them must
+    // still be found. Include emoji at segment boundaries and
+    // emoji-only strings.
+    val local = Seq(
+      "ab😀cdef",      // a😀 base
+      "ab😀cdxf",      // 1 substitution (ascii)
+      "abXcdef",                 // 1 substitution (of the emoji)
+      "ab😀cdef𝄞", // 1 insertion (astral)
+      "b😀cdef",       // 1 deletion
+      "😀😀😀😀", // 😀×4
+      "😀😀𝄞😀", // 1 sub inside
+      "𝄞𝄞", // short arm (2 code points)
+      "𝄞",             // short arm (1 code point)
+      "unrelated string")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = local.toDF("id", "s")
+    for (k <- 1 to 2) {
+      val got = FuzzyJoin.selfPairs(df, "id", "s", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = groundTruth(local, k)
+      assert(want.nonEmpty)
+      assert(got == want,
+        s"k=$k missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
   }
 
   test("selfPairs k=0 finds exactly the duplicate strings") {
@@ -74,13 +174,17 @@ class FuzzyJoinSpec extends AnyFunSuite {
     }
   }
 
+  /** Code-point levenshtein — the semantics Spark's `levenshtein`
+    * implements (UTF8String counts code points, not UTF-16 units). */
   private def levenshteinRef(a: String, b: String): Int = {
-    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+    val ac = a.codePoints.toArray
+    val bc = b.codePoints.toArray
+    val d = Array.tabulate(ac.length + 1, bc.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
     }
-    for (i <- 1 to a.length; j <- 1 to b.length)
+    for (i <- 1 to ac.length; j <- 1 to bc.length)
       d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-    d(a.length)(b.length)
+        d(i - 1)(j - 1) + (if (ac(i - 1) == bc(j - 1)) 0 else 1))
+    d(ac.length)(bc.length)
   }
 }
