@@ -282,6 +282,43 @@ case class PolyFingerprint(child: Expression, base: Long = 257L)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** sorted_rank(array<double> sorted ASC, double) → bigint: the number
+  * of array elements strictly below the probe (lower bound) — the
+  * equi-depth bucket rank for z-order clustering. The composed
+  * alternative (a chained `when(v > q, 1)` sum over 2^bits − 1 cut
+  * literals) evaluates every comparison for every row — 255 branches
+  * per column per written row at the default bits=8; this is one
+  * O(log cuts) binary-search call inside codegen. Sortedness is the
+  * caller's contract (approxQuantile output is non-decreasing); equal
+  * consecutive cuts collapse to one boundary, exactly like the
+  * strict-< count they replace. */
+case class SortedRank(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sorted_rank"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<double>, double), " +
+            s"got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.sortedRankD(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.Kernels.sortedRankD($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** sorted_contains(array<T> sorted ASC, T) → boolean for T ∈
   * {bigint, string} — binary-search membership probe for broadcast
   * banned/allow sets. `array_contains` scans linearly: at B set
@@ -383,6 +420,11 @@ object GraftFunctions {
       Bridge.expression(sortedArr.cast("array<string>")),
       Bridge.expression(v.cast("string"))))
 
+  def graft_sorted_rank(sortedArr: Column, v: Column): Column =
+    Bridge.column(SortedRank(
+      Bridge.expression(sortedArr.cast("array<double>")),
+      Bridge.expression(v.cast("double"))))
+
   /** Bounded bottom-k aggregate — see [[BoundedTopK]]. `keys` are cast
     * to double; descending order = negate the key. */
   def graft_bounded_topk(payload: Column, keys: Seq[Column], k: Int): Column =
@@ -420,5 +462,7 @@ object GraftFunctions {
       es => SortedContains(c(es.head, longArr), c(es(1), LongType)), "built-in")
     registry.createOrReplaceTempFunction("graft_sorted_contains_str",
       es => SortedContains(c(es.head, ArrayType(StringType)), c(es(1), StringType)), "built-in")
+    registry.createOrReplaceTempFunction("graft_sorted_rank",
+      es => SortedRank(c(es.head, ArrayType(DoubleType)), c(es(1), DoubleType)), "built-in")
   }
 }

@@ -592,6 +592,23 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Rank of `v` in a SORTED-ascending array<double>: the number of
+    * elements strictly below `v` (lower bound) — the O(log B)
+    * equi-depth bucket map behind [[graft.operators.Layout.zOrderKey]],
+    * replacing a 2^bits−1-term chained comparison fold. Exact
+    * semantic twin of `cuts.count(_ < v)` including duplicate cuts
+    * (a run of equal cuts collapses to one boundary), NaN probes
+    * (every comparison false → rank 0) and empty arrays (rank 0). */
+  def sortedRankD(arr: ArrayData, v: Double): Long = {
+    var lo = 0
+    var hi = arr.numElements()
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr.getDouble(mid) < v) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
   /** String flavor of [[sortedContains]]: binary search over a
     * SORTED-ascending array<string> with no null elements.
     * `UTF8String.compareTo` is binary-lexicographic, matching the

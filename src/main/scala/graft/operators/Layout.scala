@@ -83,6 +83,12 @@ object Layout {
     * The cut arrays are tiny driver-side literals folded into the
     * scan-side expression; nulls rank below every value (bucket 0),
     * keeping them clustered rather than scattered.
+    *
+    * The rank is ONE binary-search call per column per row
+    * ([[graft.expressions.SortedRank]], O(bits) comparisons) — the
+    * composed `when(v > q, 1)` fold it replaced evaluated all
+    * 2^bits − 1 cut comparisons per row (255 × k branches inside
+    * codegen at the default bits = 8) for bit-identical output.
     */
   def zOrderKey(df: DataFrame, colNames: Seq[String], bits: Int = 8): Column = {
     require(colNames.size >= 2, "zOrderKey: need at least two columns to interleave")
@@ -93,9 +99,7 @@ object Layout {
       val cut = allCuts(i)
       // rank = number of cuts strictly below the value; null → 0
       val v = col(c).cast("double")
-      val rank = cut.foldLeft(lit(0L)) { (acc, q) =>
-        acc + when(v > q, 1L).otherwise(0L)
-      }
+      val rank = graft.expressions.GraftFunctions.graft_sorted_rank(lit(cut), v)
       (when(v.isNull, lit(0L)).otherwise(rank), i)
     }
     val terms = bucketCols.flatMap { case (bucket, i) =>

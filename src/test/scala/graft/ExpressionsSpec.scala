@@ -253,6 +253,32 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2) && !r.getBoolean(3))
   }
 
+  test("graft_sorted_rank equals the strict-< count fold (duplicates, NaN, edges)") {
+    // the zOrderKey bucket map: rank = |{cuts strictly below v}|. The
+    // binary search must be BIT-identical to the chained-when fold it
+    // replaced, including duplicate cuts (equi-depth arrays from
+    // low-cardinality columns repeat values), probes equal to a cut,
+    // NaN probes (rank 0) and the empty cut array (rank 0).
+    val cuts = Seq(1.0, 2.0, 2.0, 2.0, 5.5, 9.0, 9.0)
+    val probes = Seq(-3.0, 1.0, 1.5, 2.0, 2.1, 5.5, 8.9, 9.0, 100.0,
+      Double.NaN, Double.NegativeInfinity, Double.PositiveInfinity)
+    val d = probes.toDF("v").withColumn("s", typedLit(cuts))
+    d.select(col("v"), graft_sorted_rank(col("s"), col("v")).as("g"))
+      .collect().foreach { r =>
+        val v = r.getDouble(0)
+        assert(r.getLong(1) == cuts.count(_ < v).toLong,
+          s"probe $v: got ${r.getLong(1)}, fold says ${cuts.count(_ < v)}")
+      }
+    val e = Seq((Seq.empty[Double], Option(5.0)), (Seq(1.0), None))
+      .toDF("s", "v").select(graft_sorted_rank(col("s"), col("v"))).collect()
+    assert(e(0).getLong(0) == 0L)
+    assert(e(1).isNullAt(0))
+    graft.expressions.GraftFunctions.register(spark)
+    val sq = spark.sql(
+      "SELECT graft_sorted_rank(array(1.0D, 2.0D, 9.0D), 2.5D) AS r").collect()(0)
+    assert(sq.getLong(0) == 2L)
+  }
+
   test("wordShingles keeps duplicate occurrences; distinctWordShingles dedups") {
     val d = Seq(Tuple1("a b a b a")).toDF("t")
     val all = d.select(hashfns.wordShingles(col("t"), 2).as("s"))
