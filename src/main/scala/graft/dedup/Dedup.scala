@@ -3,7 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, ByteType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType, DataType, DoubleType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import graft.functions.{hashfns, textfns, vecfns}
 
 /** Deduplication operators for document corpora.
@@ -83,6 +83,14 @@ object Dedup {
           .otherwise("test"))
       .drop("cluster_id", "__h")
   }
+
+  /** Zero-row frame with the operator's declared output schema — the
+    * graceful empty-input return shape shared by the k-means-backed
+    * operators (whose training step would otherwise fail opaquely). */
+  private def emptyResult(spark: org.apache.spark.sql.SparkSession,
+                          fields: (String, DataType)*): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(fields.map { case (n, t) => StructField(n, t) }))
 
   private def boundedPairs(exploded: DataFrame, bucketCap: Int): DataFrame = {
     // Cap each bucket before the self-join: a bucket of B rows yields
@@ -769,6 +777,14 @@ object Dedup {
     require(windowSize >= 1, s"semanticDupPairs: windowSize must be positive, got $windowSize")
     val spark = df.sparkSession
     val train = graft.similarity.Ann.trainSample(df, vecCol, 1.0, maxTrainRows, seed)
+    // empty or all-null-vector input: nothing to train on and nothing
+    // to pair — return the empty pair frame like the other dedup
+    // operators, instead of surfacing lloydKMeans' misleading
+    // "empty training sample" failure
+    if (train.isEmpty) return emptyResult(spark,
+      "id_a" -> df.schema(idCol).dataType,
+      "id_b" -> df.schema(idCol).dataType,
+      "cosine" -> DoubleType)
     val centers = graft.similarity.Ann.lloydKMeans(train, nCells, iters = 15, seed)
     val bc = spark.sparkContext.broadcast(centers)
     val cellDist = udf { (v: Seq[Float]) =>
@@ -839,6 +855,24 @@ object Dedup {
     val spark = df.sparkSession
     val trainDf = Option(trainOn).getOrElse(df)
     val train = graft.similarity.Ann.trainSample(trainDf, vecCol, 1.0, maxTrainRows, seed)
+    if (train.isEmpty) {
+      // self-training on a frame with no usable vectors: nothing to
+      // score either — the empty result, like the other dedup ops.
+      // An EXPLICIT baseline with no vectors while the scored frame
+      // has some is a caller bug (every row would flag on zero
+      // evidence) — fail with the operator's own name, not
+      // lloydKMeans' internals.
+      if (trainOn != null &&
+          !df.filter(col(vecCol).isNotNull).isEmpty)
+        throw new IllegalArgumentException(
+          "embeddingOutliers: trainOn baseline has no non-null vectors " +
+            "but the scored frame does — pass a non-empty baseline or " +
+            "omit trainOn to self-train")
+      return emptyResult(spark,
+        "id" -> df.schema(idCol).dataType,
+        "cell" -> IntegerType, "dist" -> DoubleType,
+        "z" -> DoubleType, "is_outlier" -> BooleanType)
+    }
     val centers = graft.similarity.Ann.lloydKMeans(train, nCells, iters = 15, seed)
     val bc = spark.sparkContext.broadcast(centers)
     val cellDist = udf { (v: Seq[Float]) =>
@@ -1145,10 +1179,18 @@ object Dedup {
 
   /** The rewrite counterpart of [[duplicatedSpans]]: documents with
     * every duplicated span's words removed (surviving words rejoined
-    * with single spaces in original order). Docs with no duplicated
-    * span pass through at their whitespace-normalized form; a doc that
-    * is entirely duplicated coverage becomes the empty string —
-    * deletion is a separate policy decision, like [[paragraphDedup]].
+    * with single spaces in original order). Surviving text is the
+    * doc's NORMALIZED form — `textfns.normalizeText`'s full contract,
+    * i.e. LOWERCASED as well as whitespace-collapsed (word offsets
+    * only align against the same normalization the span digests were
+    * computed over, and span detection is case-insensitive by
+    * design). A corpus rewrite through this operator therefore loses
+    * casing; callers that must preserve it should treat the output as
+    * a mask source and re-slice the original text themselves. Docs
+    * with no duplicated span pass through at that same normalized
+    * form; a doc that is entirely duplicated coverage becomes the
+    * empty string — deletion is a separate policy decision, like
+    * [[paragraphDedup]].
     *
     * The span list joins back by id (spans per doc are tiny — bounded
     * by words/windowWords intervals) and the rewrite is one

@@ -81,7 +81,19 @@ object Bpe {
     * the arithmetic. Past the threshold the distributed loop runs
     * with per-round lineage truncation. Both paths are
     * count-argmax + lexicographic-tie deterministic and spec-pinned
-    * equal (set driverThreshold = 0 to force the distributed path). */
+    * equal (set driverThreshold = 0 to force the distributed path).
+    *
+    * Cost warning for the forced-distributed path: BPE's merges are
+    * inherently SEQUENTIAL, and each distributed merge iteration is
+    * ~2 Spark jobs (pair argmax + vocabulary rewrite) — a production
+    * 32k-merge vocabulary at driverThreshold = 0 is ~64k scheduled
+    * jobs of pure overhead. Real corpora should keep the cutover: the
+    * distinct-word vocabulary saturates as the corpus grows, so even
+    * a 100 TB corpus typically collects a few-MB frequency table
+    * after the one corpus-scale aggregate and trains the merge loop
+    * locally. Force driverThreshold = 0 only for vocabularies that
+    * genuinely exceed driver memory, and budget wall-clock per merge
+    * count accordingly. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             reliableCheckpoint: Boolean = false,
             driverThreshold: Long = 1L << 16): Seq[(String, String)] = {

@@ -157,8 +157,14 @@ object Ann {
     // SKIPS null arguments, so without this filter (NULL,'mit') and
     // ('mit',NULL) would collide into one key despite the separator.
     // Null-keyed rows drop on both sides.
+    // null EMBEDDINGS drop too (matching trainSample's guard): a null
+    // vector can't score, and letting one through would NPE deep in
+    // getSeq(...).toArray instead of behaving like the oracle's join
+    // (which never matches a NULL vector row either way — cosine of
+    // NULL is NULL and survives no rank filter)
     def nonNullKeys(df: DataFrame) =
-      df.filter(matchCols.map(col(_).isNotNull).reduce(_ && _))
+      df.filter(matchCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(vecCol).isNotNull)
     // NUL separator (escaped, not a raw byte): a space would make
     // ("a b", "c") and ("a", "b c") collide into one match class for
     // multi-column keys

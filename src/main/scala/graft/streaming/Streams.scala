@@ -576,6 +576,18 @@ object Streams {
     * race-dependent, so callers must project survivor columns that
     * are CLASS-invariant (the ev11 gate projects the normalized-text
     * md5, identical across every member of a class by construction).
+    *
+    * Oracle-equivalence caveat (ev11): the gate's DISTINCT-md5 oracle
+    * additionally assumes the CONVERSE on its fixture — that equal
+    * shingle SETS imply equal normalized text. Signature classes are
+    * coarser in general: degenerate docs with identical shingle sets
+    * but different normalized text (pure word repetitions like
+    * "x x x x x" vs "x x x x x x", or a doc vs its own doubling)
+    * would merge here while staying distinct under the md5
+    * projection. The testdata corpus contains no such pair (distinct
+    * normalized texts there always differ in some shingle), which is
+    * what gives ev11 a FULL oracle; a fixture with repetition-only
+    * variants needs a rows-only gate or a set-aware projection.
     */
   def nearDedupStreamOnce(spark: SparkSession, sourcePath: String,
                           textCol: String = "text", shingleN: Int = 5,

@@ -400,4 +400,27 @@ class AnnSpec extends AnyFunSuite {
       Ann.filteredTopK(emb, emb.limit(2), k = 1, matchCols = Seq.empty)
     }
   }
+
+  test("filteredTopK drops null embeddings on both sides (no NPE, result unchanged)") {
+    import spark.implicits._
+    val emb = SparkT.table("embeddings")
+    val clean = Ann.filteredTopK(emb, emb.filter(col("vec_id") < 10), k = 3,
+      matchCols = Seq("label"), quantized = true)
+    // null-vector rows in corpus AND queries must behave like the
+    // oracle join (a NULL vector matches no rank filter): identical
+    // result, no NullPointerException from getSeq(...).toArray
+    val nullRows = Seq((900001L, null.asInstanceOf[Seq[Float]], 0))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"),
+        col("label").cast(emb.schema("label").dataType))
+    val polluted = Ann.filteredTopK(
+      emb.select("vec_id", "embedding", "label").unionByName(nullRows),
+      emb.filter(col("vec_id") < 10).select("vec_id", "embedding", "label")
+        .unionByName(nullRows),
+      k = 3, matchCols = Seq("label"), quantized = true)
+    assert(polluted.select("query_id", "neighbor_id").except(
+      clean.select("query_id", "neighbor_id")).count() == 0)
+    assert(clean.select("query_id", "neighbor_id").except(
+      polluted.select("query_id", "neighbor_id")).count() == 0)
+  }
 }

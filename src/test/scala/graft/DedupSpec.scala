@@ -578,6 +578,28 @@ class DedupSpec extends AnyFunSuite {
     assert(out.filter(col("is_outlier")).count() == 0)
   }
 
+  test("k-means-backed operators return empty results on empty/all-null input") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val allNull = Seq((1L, null.asInstanceOf[Seq[Float]]),
+      (2L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding")
+    for (d <- Seq(empty, allNull)) {
+      val pairs = Dedup.semanticDupPairs(d, "vec_id", "embedding")
+      assert(pairs.count() == 0)
+      assert(pairs.columns.toSeq == Seq("id_a", "id_b", "cosine"))
+      val out = Dedup.embeddingOutliers(d, "vec_id", "embedding")
+      assert(out.count() == 0)
+      assert(out.columns.toSeq == Seq("id", "cell", "dist", "z", "is_outlier"))
+    }
+    // an EXPLICIT vector-less baseline over a scored frame with
+    // vectors is a caller bug — named error, not an empty verdict
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingOutliers(embeddings.limit(10), "vec_id", "embedding",
+        trainOn = empty)
+    }
+    assert(e.getMessage.contains("embeddingOutliers"))
+  }
+
   test("duplicatedSpans validates its parameters") {
     intercept[IllegalArgumentException] {
       Dedup.duplicatedSpans(spanDocs, "doc_id", "text", windowWords = 1)
