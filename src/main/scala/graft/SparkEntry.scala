@@ -1674,6 +1674,32 @@ object SparkEntry {
         .orderBy(col("split").asc)
     }),
 
+    "cur6b_lsh_split" -> ((s, dir) => {
+      // the PRODUCTION route of the leakage-proof split: the cluster
+      // pairs come from the LSH scale path (signatures shuffle, text
+      // never does) instead of exact fingerprints. At threshold=1.0
+      // the pair set is hash-seed-INDEPENDENT (the dd8 discipline:
+      // identical shingle sets collide in every band and exact-Jaccard
+      // verification keeps only set-equal pairs), so the split gets a
+      // full oracle: DuckDB groups docs by their canonical shingle-SET
+      // string — no class structure is assumed, the oracle computes
+      // the same equivalence the engine does. Docs under shingleN
+      // words have EMPTY sets, pair with nothing (Jaccard 0-on-empty
+      // convention) and split as singletons on both sides; null-text
+      // docs likewise. Sub-1.0 thresholds stay spec-pinned (LSH
+      // recall is seeded there; a declared oracle would be flaky).
+      val d = docsWithExactDups(s, dir)
+      val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
+        shingleN = 7, k = 32, bands = 8, threshold = 1.0,
+        spanning = true)
+        .select(col("id_a"), col("id_b"))
+      Dedup.leakageSafeSplit(d, "doc_id", pairs)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_clusters"))
+        .orderBy(col("split").asc)
+    }),
+
     "txt14_pack" -> ((s, dir) => {
       // sequence packing: docs concatenate in deterministic order
       // within their source shard and split at a fixed token budget; a
@@ -2912,6 +2938,43 @@ object SparkEntry {
                PARTITION BY CASE WHEN text IS NULL THEN 'id:' || doc_id
                  ELSE 't:' || lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) END) AS rep
            FROM all_docs),
+         ha AS (SELECT rep, xor(rep, (rep >> 32) + 11213) AS t0 FROM rep),
+         hb AS (SELECT rep, ((t0 % 2147483647) * 48271 + 11213) % 2147483647 AS t1 FROM ha),
+         hc AS (SELECT rep, (xor(t1, t1 >> 15) * 1664525 + 1013904223) % 2147483647 AS h1 FROM hb),
+         h AS (SELECT rep, (xor(h1, h1 >> 13) * 22695477 + 77557187) % 2147483647 AS hv FROM hc)
+         SELECT CASE WHEN hv < 1717986917 THEN 'train'
+                     WHEN hv < 1932735282 THEN 'valid'
+                     ELSE 'test' END AS split,
+           count(*) AS n_docs, count(DISTINCT rep) AS n_clusters
+         FROM h GROUP BY 1 ORDER BY 1""",
+
+    // LSH route at threshold 1.0: the cluster unit is the shingle-SET
+    // equality class — the oracle canonicalizes each doc's distinct
+    // 7-gram set to one sorted chr(1)-joined string and groups on it;
+    // short (< 7 words) and null-text docs have no key and stay
+    // singletons, exactly the engine's Jaccard-0-on-empty behavior
+    "cur6b_lsh_split" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents),
+         words AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM all_docs),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+6], ' ') AS s
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 5)) AS i
+                 FROM words WHERE len(w) >= 7)),
+         keys AS (
+           SELECT doc_id, string_agg(s, chr(1) ORDER BY s) AS key
+           FROM sh GROUP BY doc_id),
+         rep AS (
+           SELECT a.doc_id,
+             min(a.doc_id) OVER (
+               PARTITION BY CASE WHEN k.key IS NULL THEN 'id:' || a.doc_id
+                 ELSE 'k:' || k.key END) AS rep
+           FROM all_docs a LEFT JOIN keys k ON a.doc_id = k.doc_id),
          ha AS (SELECT rep, xor(rep, (rep >> 32) + 11213) AS t0 FROM rep),
          hb AS (SELECT rep, ((t0 % 2147483647) * 48271 + 11213) % 2147483647 AS t1 FROM ha),
          hc AS (SELECT rep, (xor(t1, t1 >> 15) * 1664525 + 1013904223) % 2147483647 AS h1 FROM hb),
