@@ -80,10 +80,64 @@ object StressFixture {
 
     val nEmb: Long = total / 5
     val nTwins: Long = 100L
+    /** dd13 hot-cell case: one dense cluster (exact copies of one
+      * off-corpus vector) of nEmb/50 members — 2% of the corpus in
+      * ONE k-means cell, the SemDeDup worst case. */
+    val blobSize: Long = nEmb / 50
 
     val nLineitem: Long = total * 6
     /** orderkey space: 0 (hot) plus the id/7 tail */
     val nOrderKeys: Long = nLineitem / 7 + 2
+  }
+
+  /** Closed-form counts for the fuzzy-join stress corpus of `total`
+    * strings — the q52/q54 hot-case fixture:
+    *  - ids [0, dupN): ONE string duplicated dupN-fold ("z"×24 — the
+    *    boilerplate-title class the round-13 verdict prescribes;
+    *    dupN = total/20, so 10k-fold at the prescribed total=200k)
+    *  - ids [dupN, total): unique strings built by REVERSING the id's
+    *    decimal digits and tripling every character ("427" → "724" →
+    *    "772244") — reversal puts the fast-varying low digits first so
+    *    segment grams spread across buckets, and tripling guarantees
+    *    any two distinct same-length strings differ in ≥ 3 positions
+    *    (one changed digit = one changed run), hence edit distance
+    *    ≥ 2: a single substitution cannot bridge them, so NO
+    *    accidental within-1 pairs exist. Different digit counts
+    *    differ in length by ≥ 3. Every 100th single (j ≡ 1 mod 100)
+    *    instead carries the PREVIOUS single's string with its first
+    *    character replaced by 'x' — a planted distance-1 pair; the
+    *    variant stays ≥ 2 from every other string (position 0 differs
+    *    from every tripling, and agreeing on the rest forces the
+    *    base). All invariants below are exact at maxDistance = 1.
+    */
+  final case class FuzzyPlan(total: Long) {
+    require(total >= 2000 && total % 2000 == 0,
+      s"FuzzyPlan: total must be a positive multiple of 2000, got $total")
+    val dupN: Long = total / 20
+    val nSingles: Long = total - dupN
+    /** singles with j ≡ 1 (mod 100): one planted distance-1 pair each */
+    val nPlanted: Long = nSingles / 100
+    /** spanning selfPairs at k=1: dup-class star + planted rep pairs */
+    val spanningPairs: Long = (dupN - 1) + nPlanted
+    /** fuzzyDedup survivors: 1 dup-class rep + unpaired singles +
+      * one rep per planted pair */
+    val nClusters: Long = 1 + nSingles - nPlanted
+    /** complete selfPairs at k=1: the dup-class clique + planted */
+    val completePairs: Long = dupN * (dupN - 1) / 2 + nPlanted
+  }
+
+  /** (fid, fstr) fuzzy corpus under the plan — see [[FuzzyPlan]]. */
+  def fuzzyStrings(spark: SparkSession, p: FuzzyPlan): DataFrame = {
+    val j = col("id") - p.dupN
+    val isVariant = pmod(j, lit(100L)) === 1
+    val baseNum = when(isVariant, col("id") - 1).otherwise(col("id"))
+    val tripled =
+      regexp_replace(reverse(baseNum.cast("string")), "(.)", "$1$1$1")
+    spark.range(p.total).select(
+      col("id").as("fid"),
+      when(col("id") < p.dupN, lit("z" * 24))
+        .when(isVariant, concat(lit("x"), substring(tripled, 2, 1 << 20)))
+        .otherwise(tripled).as("fstr"))
   }
 
   /** Integer division as a Column (values stay well under 2^52, where
@@ -136,6 +190,19 @@ object StressFixture {
       col("id").as("vec_id"),
       embOf(when(col("id") >= p.nEmb, col("id") - p.nEmb).otherwise(col("id")))
         .as("embedding"))
+
+  /** (vec_id, embedding): [[StressPlan.blobSize]] EXACT copies of one
+    * off-corpus vector (effective id 3·nEmb + 7 — never a corpus or
+    * twin id, so the blob is cosine-1.0 only within itself) at ids
+    * [2·nEmb, 2·nEmb + blobSize). Union with [[embeddings]] to plant
+    * the dd13 hot-cell: the whole blob lands in one k-means cell at
+    * one centroid distance, so the window plan must emit exactly
+    * windowSize·B − windowSize·(windowSize+1)/2 within-blob pairs —
+    * linear in B, never the B²/2 clique. */
+  def denseBlob(spark: SparkSession, p: StressPlan): DataFrame =
+    spark.range(p.blobSize).select(
+      (col("id") + 2 * p.nEmb).as("vec_id"),
+      embOf(lit(3 * p.nEmb + 7)).as("embedding"))
 
   /** (l_orderkey, grp, l_quantity): hot orderkey 0 takes 1% of rows,
     * the HOT group takes 50%; quantities are integer-valued doubles

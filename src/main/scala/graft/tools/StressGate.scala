@@ -206,10 +206,48 @@ object StressGate {
 
     // --- cross-corpus dedup (reference = every 10th doc) ---
     val expCross = StressFixture.expectedCrossSurvivors(docs)
-    run("dd9_cross_dedup", Some(expCross))(
-      Dedup.crossDedup(d, d.filter(pmod(col("doc_id"), lit(10L)) === 0),
-        "doc_id", "text", shingleN = 7, k = 32, bands = 8,
-        threshold = 1.0, materializeSigs = true, spanning = true).count())
+    val refDocs = d.filter(pmod(col("doc_id"), lit(10L)) === 0)
+    def dd9 = Dedup.crossDedup(d, refDocs,
+      "doc_id", "text", shingleN = 7, k = 32, bands = 8,
+      threshold = 1.0, materializeSigs = true, spanning = true)
+    run("dd9_cross_dedup", Some(expCross))(dd9.count())
+
+    // --- dd14 signature index: build ONCE per reference snapshot
+    // (persisted to parquet — the incremental-crawl contract), then
+    // the indexed dedup must be row-identical to the direct path and
+    // scale like it. Build cost is reference-linear; the reuse claim
+    // is the ratio between dd14_indexed_dedup and dd9_cross_dedup
+    // (the indexed path never re-shingles reference text).
+    val idxPath = s"$dir/s$scale/sigindex.parquet"
+    run("dd14_index_build", Some(p.total / 10))({
+      Dedup.buildSignatureIndex(refDocs, "doc_id", "text", shingleN = 7, k = 32)
+        .write.mode("overwrite").parquet(idxPath)
+      spark.read.parquet(idxPath).count()
+    })
+    val idx = spark.read.parquet(idxPath)
+    def dd14 = Dedup.crossDedupWithIndex(d, idx, "doc_id", "text",
+      shingleN = 7, k = 32, bands = 8, threshold = 1.0,
+      materializeSigs = true, spanning = true)
+    run("dd14_indexed_dedup", Some(expCross))(dd14.count())
+    val dd14Diff = dd14.select("doc_id").except(dd9.select("doc_id")).count() +
+      dd9.select("doc_id").except(dd14.select("doc_id")).count()
+    check("dd14_route_equality", dd14Diff == 0, dd14Diff, "0 (symmetric diff)")
+
+    // --- dd13 semantic dedup: hot-cell worst case — a dense cluster
+    // (2% of the corpus as EXACT copies of one vector, all in one
+    // k-means cell at one centroid distance) plus the planted twins.
+    // Closed form: 100 twin pairs + the blob's window pairs
+    // (windowSize·B − windowSize·(windowSize+1)/2 — linear in B; the
+    // per-cell clique would be B²/2 ≈ 200M at scale 10). The linearity
+    // band is the claim: a plan that all-pairs'd the hot cell would
+    // blow the ratio.
+    val blob = StressFixture.denseBlob(spark, p)
+    val w13 = 6L
+    def dd13 = Dedup.semanticDupPairs(emb.unionByName(blob),
+      "vec_id", "embedding", nCells = 64, threshold = 0.95,
+      windowSize = w13.toInt)
+    run("dd13_semantic_pairs",
+      Some(p.nTwins + w13 * p.blobSize - w13 * (w13 + 1) / 2))(dd13.count())
 
     // --- capped quadratic audit path (dd2 shape): bucketCap bounds the
     // boilerplate bucket to a CONSTANT cost, so even this path must
@@ -358,6 +396,36 @@ object StressGate {
     run("txt17_bpe_train", Some(5L))(
       graft.operators.Bpe.train(d, "text", numMerges = 5,
         driverThreshold = 0L).length.toLong)
+
+    // --- fuzzy join / fuzzy dedup: the round-13 prescribed hot case,
+    // a 10k-fold duplicated-string class (dupN = fuzzy-total/20; the
+    // fuzzy corpus is 2/5 of the doc count so scale 1 = 200k strings
+    // with a 10k-fold class) plus planted distance-1 pairs among
+    // unique strings. Spanning pairs and fuzzyDedup must stay LINEAR
+    // (the representative collapse makes the duplicated class cost
+    // one probe row); the complete pair list is quadratic in the
+    // class because the ANSWER is — counted at the oracle scale only,
+    // closed form C(dupN,2) + planted.
+    val fp = StressFixture.FuzzyPlan(p.total * 2 / 5)
+    val fz = StressFixture.fuzzyStrings(spark, fp)
+    println(s"[stress]   fuzzy corpus: ${fp.total} strings " +
+      s"(dup class ${fp.dupN}, planted ${fp.nPlanted})")
+    run("q52_spanning_pairs", Some(fp.spanningPairs))(
+      graft.operators.FuzzyJoin.selfPairs(fz, "fid", "fstr",
+        maxDistance = 1, spanning = true).count())
+    run("q54_fuzzy_dedup", Some(fp.nClusters))(
+      graft.operators.FuzzyJoin.fuzzyDedup(fz, "fid", "fstr",
+        maxDistance = 1).count())
+    if (scale == oracleScale) {
+      // the complete relation materializes the dup-class clique —
+      // ~50M pairs at the prescribed scale — so it runs at the
+      // smallest scale only, like the q20 built-in oracle; its
+      // linearity is NOT asserted (output size is quadratic by
+      // contract), its exact count is.
+      run("q52_complete_pairs", Some(fp.completePairs), linear = false)(
+        graft.operators.FuzzyJoin.selfPairs(fz, "fid", "fstr",
+          maxDistance = 1).count())
+    }
 
     def checksum(j: DataFrame): Long = j.agg(
       sum((col("l_quantity") * col("o_totalprice")).cast("long")) + count(lit(1)))

@@ -40,6 +40,53 @@ class StressSpec extends AnyFunSuite {
     assert(p.expectedSpanningPairs == 1600 - 151) // dupRows − dupClasses
     assert(p.nClasses == 151 + 18400) // dupClasses + singletons
     assert(p.singletons == 18400)
+    assert(p.blobSize == 80) // nEmb/50 — dd13 hot-cell run length
+    val fp = StressFixture.FuzzyPlan(8000L) // docsPerScale·2/5
+    assert(fp.dupN == 400 && fp.nPlanted == 76)
+    assert(fp.spanningPairs == 399 + 76)
+    assert(fp.nClusters == 1 + 7600 - 76)
+    assert(fp.completePairs == 400L * 399 / 2 + 76)
+  }
+
+  test("fuzzy stress corpus: structural distance guarantees hold (sampled ground truth)") {
+    // the FuzzyPlan invariants rest on two structural claims — (a)
+    // distinct same-length triplings are ≥ 2 edits apart, (b) a
+    // planted 'x'-variant is within 1 of exactly its base — verify
+    // them against brute-force levenshtein on a sample × all-strings
+    // basis (full all-pairs at fixture scale is 29M lev calls)
+    val fp = StressFixture.FuzzyPlan(2000L)
+    val rows = StressFixture.fuzzyStrings(spark, fp)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(identity)
+      for (i <- 1 to b.length) {
+        var prev = d(0); d(0) = i
+        for (j <- 1 to a.length) {
+          val t = d(j)
+          d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+            prev + (if (a(j - 1) == b(i - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    val sample = rows.filter(r => r._1 % 17 == 0 || r._1 % 100 == (fp.dupN + 1) % 100)
+    val found = scala.collection.mutable.Set[(Long, Long)]()
+    for ((ia, sa) <- sample; (ib, sb) <- rows if ia != ib) {
+      if (math.abs(sa.length - sb.length) <= 1 && sa != sb && lev(sa, sb) <= 1)
+        found += ((math.min(ia, ib), math.max(ia, ib)))
+    }
+    // expected: exactly the planted (base, variant) pairs with either
+    // endpoint in the sample — nothing else within distance 1
+    val sampleIds = sample.map(_._1).toSet
+    val expect = rows.collect { case (id, _)
+        if id - fp.dupN >= 1 && (id - fp.dupN) % 100 == 1 &&
+          (sampleIds(id) || sampleIds(id - 1)) =>
+      (id - 1, id)
+    }.toSet
+    assert(expect.nonEmpty, "sample missed every planted pair — vacuous")
+    assert(found.toSet == expect,
+      s"extra=${(found.toSet -- expect).take(5)} missing=${(expect -- found).take(5)}")
   }
 
   test("distributed CC converges past the old 32k-diameter ceiling at default maxIter") {
