@@ -183,4 +183,50 @@ class UsageSpec extends AnyFunSuite {
     assert(epoch3.count() == docs.count())
     assert(spark.read.parquet(s"$zdir/lineitem_z").count() == lineitem.count())
   }
+
+  test("usage §9a: the documented plan-reading checklist holds on the example") {
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val q = GraftFrame(lineitem)
+      .filter(col("l_quantity") > 45)
+      .select("l_returnflag", "l_quantity")
+    q.showQuery() // the documented call — must keep printing, not throw
+    val plan = q.df.queryExecution.executedPlan.toString
+    // 1. predicate reached the parquet scan
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(l_quantity,45.0)"), plan.take(900))
+    // 1b. projection pruned to exactly the used columns
+    assert(plan.contains("l_returnflag") && !plan.contains("l_extendedprice"),
+      plan.take(900))
+    // 2. a scan-side filter+project has NO Exchange
+    assert(!plan.contains("Exchange"), plan.take(900))
+    // 4. and runs inside whole-stage codegen (the "*(n)" span marker
+    // in the tree string; explain("formatted") prints it verbosely)
+    assert(plan.contains("*(1)"), plan.take(900))
+  }
+
+  test("usage §9b: the broadcast example produces a BroadcastHashJoin") {
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val orders = Tables.load(spark, sfDir, "orders")
+    val dim = orders.limit(1000)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val enriched = lineitem.join(broadcast(dim), Seq("l_orderkey"))
+    val plan = enriched.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(900))
+    assert(enriched.count() > 0)
+  }
+
+  test("usage §9c: clique and spanning pair modes give identical dedup survivors") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val clique = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      shingleN = 7, k = 32, bands = 8, threshold = 1.0)
+    val span = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      shingleN = 7, k = 32, bands = 8, threshold = 1.0, spanning = true)
+    // same connected components ⇒ identical survivors; spanning never
+    // emits MORE pairs than the clique
+    val a = Dedup.dedupNear(docs, "doc_id", clique)
+    val b = Dedup.dedupNear(docs, "doc_id", span)
+    assert(a.select("doc_id").except(b.select("doc_id")).count() == 0)
+    assert(b.select("doc_id").except(a.select("doc_id")).count() == 0)
+    assert(span.count() <= clique.count())
+  }
 }
