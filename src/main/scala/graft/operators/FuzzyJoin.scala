@@ -90,11 +90,28 @@ object FuzzyJoin {
     *        m(m−1)/2, and cross-group pairs surface once per group
     *        pair. Exactly what [[fuzzyDedup]] /
     *        [[graft.dedup.Dedup.duplicateClusters]] consume.
+    * @param segmentCap occupancy cap on the CANDIDATE side of each
+    *        (segment index, length, gram) key. The representative
+    *        collapse removes identical-string hot keys losslessly,
+    *        but many DISTINCT strings can still share a segment —
+    *        equal-length boilerplate prefixes ("Amazon.com: …" titles)
+    *        put every such string in one bucket, and candidate pairs
+    *        go quadratic in its occupancy. A finite cap bounds total
+    *        candidates at (k+1)·cap per probe string — linear in the
+    *        corpus — as a DOCUMENTED recall tradeoff (a within-k pair
+    *        is missed only if EVERY segment key it shares is over-cap;
+    *        kept rows are deterministic, lowest representative ids —
+    *        the `bucketCap` discipline of the LSH paths). The default
+    *        is unbounded: the sound-AND-complete contract holds and
+    *        the verify stage only discards.
     */
   def selfPairs(df: DataFrame, idCol: String, strCol: String,
-                maxDistance: Int, spanning: Boolean = false): DataFrame = {
+                maxDistance: Int, spanning: Boolean = false,
+                segmentCap: Int = Int.MaxValue): DataFrame = {
     require(maxDistance >= 0,
       s"FuzzyJoin.selfPairs: maxDistance must be >= 0, got $maxDistance")
+    require(segmentCap >= 1,
+      s"FuzzyJoin.selfPairs: segmentCap must be >= 1, got $segmentCap")
     val k = maxDistance
     // probe: the string's own segments, keyed (segIdx, ownLength, gram);
     // short strings (< k+1 code points) route to the length-bucket arm
@@ -146,8 +163,16 @@ object FuzzyJoin {
     val reps = groups.select(col("__rid"), col("__fstr"))
     val probe = reps.select(col("__rid").as("rid_p"),
       explode(probeKeys(col("__fstr"))).as("__k"))
-    val cand = reps.select(col("__rid").as("rid_c"),
+    val candRaw = reps.select(col("__rid").as("rid_c"),
       explode(candKeys(col("__fstr"))).as("__k"))
+    val cand =
+      if (segmentCap == Int.MaxValue) candRaw
+      else {
+        val wc = org.apache.spark.sql.expressions.Window
+          .partitionBy("__k").orderBy(col("rid_c").asc)
+        candRaw.withColumn("__rn", row_number().over(wc))
+          .filter(col("__rn") <= segmentCap).drop("__rn")
+      }
     val candidates = probe.join(cand, probe("__k") === cand("__k"))
       .filter(col("rid_p") =!= col("rid_c"))
       .select(least(col("rid_p"), col("rid_c")).as("rid_a"),

@@ -143,6 +143,32 @@ class FuzzyJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("segmentCap: sound under cap (subset of truth), complete without") {
+    import spark.implicits._
+    // shared-prefix hot key: equal-length strings sharing their first
+    // segment — the residual quadratic case after identical-string
+    // collapse. Cap bounds the candidate bucket; result must stay a
+    // SUBSET of ground truth (verify only discards) and must retain
+    // pairs among the lowest representative ids (deterministic cap).
+    val local = (0 until 60).map { i =>
+      (i.toLong, f"shared boilerplate prefix item $i%04d")
+    } ++ Seq((60L, "shared boilerplate prefix item 0000x")) // near 0
+    val df = local.toDF("id", "s")
+    val want = groundTruth(local, 2)
+    val full = FuzzyJoin.selfPairs(df, "id", "s", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == want)
+    val capped = FuzzyJoin.selfPairs(df, "id", "s", 2, segmentCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped.subsetOf(want), s"cap invented pairs: ${(capped -- want).take(5)}")
+    // low-id pairs survive the deterministic cap
+    val lowIdPairs = want.filter { case (a, b, _) => a < 5 && b < 5 }
+    assert(lowIdPairs.nonEmpty && lowIdPairs.subsetOf(capped))
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.selfPairs(df, "id", "s", 2, segmentCap = 0)
+    }
+  }
+
   test("selfPairs k=0 finds exactly the duplicate strings") {
     import spark.implicits._
     val df = Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta"), (4L, "alphA"))
