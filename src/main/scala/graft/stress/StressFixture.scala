@@ -92,23 +92,30 @@ object StressFixture {
 
   /** Closed-form counts for the fuzzy-join stress corpus of `total`
     * strings — the q52/q54 hot-case fixture:
-    *  - ids [0, dupN): ONE string duplicated dupN-fold ("z"×24 — the
+    *  - ids [0, dupN): ONE string duplicated dupN-fold ("z"×17 — the
     *    boilerplate-title class the round-13 verdict prescribes;
     *    dupN = total/20, so 10k-fold at the prescribed total=200k)
-    *  - ids [dupN, total): unique strings built by REVERSING the id's
-    *    decimal digits and tripling every character ("427" → "724" →
-    *    "772244") — reversal puts the fast-varying low digits first so
-    *    segment grams spread across buckets, and tripling guarantees
-    *    any two distinct same-length strings differ in ≥ 3 positions
-    *    (one changed digit = one changed run), hence edit distance
-    *    ≥ 2: a single substitution cannot bridge them, so NO
-    *    accidental within-1 pairs exist. Different digit counts
-    *    differ in length by ≥ 3. Every 100th single (j ≡ 1 mod 100)
-    *    instead carries the PREVIOUS single's string with its first
-    *    character replaced by 'x' — a planted distance-1 pair; the
-    *    variant stays ≥ 2 from every other string (position 0 differs
-    *    from every tripling, and agreeing on the rest forces the
-    *    base). All invariants below are exact at maxDistance = 1.
+    *  - ids [dupN, total): unique 17-char strings, g(id) = id·A mod
+    *    10^16 zero-padded to 16 digits (A = 999999999989, coprime to
+    *    10 ⇒ injective; the multiplication spreads consecutive ids
+    *    across the digit space, so PassJoin segment grams carry ~8
+    *    digits of entropy and buckets stay near-singleton — a
+    *    low-entropy encoding here would recreate the shared-segment
+    *    hot key and mis-measure the operator) plus a mod-11 check
+    *    character ('a'+g%11). Any single digit change d·10^p shifts
+    *    g mod 11 by ±d ≠ 0 (10 ≡ −1 mod 11, 11 prime), so two
+    *    distinct base strings always differ in ≥ 2 positions — and
+    *    equal-length edit distance 1 requires exactly one differing
+    *    position — hence NO accidental within-1 pairs. Every 100th
+    *    single (j ≡ 1 mod 100) instead carries the PREVIOUS single's
+    *    string with its first character (the masked MSD) replaced by
+    *    'x' — a planted distance-1 pair. A variant collides with a
+    *    non-base string only if the two g values differ solely in the
+    *    masked digit, i.e. base ids differ by d·10^15·A⁻¹ mod 10^16 —
+    *    minimum 10^15, unreachable at any corpus size this fixture
+    *    permits (id·A must also fit signed 64-bit; both bounds are
+    *    enforced by the require below). All invariants below are
+    *    exact at maxDistance = 1.
     */
   final case class FuzzyPlan(total: Long) {
     require(total >= 2000 && total % 2000 == 0,
@@ -128,16 +135,22 @@ object StressFixture {
 
   /** (fid, fstr) fuzzy corpus under the plan — see [[FuzzyPlan]]. */
   def fuzzyStrings(spark: SparkSession, p: FuzzyPlan): DataFrame = {
+    require(p.total <= 8000000L,
+      s"fuzzyStrings: total ${p.total} too large — id·A must stay in " +
+        "signed 64-bit and variant base deltas far below 10^15")
+    val A = 999999999989L
     val j = col("id") - p.dupN
     val isVariant = pmod(j, lit(100L)) === 1
     val baseNum = when(isVariant, col("id") - 1).otherwise(col("id"))
-    val tripled =
-      regexp_replace(reverse(baseNum.cast("string")), "(.)", "$1$1$1")
+    val g = pmod(baseNum * lit(A), lit(10000000000000000L))
+    val checkChars = "abcdefghijk".map(_.toString).toArray
+    val base = concat(lpad(g.cast("string"), 16, "0"),
+      element_at(lit(checkChars), (pmod(g, lit(11L)) + 1).cast("int")))
     spark.range(p.total).select(
       col("id").as("fid"),
-      when(col("id") < p.dupN, lit("z" * 24))
-        .when(isVariant, concat(lit("x"), substring(tripled, 2, 1 << 20)))
-        .otherwise(tripled).as("fstr"))
+      when(col("id") < p.dupN, lit("z" * 17))
+        .when(isVariant, concat(lit("x"), substring(base, 2, 16)))
+        .otherwise(base).as("fstr"))
   }
 
   /** Integer division as a Column (values stay well under 2^52, where

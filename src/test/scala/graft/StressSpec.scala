@@ -50,10 +50,11 @@ class StressSpec extends AnyFunSuite {
 
   test("fuzzy stress corpus: structural distance guarantees hold (sampled ground truth)") {
     // the FuzzyPlan invariants rest on two structural claims — (a)
-    // distinct same-length triplings are ≥ 2 edits apart, (b) a
-    // planted 'x'-variant is within 1 of exactly its base — verify
-    // them against brute-force levenshtein on a sample × all-strings
-    // basis (full all-pairs at fixture scale is 29M lev calls)
+    // distinct base strings (permuted digits + mod-11 check char) are
+    // ≥ 2 edits apart, (b) a planted 'x'-variant is within 1 of
+    // exactly its base — verify them against brute-force levenshtein
+    // on a sample × all-strings basis (full all-pairs at fixture
+    // scale is 29M lev calls)
     val fp = StressFixture.FuzzyPlan(2000L)
     val rows = StressFixture.fuzzyStrings(spark, fp)
       .collect().map(r => (r.getLong(0), r.getString(1)))
