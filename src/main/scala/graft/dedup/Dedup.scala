@@ -807,17 +807,28 @@ object Dedup {
         col("__cd._1").as("cell"), col("__cd._2").as("dist"))
     val byCell = Window.partitionBy("cell")
       .orderBy(col("dist").asc, col("id").asc)
-    val ranked = assigned.withColumn("rk", row_number().over(byCell))
-    val right = ranked.select(col("cell"), col("rk").as("rk_b"),
-      col("id").as("id_r"), col("v").as("v_r"))
-    ranked
-      .withColumn("rk_b",
-        explode(sequence(col("rk") + 1, col("rk") + windowSize)))
-      .join(right, Seq("cell", "rk_b"))
-      .withColumn("cosine", vecfns.cosine(col("v"), col("v_r")))
+    // each row's window partners are its next `windowSize` neighbors
+    // in the (dist, id) cell order — taken as lead() columns over ONE
+    // window pass, not a rank self-join: the join form recomputed the
+    // whole assignment pipeline for its right side and sort-merged
+    // N·windowSize vector-carrying rows (measured 52x for 10x data at
+    // 1M vectors — the shuffled vector bytes fell out of page cache);
+    // lead() reads the partners out of the already-sorted window
+    // buffer, so the vectors cross exactly one exchange (to their
+    // cell) and nothing is recomputed or re-sorted.
+    val withPartners = assigned.select(
+      col("id") +: col("v") +:
+        (1 to windowSize).map(i =>
+          struct(lead(col("id"), i).over(byCell).as("id_r"),
+            lead(col("v"), i).over(byCell).as("v_r")).as(s"__p$i")): _*)
+    withPartners
+      .withColumn("__p",
+        explode(array((1 to windowSize).map(i => col(s"__p$i")): _*)))
+      .filter(col("__p.id_r").isNotNull)
+      .withColumn("cosine", vecfns.cosine(col("v"), col("__p.v_r")))
       .filter(col("cosine") >= threshold)
-      .select(least(col("id"), col("id_r")).as("id_a"),
-        greatest(col("id"), col("id_r")).as("id_b"),
+      .select(least(col("id"), col("__p.id_r")).as("id_a"),
+        greatest(col("id"), col("__p.id_r")).as("id_b"),
         round(col("cosine"), 4).as("cosine"))
   }
 
