@@ -223,6 +223,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("FuzzyJoin.selfPairs == brute-force levenshtein over random corpora (k=0..2)") {
+    // randomized soundness+completeness for the PassJoin path,
+    // including the representative collapse: small alphabet + short
+    // lengths force heavy duplication, shared segments, and dense
+    // near-pairs — the regimes where an off-by-one in the position
+    // window or the expansion would show
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(identity)
+      for (i <- 1 to b.length) {
+        var prev = d(0); d(0) = i
+        for (j <- 1 to a.length) {
+          val t = d(j)
+          d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+            prev + (if (a(j - 1) == b(i - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    (1 to trials).foreach { s =>
+      val rnd = new scala.util.Random(1000 + s)
+      val n = 25 + rnd.nextInt(20)
+      val strs = (0 until n).map { _ =>
+        val len = rnd.nextInt(7) // 0..6 — includes empty + short-arm
+        (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      val rows = strs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = rows.toDF("id", "s")
+      for (k <- 0 to 2) {
+        val got = graft.operators.FuzzyJoin.selfPairs(df, "id", "s", k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        val want = (for {
+          (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+          d = lev(sa, sb) if d <= k
+        } yield (ia, ib, d)).toSet
+        assert(got == want, s"seed $s k=$k: missing=${(want -- got).take(4)} " +
+          s"extra=${(got -- want).take(4)}")
+      }
+    }
+  }
+
   test("hamming64Pairs: pigeonhole completeness — every ≤maxHamming pair found") {
     // the structural guarantee the perceptual/SimHash tier rests on:
     // splitting a 64-bit signature into maxHamming+1 blocks means any
