@@ -51,8 +51,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: per-string candidate keys are bounded by the constant
   * (k+1)·(2k+1)² (segment count × compatible lengths × position
-  * window) — the join shuffles short (index, length, gram) keys,
-  * never the string cross-product; verification touches candidate
+  * window) — the join shuffles 8-byte key HASHES of (index, length,
+  * gram) rather than the grams themselves (a 64-bit collision only
+  * adds candidates the exact verify discards), never the string
+  * cross-product; verification touches candidate
   * pairs only, one per DISTINCT-string pair. Strings shorter than
   * k+1 code points cannot host k+1 non-empty segments and take a
   * bounded length-bucket arm instead (within distance k of them =
@@ -113,28 +115,54 @@ object FuzzyJoin {
     require(segmentCap >= 1,
       s"FuzzyJoin.selfPairs: segmentCap must be >= 1, got $segmentCap")
     val k = maxDistance
+    // Keys travel as ONE 64-bit FNV mix of (segment index, probe
+    // length, gram code points) instead of an (int, int, string)
+    // struct — the lshBandKeys discipline: an 8-byte key shuffles and
+    // hash-joins for a fraction of the struct's cost, and a 64-bit
+    // collision can only ADD candidates, which the exact levenshtein
+    // verify then discards — never drop a true pair.
+    def keyHash(i: Int, m: Int, cp: Array[Int], pos: Int, len: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      h = (h ^ i) * 0x100000001b3L
+      h = (h ^ m) * 0x100000001b3L
+      var j = pos
+      while (j < pos + len) { h = (h ^ cp(j)) * 0x100000001b3L; j += 1 }
+      h
+    }
+    val ShortArmKey = {
+      var h = 0xcbf29ce484222325L
+      h = (h ^ -1) * 0x100000001b3L
+      (h ^ 0) * 0x100000001b3L
+    }
     // probe: the string's own segments, keyed (segIdx, ownLength, gram);
     // short strings (< k+1 code points) route to the length-bucket arm
     val probeKeys = udf { (s: String) =>
-      if (s == null) Seq.empty[(Int, Int, String)]
+      if (s == null) Array.emptyLongArray
       else {
         val cp = s.codePoints.toArray
         val m = cp.length
-        if (m <= k) Seq((-1, 0, ""))
-        else segments(m, k).zipWithIndex.map { case ((p, l), i) =>
-          (i, m, new String(cp, p, l))
+        if (m <= k) Array(ShortArmKey)
+        else {
+          val segs = segments(m, k)
+          val out = new Array[Long](segs.length)
+          var i = 0
+          while (i < segs.length) {
+            out(i) = keyHash(i, m, cp, segs(i)._1, segs(i)._2)
+            i += 1
+          }
+          out
         }
       }
     }
     // candidate: every substring that could equal segment i of a
     // compatible-length probe, within the ±k alignment window
     val candKeys = udf { (t: String) =>
-      if (t == null) Seq.empty[(Int, Int, String)]
+      if (t == null) Array.emptyLongArray
       else {
         val cp = t.codePoints.toArray
         val n = cp.length
-        val out = scala.collection.mutable.LinkedHashSet.empty[(Int, Int, String)]
-        if (n <= 2 * k) out += ((-1, 0, "")) // can match a short-arm probe
+        val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+        if (n <= 2 * k) out += ShortArmKey // can match a short-arm probe
         var m = math.max(k + 1, n - k)
         while (m <= n + k) {
           val segs = segments(m, k)
@@ -144,14 +172,14 @@ object FuzzyJoin {
             var pos = math.max(0, p - k)
             val end = math.min(n - l, p + k)
             while (pos <= end) {
-              out += ((i, m, new String(cp, pos, l)))
+              out += keyHash(i, m, cp, pos, l)
               pos += 1
             }
             i += 1
           }
           m += 1
         }
-        out.toSeq
+        out.toArray
       }
     }
     val base = df.select(col(idCol).as("__fid"), col(strCol).as("__fstr"))

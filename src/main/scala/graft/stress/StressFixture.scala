@@ -96,12 +96,17 @@ object StressFixture {
     *    boilerplate-title class the round-13 verdict prescribes;
     *    dupN = total/20, so 10k-fold at the prescribed total=200k)
     *  - ids [dupN, total): unique 17-char strings, g(id) = id·A mod
-    *    10^16 zero-padded to 16 digits (A = 999999999989, coprime to
+    *    10^16 zero-padded to 16 digits (A = 736583297561, coprime to
     *    10 ⇒ injective; the multiplication spreads consecutive ids
     *    across the digit space, so PassJoin segment grams carry ~8
-    *    digits of entropy and buckets stay near-singleton — a
-    *    low-entropy encoding here would recreate the shared-segment
-    *    hot key and mis-measure the operator) plus a mod-11 check
+    *    digits of entropy and buckets stay near-singleton — measured:
+    *    max probe-bucket occupancy 1 at 1.9M strings. A STRUCTURED
+    *    multiplier here silently recreates the shared-segment hot key
+    *    and mis-measures the operator: the first choice, 10^12 − 11,
+    *    kept id mod 10^4 in the top digits and a constant 9-run in
+    *    the middle — 190-occupancy buckets, ~10^9 candidate pairs,
+    *    and a 120 s stage that was fixture artifact, not operator
+    *    cost) plus a mod-11 check
     *    character ('a'+g%11). Any single digit change d·10^p shifts
     *    g mod 11 by ±d ≠ 0 (10 ≡ −1 mod 11, 11 prime), so two
     *    distinct base strings always differ in ≥ 2 positions — and
@@ -138,7 +143,7 @@ object StressFixture {
     require(p.total <= 8000000L,
       s"fuzzyStrings: total ${p.total} too large — id·A must stay in " +
         "signed 64-bit and variant base deltas far below 10^15")
-    val A = 999999999989L
+    val A = 736583297561L
     val j = col("id") - p.dupN
     val isVariant = pmod(j, lit(100L)) === 1
     val baseNum = when(isVariant, col("id") - 1).otherwise(col("id"))
