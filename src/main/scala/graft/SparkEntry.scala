@@ -2007,7 +2007,48 @@ object SparkEntry {
       graft.operators.FuzzyJoin.fuzzyDedup(names, "id", "name", maxDistance = 2)
         .select(col("id"), col("name"))
         .orderBy(col("id").asc)
-    })
+    }),
+
+    "q55_fuzzy_link" -> ((s, dir) => {
+      // record linkage ACROSS catalogs: the part names vs a second
+      // catalog whose keys lost their two leading characters
+      // (truncation/OCR drift) — every (left, right) pair within
+      // levenshtein 2, via the asymmetric PassJoin plan (left = probe
+      // segments, right = candidate windows; pigeonhole on the LEFT
+      // segmentation covers every pair — see FuzzyJoin.linkPairs).
+      // Each side collapses to distinct strings pre-join; equal
+      // strings across tables match at distance 0. DuckDB replays the
+      // quadratic cross-table definition.
+      val l = t(s, dir, "part")
+        .groupBy(lower(col("p_name")).as("name"))
+        .agg(min(col("p_partkey")).as("id"))
+      val r = t(s, dir, "part")
+        .groupBy(expr("substring(lower(p_name), 3)").as("name"))
+        .agg((min(col("p_partkey")) + 100000L).as("id"))
+      graft.operators.FuzzyJoin.linkPairs(
+          l, "id", "name", r, "id", "name", maxDistance = 2)
+        .orderBy(col("id_l").asc, col("id_r").asc)
+    }),
+
+    "txt19_grouped_hh" -> ((s, dir) =>
+      // per-SOURCE heavy hitters: each source's own frequent words at
+      // its own threshold (0.5% of the source's word count) — the
+      // per-domain boilerplate-candidate primitive. Same
+      // sketch-then-verify exactness as txt16, sketch keyed per
+      // group: one grouped Misra-Gries aggregate (long tail never
+      // shuffles), candidates + group totals broadcast back, exact
+      // counts thresholded per group. Oracle replays it as a plain
+      // grouped HAVING against the per-source totals.
+      Freq.groupedHeavyHitters(
+          t(s, dir, "documents")
+            .select(col("source"),
+              explode(split(
+                lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
+                .as("word"))
+            .filter(col("word") =!= ""),
+          groupCols = Seq("source"), itemCol = "word",
+          minFraction = 0.005, estimatedGroups = 64)
+        .orderBy(col("source").asc, col("n").desc, col("word").asc))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3444,6 +3485,33 @@ object SparkEntry {
          FROM nm JOIN cc ON nm.id = cc.id
          WHERE cc.lab = nm.id
          ORDER BY id""",
+
+    "q55_fuzzy_link" ->
+      """WITH l AS (
+           SELECT lower(p_name) AS name, min(p_partkey) AS id
+           FROM part GROUP BY 1),
+         r AS (
+           SELECT substring(lower(p_name), 3) AS name,
+             min(p_partkey) + 100000 AS id
+           FROM part GROUP BY 1)
+         SELECT l.id AS id_l, r.id AS id_r,
+           CAST(levenshtein(l.name, r.name) AS INTEGER) AS distance
+         FROM l JOIN r ON levenshtein(l.name, r.name) <= 2
+         ORDER BY id_l, id_r""",
+
+    "txt19_grouped_hh" ->
+      """WITH words AS (
+           SELECT source, unnest(regexp_split_to_array(
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS word
+           FROM documents),
+         w AS (SELECT source, word FROM words WHERE word <> ''),
+         t AS (SELECT source, count(*) AS n_grp FROM w GROUP BY source)
+         SELECT w.source AS source, w.word AS word,
+           CAST(count(*) AS BIGINT) AS n
+         FROM w JOIN t ON w.source = t.source
+         GROUP BY w.source, w.word, t.n_grp
+         HAVING count(*) >= ceil(t.n_grp * 0.005)
+         ORDER BY source, n DESC, word""",
 
     "txt18_dup_profile" ->
       """WITH d AS (

@@ -118,4 +118,83 @@ object Freq {
         ceil(col("__nt") * lit(java.math.BigDecimal.valueOf(minFraction))))
       .select(col(itemCol), col("n"))
   }
+
+  /** Per-GROUP heavy hitters: items occurring at least
+    * `ceil(minFraction · groupN)` times WITHIN their group, with exact
+    * counts — (groupCols*, itemCol, n). The per-domain/per-language
+    * curation primitive (a source's boilerplate shingles, a
+    * language's hot URLs): each group gets its own N and its own
+    * threshold, so a globally-rare item that dominates one small
+    * source still surfaces.
+    *
+    * Same sketch-then-verify shape as [[heavyHitters]], with the
+    * sketch keyed per group: ONE grouped aggregate builds a
+    * Misra–Gries sketch AND the group total per group (partial
+    * map-side merge — the long tail never shuffles; only sketch
+    * summaries, one per (task, group), reach the exchange);
+    * candidates (≤ 2·capacity per group, each a guaranteed superset
+    * at the group's threshold) broadcast back with their group total
+    * attached; a broadcast join keeps candidate rows only, the exact
+    * per-(group, item) count shuffles ≤ 2·capacity·G keys, and the
+    * exact threshold means sketch error never reaches the output.
+    *
+    * The candidate broadcast now scales with the GROUP COUNT:
+    * 2·capacity·`estimatedGroups`·(item + group + overhead bytes)
+    * must clear [[MaxCandidateBroadcastBytes]] up front. This
+    * operator is for bounded group cardinality (sources, languages,
+    * buckets — thousands); per-USER or per-URL grouping belongs to a
+    * plain two-level groupBy, where the group key itself is the long
+    * tail. As with `estimatedItemBytes`, understating
+    * `estimatedGroups` undersizes the guard, never the result.
+    */
+  def groupedHeavyHitters(df: DataFrame, groupCols: Seq[String],
+                          itemCol: String, minFraction: Double,
+                          capacity: Int = 0,
+                          estimatedGroups: Long = 1024,
+                          estimatedItemBytes: Int = 64,
+                          estimatedGroupBytes: Int = 32): DataFrame = {
+    require(groupCols.nonEmpty,
+      "groupedHeavyHitters: groupCols must be non-empty — use heavyHitters for the ungrouped form")
+    require(minFraction > 0.0 && minFraction <= 1.0,
+      s"groupedHeavyHitters: minFraction must be in (0,1], got $minFraction")
+    require(estimatedGroups > 0 && estimatedItemBytes > 0 && estimatedGroupBytes > 0,
+      "groupedHeavyHitters: size estimates must be positive")
+    val want = math.ceil(4.0 / minFraction).toLong
+    require(want <= FreqSketch.MaxCapacity || capacity > 0,
+      s"groupedHeavyHitters: minFraction $minFraction needs $want counters " +
+        s"(max ${FreqSketch.MaxCapacity}) — pass an explicit capacity to override")
+    val cap =
+      if (capacity > 0) capacity
+      else math.max(16L, want).toInt
+    require(cap.toLong >= math.ceil(1.0 / minFraction).toLong,
+      s"groupedHeavyHitters: capacity $cap cannot guarantee recall at minFraction $minFraction")
+    val estBroadcast =
+      2L * cap * estimatedGroups * (estimatedItemBytes + estimatedGroupBytes + RowOverheadBytes)
+    require(estBroadcast <= MaxCandidateBroadcastBytes,
+      s"groupedHeavyHitters: estimated candidate broadcast ${estBroadcast >> 20} MB " +
+        s"(2 x $cap x $estimatedGroups groups x " +
+        s"($estimatedItemBytes + $estimatedGroupBytes + $RowOverheadBytes) bytes) exceeds " +
+        s"${MaxCandidateBroadcastBytes >> 20} MB — lower capacity/estimatedGroups, " +
+        "raise minFraction, or correct the size estimates")
+    val gcols = groupCols.map(col)
+    val sketch = FreqSketch(Bridge.expression(col(itemCol)), cap)
+      .toAggregateExpression()
+    val summary = df.groupBy(gcols: _*)
+      .agg(Bridge.column(sketch).as("__cands"), count(lit(1)).as("__n_grp"))
+    // group keys match NULL-SAFELY (a null group is a group, exactly
+    // as groupBy binned it); the item matches with SQL equality — a
+    // null item is never a heavy hitter, same as [[heavyHitters]]
+    val cands = summary.select(
+      groupCols.zipWithIndex.map { case (c, i) => col(c).as(s"__g$i") } :+
+        explode(col("__cands")).as("__citem") :+ col("__n_grp"): _*)
+    val cond = groupCols.zipWithIndex
+      .map { case (c, i) => df(c) <=> col(s"__g$i") }
+      .reduce(_ && _) && (df(itemCol) === col("__citem"))
+    df.join(broadcast(cands), cond, "inner")
+      .groupBy(groupCols.map(df(_)) :+ df(itemCol): _*)
+      .agg(count(lit(1)).as("n"), max(col("__n_grp")).as("__ng"))
+      .filter(col("n") >=
+        ceil(col("__ng") * lit(java.math.BigDecimal.valueOf(minFraction))))
+      .select(groupCols.map(df(_)) :+ df(itemCol) :+ col("n"): _*)
+  }
 }

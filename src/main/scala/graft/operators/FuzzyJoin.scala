@@ -74,6 +74,95 @@ object FuzzyJoin {
     lens.indices.map(i => (starts(i), lens(i)))
   }
 
+  /** One 64-bit FNV mix of (segment index, probe length, gram code
+    * points) — segment keys travel as 8-byte hashes instead of an
+    * (int, int, string) struct: the lshBandKeys discipline. A 64-bit
+    * collision can only ADD candidates, which the exact levenshtein
+    * verify then discards — never drop a true pair. */
+  private def keyHash(i: Int, m: Int, cp: Array[Int], pos: Int, len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    h = (h ^ i) * 0x100000001b3L
+    h = (h ^ m) * 0x100000001b3L
+    var j = pos
+    while (j < pos + len) { h = (h ^ cp(j)) * 0x100000001b3L; j += 1 }
+    h
+  }
+
+  /** Sentinel key of the short-string arm (strings under k+1 code
+    * points cannot host k+1 non-empty segments; anything within k of
+    * one has length ≤ 2k — a finite bucket). */
+  private val ShortArmKey = {
+    var h = 0xcbf29ce484222325L
+    h = (h ^ -1) * 0x100000001b3L
+    (h ^ 0) * 0x100000001b3L
+  }
+
+  /** Probe-side keys: the string's own k+1 segments, keyed
+    * (segIdx, ownLength, gram); short strings route to the
+    * length-bucket arm. */
+  private def probeKeysUdf(k: Int) = udf { (s: String) =>
+    if (s == null) Array.emptyLongArray
+    else {
+      val cp = s.codePoints.toArray
+      val m = cp.length
+      if (m <= k) Array(ShortArmKey)
+      else {
+        val segs = segments(m, k)
+        val out = new Array[Long](segs.length)
+        var i = 0
+        while (i < segs.length) {
+          out(i) = keyHash(i, m, cp, segs(i)._1, segs(i)._2)
+          i += 1
+        }
+        out
+      }
+    }
+  }
+
+  /** Candidate-side keys: every substring that could equal segment i
+    * of a compatible-length probe (all probe lengths within ±k of own
+    * length), within the ±k alignment window. Per-string fanout is
+    * bounded by the constant (k+1)·(2k+1)². */
+  private def candKeysUdf(k: Int) = udf { (t: String) =>
+    if (t == null) Array.emptyLongArray
+    else {
+      val cp = t.codePoints.toArray
+      val n = cp.length
+      val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+      if (n <= 2 * k) out += ShortArmKey // can match a short-arm probe
+      var m = math.max(k + 1, n - k)
+      while (m <= n + k) {
+        val segs = segments(m, k)
+        var i = 0
+        while (i < segs.length) {
+          val (p, l) = segs(i)
+          var pos = math.max(0, p - k)
+          val end = math.min(n - l, p + k)
+          while (pos <= end) {
+            out += keyHash(i, m, cp, pos, l)
+            pos += 1
+          }
+          i += 1
+        }
+        m += 1
+      }
+      out.toArray
+    }
+  }
+
+  /** Deterministic per-key occupancy cap on a candidate-key frame —
+    * keeps the `segmentCap` lowest representative ids per `__k`
+    * bucket (see [[selfPairs]]'s segmentCap doc for the recall
+    * tradeoff contract). */
+  private def capBuckets(cand: DataFrame, ridCol: String, segmentCap: Int): DataFrame =
+    if (segmentCap == Int.MaxValue) cand
+    else {
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy("__k").orderBy(col(ridCol).asc)
+      cand.withColumn("__rn", row_number().over(wc))
+        .filter(col("__rn") <= segmentCap).drop("__rn")
+    }
+
   /** All unordered pairs (id_a < id_b, distance) within edit distance
     * `maxDistance`, exact. Null strings never match (SQL semantics) —
     * null-string rows appear in NO pair.
@@ -115,73 +204,6 @@ object FuzzyJoin {
     require(segmentCap >= 1,
       s"FuzzyJoin.selfPairs: segmentCap must be >= 1, got $segmentCap")
     val k = maxDistance
-    // Keys travel as ONE 64-bit FNV mix of (segment index, probe
-    // length, gram code points) instead of an (int, int, string)
-    // struct — the lshBandKeys discipline: an 8-byte key shuffles and
-    // hash-joins for a fraction of the struct's cost, and a 64-bit
-    // collision can only ADD candidates, which the exact levenshtein
-    // verify then discards — never drop a true pair.
-    def keyHash(i: Int, m: Int, cp: Array[Int], pos: Int, len: Int): Long = {
-      var h = 0xcbf29ce484222325L
-      h = (h ^ i) * 0x100000001b3L
-      h = (h ^ m) * 0x100000001b3L
-      var j = pos
-      while (j < pos + len) { h = (h ^ cp(j)) * 0x100000001b3L; j += 1 }
-      h
-    }
-    val ShortArmKey = {
-      var h = 0xcbf29ce484222325L
-      h = (h ^ -1) * 0x100000001b3L
-      (h ^ 0) * 0x100000001b3L
-    }
-    // probe: the string's own segments, keyed (segIdx, ownLength, gram);
-    // short strings (< k+1 code points) route to the length-bucket arm
-    val probeKeys = udf { (s: String) =>
-      if (s == null) Array.emptyLongArray
-      else {
-        val cp = s.codePoints.toArray
-        val m = cp.length
-        if (m <= k) Array(ShortArmKey)
-        else {
-          val segs = segments(m, k)
-          val out = new Array[Long](segs.length)
-          var i = 0
-          while (i < segs.length) {
-            out(i) = keyHash(i, m, cp, segs(i)._1, segs(i)._2)
-            i += 1
-          }
-          out
-        }
-      }
-    }
-    // candidate: every substring that could equal segment i of a
-    // compatible-length probe, within the ±k alignment window
-    val candKeys = udf { (t: String) =>
-      if (t == null) Array.emptyLongArray
-      else {
-        val cp = t.codePoints.toArray
-        val n = cp.length
-        val out = scala.collection.mutable.LinkedHashSet.empty[Long]
-        if (n <= 2 * k) out += ShortArmKey // can match a short-arm probe
-        var m = math.max(k + 1, n - k)
-        while (m <= n + k) {
-          val segs = segments(m, k)
-          var i = 0
-          while (i < segs.length) {
-            val (p, l) = segs(i)
-            var pos = math.max(0, p - k)
-            val end = math.min(n - l, p + k)
-            while (pos <= end) {
-              out += keyHash(i, m, cp, pos, l)
-              pos += 1
-            }
-            i += 1
-          }
-          m += 1
-        }
-        out.toArray
-      }
-    }
     val base = df.select(col(idCol).as("__fid"), col(strCol).as("__fstr"))
       .filter(col("__fstr").isNotNull)
     // exact-collapse: one representative (min id) per distinct string.
@@ -190,17 +212,10 @@ object FuzzyJoin {
       .agg(min(col("__fid")).as("__rid"), count(lit(1)).as("__cnt"))
     val reps = groups.select(col("__rid"), col("__fstr"))
     val probe = reps.select(col("__rid").as("rid_p"),
-      explode(probeKeys(col("__fstr"))).as("__k"))
+      explode(probeKeysUdf(k)(col("__fstr"))).as("__k"))
     val candRaw = reps.select(col("__rid").as("rid_c"),
-      explode(candKeys(col("__fstr"))).as("__k"))
-    val cand =
-      if (segmentCap == Int.MaxValue) candRaw
-      else {
-        val wc = org.apache.spark.sql.expressions.Window
-          .partitionBy("__k").orderBy(col("rid_c").asc)
-        candRaw.withColumn("__rn", row_number().over(wc))
-          .filter(col("__rn") <= segmentCap).drop("__rn")
-      }
+      explode(candKeysUdf(k)(col("__fstr"))).as("__k"))
+    val cand = capBuckets(candRaw, "rid_c", segmentCap)
     val candidates = probe.join(cand, probe("__k") === cand("__k"))
       .filter(col("rid_p") =!= col("rid_c"))
       .select(least(col("rid_p"), col("rid_c")).as("rid_a"),
@@ -242,6 +257,76 @@ object FuzzyJoin {
           greatest(col("__ida"), col("__idb")).as("id_b"), col("distance"))
       within.unionByName(cross)
     }
+  }
+
+  /** Record linkage: all (left id, right id, distance) pairs ACROSS
+    * two tables within edit distance `maxDistance`, exact — matching
+    * entities between catalogs/crawls whose keys (names, titles,
+    * addresses) drifted by typos, truncation or OCR noise, without
+    * the cross-product.
+    *
+    * Same PassJoin machinery as [[selfPairs]], asymmetric by
+    * construction: the LEFT side plays probe (its own k+1 segments),
+    * the RIGHT side plays candidate (window-bounded substrings for
+    * every compatible probe length). Pigeonhole applies to the left
+    * string's segmentation — a within-k pair (l, r) has ≥1 segment of
+    * l untouched by the k edits, and its identical copy in r is one
+    * of r's emitted window substrings — so one direction of keys
+    * already covers every pair: sound AND complete, and the exact
+    * `levenshtein` verify only discards. (The self-join needs no
+    * second direction either; there both roles happen to be played by
+    * the same frame.)
+    *
+    * Hot-key discipline as in [[selfPairs]]: each side collapses to
+    * one representative per DISTINCT string (min id) before key
+    * emission, so candidate generation and verification are quadratic
+    * only in DISTINCT close strings, never in duplication; member
+    * pairs expand afterward. Unlike the self-join, equal strings
+    * across tables ARE matches (distance 0) — different id
+    * namespaces, no self-pair to exclude — and a string duplicated
+    * m× left and n× right legitimately owns m·n output pairs,
+    * because that is the answer, produced by the final expansion
+    * joins, not by the candidate join. Null strings on either side
+    * match nothing. `segmentCap` caps RIGHT-side candidate buckets
+    * with [[selfPairs]]'s documented recall tradeoff.
+    *
+    * Output: (`id_l`, `id_r`, `distance`), one row per matching pair.
+    */
+  def linkPairs(left: DataFrame, leftIdCol: String, leftStrCol: String,
+                right: DataFrame, rightIdCol: String, rightStrCol: String,
+                maxDistance: Int, segmentCap: Int = Int.MaxValue): DataFrame = {
+    require(maxDistance >= 0,
+      s"FuzzyJoin.linkPairs: maxDistance must be >= 0, got $maxDistance")
+    require(segmentCap >= 1,
+      s"FuzzyJoin.linkPairs: segmentCap must be >= 1, got $segmentCap")
+    val k = maxDistance
+    val baseL = left.select(col(leftIdCol).as("__fid"), col(leftStrCol).as("__fstr"))
+      .filter(col("__fstr").isNotNull)
+    val baseR = right.select(col(rightIdCol).as("__fid"), col(rightStrCol).as("__fstr"))
+      .filter(col("__fstr").isNotNull)
+    val groupsL = baseL.groupBy("__fstr").agg(min(col("__fid")).as("__rid"))
+    val groupsR = baseR.groupBy("__fstr").agg(min(col("__fid")).as("__rid"))
+    val probe = groupsL.select(col("__rid").as("rid_l"),
+      explode(probeKeysUdf(k)(col("__fstr"))).as("__k"))
+    val cand = capBuckets(
+      groupsR.select(col("__rid").as("rid_r"),
+        explode(candKeysUdf(k)(col("__fstr"))).as("__k")),
+      "rid_r", segmentCap)
+    val candidates = probe.join(cand, probe("__k") === cand("__k"))
+      .select(col("rid_l"), col("rid_r")).distinct()
+    val ll = groupsL.select(col("__rid").as("rid_l"), col("__fstr").as("__sl"))
+    val lr = groupsR.select(col("__rid").as("rid_r"), col("__fstr").as("__sr"))
+    val repPairs = candidates
+      .join(ll, "rid_l").join(lr, "rid_r")
+      .withColumn("distance", levenshtein(col("__sl"), col("__sr")))
+      .filter(col("distance") <= k)
+      .select(col("rid_l"), col("rid_r"), col("distance"))
+    val membersL = baseL.join(groupsL, "__fstr")
+      .select(col("__fid").as("id_l"), col("__rid").as("rid_l"))
+    val membersR = baseR.join(groupsR, "__fstr")
+      .select(col("__fid").as("id_r"), col("__rid").as("rid_r"))
+    repPairs.join(membersL, "rid_l").join(membersR, "rid_r")
+      .select(col("id_l"), col("id_r"), col("distance"))
   }
 
   /** End-to-end fuzzy (edit-distance) dedup: keep ONE representative

@@ -82,4 +82,63 @@ class FreqSpec extends AnyFunSuite {
     // the guard keys on bytes, not counter count
     Freq.heavyHitters(skewed, "w", minFraction = 1e-5, capacity = 262144)
   }
+
+  // two groups with very different sizes and different heavy sets —
+  // a globally-rare item ("niche") dominates the SMALL group, so any
+  // global-threshold shortcut fails this fixture
+  private def groupedSkewed = {
+    val big = (Seq.fill(400)("common") ++ Seq.fill(90)("bigonly") ++
+      (0 until 8000).map(i => s"bt_$i")).map(("big", _))
+    val small = (Seq.fill(30)("common") ++ Seq.fill(12)("niche") ++
+      (0 until 300).map(i => s"st_$i")).map(("small", _))
+    (big ++ small).toDF("g", "w")
+  }
+
+  test("groupedHeavyHitters equals the exact per-group HAVING ground truth") {
+    val df = groupedSkewed
+    val exact = df.groupBy("g").agg(count(lit(1)).as("ng"))
+      .join(df.groupBy("g", "w").agg(count(lit(1)).as("n")), Seq("g"))
+      .filter(col("n") >= ceil(col("ng") * lit(java.math.BigDecimal.valueOf(0.02))))
+      .select("g", "w", "n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val got = Freq.groupedHeavyHitters(df, Seq("g"), "w", minFraction = 0.02)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == exact)
+    // the small group's private hitter is found at its OWN threshold
+    // (12/342 ≈ 3.5% of the small group, invisible globally at 2%)
+    assert(got.exists { case (g, w, _) => g == "small" && w == "niche" })
+    assert(!got.exists { case (g, w, _) => g == "big" && w == "niche" })
+  }
+
+  test("groupedHeavyHitters: a null group key is its own group") {
+    val df = (Seq.fill(20)((null.asInstanceOf[String], "hot")) ++
+      (0 until 50).map(i => (null.asInstanceOf[String], s"t_$i")) ++
+      Seq.fill(30)(("a", "hot"))).toDF("g", "w")
+    val got = Freq.groupedHeavyHitters(df, Seq("g"), "w", minFraction = 0.2)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((None, "hot", 20L), (Some("a"), "hot", 30L)))
+  }
+
+  test("groupedHeavyHitters plan: ONE grouped sketch scan + broadcast verify") {
+    val q = Freq.groupedHeavyHitters(groupedSkewed, Seq("g"), "w", minFraction = 0.02)
+    val p = q.queryExecution.executedPlan.toString
+    assert("partial_graft_freq_sketch".r.findAllIn(p).length == 1,
+      "grouped sketch scan must appear exactly once:\n" + p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), "exact verify must be a broadcast join")
+  }
+
+  test("groupedHeavyHitters guards: group-scaled broadcast budget, empty groupCols") {
+    val e = intercept[IllegalArgumentException] {
+      Freq.groupedHeavyHitters(groupedSkewed, Seq("g"), "w",
+        minFraction = 0.01, estimatedGroups = 1000000)
+    }
+    assert(e.getMessage.contains("broadcast"))
+    intercept[IllegalArgumentException] {
+      Freq.groupedHeavyHitters(groupedSkewed, Seq.empty, "w", minFraction = 0.01)
+    }
+    intercept[IllegalArgumentException] {
+      Freq.groupedHeavyHitters(groupedSkewed, Seq("g"), "w",
+        minFraction = 0.001, capacity = 10)
+    }
+  }
 }

@@ -188,6 +188,82 @@ class FuzzyJoinSpec extends AnyFunSuite {
     }
   }
 
+  private def crossTruth(l: Seq[(Long, String)], r: Seq[(Long, String)], k: Int) =
+    (for {
+      (ia, sa) <- l if sa != null
+      (ib, sb) <- r if sb != null
+      d = levenshteinRef(sa, sb) if d <= k
+    } yield (ia, ib, d)).toSet
+
+  test("linkPairs equals the cross-table all-pairs ground truth (k=2)") {
+    import spark.implicits._
+    val l = names.toDF("id", "s")
+    // right catalog: truncation drift (first 2 chars lost) + shorts —
+    // exercises asymmetric lengths in BOTH directions
+    val rLocal = names.map { case (i, s) => (i + 100000L, s.drop(2)) } ++
+      Seq((200001L, "a"), (200002L, ""), (200003L, "zz"))
+    val r = rLocal.toDF("id", "s")
+    val got = FuzzyJoin.linkPairs(l, "id", "s", r, "id", "s", maxDistance = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val want = crossTruth(names, rLocal, 2)
+    assert(want.exists(_._3 == 0) && want.exists(_._3 == 2),
+      "fixture must exercise distance 0 and the k boundary")
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("linkPairs: duplicated strings expand to the full m x n block") {
+    import spark.implicits._
+    val lLocal = Seq("alpha", "alpha", "alpha", "beta", "alphx", null.asInstanceOf[String])
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val rLocal = Seq("alpha", "alpha", "alpXa", "gamma", null.asInstanceOf[String])
+      .zipWithIndex.map { case (s, i) => (100L + i, s) }
+    val got = FuzzyJoin.linkPairs(lLocal.toDF("id", "s"), "id", "s",
+        rLocal.toDF("id", "s"), "id", "s", maxDistance = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val want = crossTruth(lLocal, rLocal, 2)
+    // "alpha"(3x left) x "alpha"(2x right) alone is a 6-pair block at
+    // distance 0 — the collapse must not lose the expansion
+    assert(want.count(_._3 == 0) >= 6)
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("linkPairs supplementary-plane + k=0 equality semantics") {
+    import spark.implicits._
+    val lLocal = Seq((1L, "ab😀cd"), (2L, "𝄞"), (3L, "plain"))
+    val rLocal = Seq((10L, "ab😀cd"), (11L, "abXcd"), (12L, "𝄞𝄞"), (13L, "plain"))
+    for (k <- 0 to 2) {
+      val got = FuzzyJoin.linkPairs(lLocal.toDF("id", "s"), "id", "s",
+          rLocal.toDF("id", "s"), "id", "s", k)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      assert(got == crossTruth(lLocal, rLocal, k), s"k=$k")
+    }
+  }
+
+  test("linkPairs segmentCap: sound under cap, refusals match selfPairs") {
+    import spark.implicits._
+    val lLocal = (0 until 40).map(i => (i.toLong, f"shared boilerplate prefix item $i%04d"))
+    val rLocal = (0 until 40).map(i => (1000L + i, f"shared boilerplate prefix item $i%04dx"))
+    val want = crossTruth(lLocal, rLocal, 2)
+    val full = FuzzyJoin.linkPairs(lLocal.toDF("id", "s"), "id", "s",
+        rLocal.toDF("id", "s"), "id", "s", 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(full == want)
+    val capped = FuzzyJoin.linkPairs(lLocal.toDF("id", "s"), "id", "s",
+        rLocal.toDF("id", "s"), "id", "s", 2, segmentCap = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(capped.subsetOf(want), s"cap invented pairs: ${(capped -- want).take(5)}")
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.linkPairs(lLocal.toDF("id", "s"), "id", "s",
+        rLocal.toDF("id", "s"), "id", "s", -1)
+    }
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.linkPairs(lLocal.toDF("id", "s"), "id", "s",
+        rLocal.toDF("id", "s"), "id", "s", 2, segmentCap = 0)
+    }
+  }
+
   test("segments: contiguous, exhaustive, deterministic") {
     for (m <- 0 to 40; k <- 0 to 4) {
       val segs = FuzzyJoin.segments(m, k)
