@@ -138,16 +138,20 @@ object StressFixture {
     val completePairs: Long = dupN * (dupN - 1) / 2 + nPlanted
   }
 
+  private val FuzzyA = 736583297561L
+
+  private def fuzzyG(baseNum: Column): Column =
+    pmod(baseNum * lit(FuzzyA), lit(10000000000000000L))
+
   /** (fid, fstr) fuzzy corpus under the plan — see [[FuzzyPlan]]. */
   def fuzzyStrings(spark: SparkSession, p: FuzzyPlan): DataFrame = {
     require(p.total <= 8000000L,
       s"fuzzyStrings: total ${p.total} too large — id·A must stay in " +
         "signed 64-bit and variant base deltas far below 10^15")
-    val A = 736583297561L
     val j = col("id") - p.dupN
     val isVariant = pmod(j, lit(100L)) === 1
     val baseNum = when(isVariant, col("id") - 1).otherwise(col("id"))
-    val g = pmod(baseNum * lit(A), lit(10000000000000000L))
+    val g = fuzzyG(baseNum)
     val checkChars = "abcdefghijk".map(_.toString).toArray
     val base = concat(lpad(g.cast("string"), 16, "0"),
       element_at(lit(checkChars), (pmod(g, lit(11L)) + 1).cast("int")))
@@ -157,6 +161,24 @@ object StressFixture {
         .when(isVariant, concat(lit("x"), substring(base, 2, 16)))
         .otherwise(base).as("fstr"))
   }
+
+  /** Right-side catalog for the q55 linkage stress: the 16-digit base
+    * string (check char DROPPED) of every non-variant single, ids
+    * offset by 10^9. Each row's only within-1 left partner is its own
+    * base (one deletion): a different base differs in ≥1 digit on top
+    * of the deletion (the mod-11 check makes distinct bases differ in
+    * ≥2 of their 17 positions, of which at most one is the dropped
+    * check char); the dup class is 'z'×17; an 'x'-variant within 1 of
+    * a 16-digit string would need the variant minus one char to be
+    * all digits, but both its 'x' and its check char survive any
+    * single deletion except their own, and deleting either still
+    * leaves the other non-digit. So linkPairs at k=1 has EXACTLY
+    * nSingles − nPlanted rows — linear, closed-form. */
+  def fuzzyLinkRight(spark: SparkSession, p: FuzzyPlan): DataFrame =
+    spark.range(p.dupN, p.total)
+      .filter(pmod(col("id") - p.dupN, lit(100L)) =!= 1)
+      .select((col("id") + 1000000000L).as("fid"),
+        lpad(fuzzyG(col("id")).cast("string"), 16, "0").as("fstr"))
 
   /** Integer division as a Column (values stay well under 2^52, where
     * double division is exact). */

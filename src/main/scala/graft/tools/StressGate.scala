@@ -426,6 +426,46 @@ object StressGate {
         graft.operators.FuzzyJoin.selfPairs(fz, "fid", "fstr",
           maxDistance = 1).count())
     }
+    // cross-table linkage against the check-char-dropped catalog:
+    // every non-variant single links to exactly its own base (one
+    // deletion) and nothing else — closed-form nSingles − nPlanted,
+    // linear (the asymmetric probe/candidate plan must not go
+    // quadratic against the dup class or the shared-digit tails)
+    val fzRight = StressFixture.fuzzyLinkRight(spark, fp)
+    run("q55_fuzzy_link", Some(fp.nSingles - fp.nPlanted))(
+      graft.operators.FuzzyJoin.linkPairs(fz, "fid", "fstr",
+        fzRight, "fid", "fstr", maxDistance = 1).count())
+
+    // --- per-group heavy hitters: sketch-then-verify route must be
+    // row-identical to the naive two-level groupBy at every scale
+    // (the exactness claim), and linear — groups = doc_id mod 20,
+    // items = the words of the doc fixture (bounded vocab + the
+    // per-class cls tokens).
+    val ghWords = d.select(pmod(col("doc_id"), lit(20L)).as("grp"),
+      explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
+        .as("word"))
+      .filter(col("word") =!= "")
+    def ghSet(df: DataFrame): DataFrame = df.select("grp", "word", "n")
+    val ghSketch = run("txt19_grouped_hh", None)(
+      ghSet(graft.operators.Freq.groupedHeavyHitters(
+        ghWords, Seq("grp"), "word", minFraction = 0.01,
+        estimatedGroups = 32)).count())
+    val ghNaive = run("txt19_naive_hh", None)(
+      ghWords.groupBy("grp").agg(count(lit(1)).as("ng"))
+        .join(ghWords.groupBy("grp", "word").agg(count(lit(1)).as("n")), Seq("grp"))
+        .filter(col("n") >= ceil(col("ng") * lit(java.math.BigDecimal.valueOf(0.01))))
+        .select("grp", "word", "n").count())
+    require(ghSketch == ghNaive,
+      s"txt19: sketch route $ghSketch rows vs naive $ghNaive")
+    run("txt19_route_equality", Some(0L), linear = false)(
+      ghSet(graft.operators.Freq.groupedHeavyHitters(
+        ghWords, Seq("grp"), "word", minFraction = 0.01,
+        estimatedGroups = 32))
+        .exceptAll(ghWords.groupBy("grp").agg(count(lit(1)).as("ng"))
+          .join(ghWords.groupBy("grp", "word").agg(count(lit(1)).as("n")), Seq("grp"))
+          .filter(col("n") >= ceil(col("ng") * lit(java.math.BigDecimal.valueOf(0.01))))
+          .select("grp", "word", "n"))
+        .count())
 
     def checksum(j: DataFrame): Long = j.agg(
       sum((col("l_quantity") * col("o_totalprice")).cast("long")) + count(lit(1)))
