@@ -657,16 +657,22 @@ object Ann {
     * identical twins is ≥ the IVF-alone tier at equal probe budget
     * (pinned by AnnSpec).
     */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                nCells: Int = 16, nProbe: Int = 4,
-                m: Int = 8, ksub: Int = 16, rerank: Int = 0, seed: Long = 42L,
-                trainFraction: Double = 1.0, maxTrainRows: Int = 16384,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    require(rerank == 0 || rerank >= k,
-      s"ivfpq: rerank=$rerank must be 0 (off) or >= k=$k — a shortlist " +
-        "smaller than k cannot produce k reranked results")
-    val shortK = if (rerank > 0) rerank else k
+  /** Trained IVF-PQ model: coarse centroids + per-subspace RESIDUAL
+    * codebooks. Deterministic for (corpus, params, seed) — both the
+    * inline [[ivfPqTopK]] and the persisted-index pair
+    * [[buildIvfPqIndex]]/[[ivfPqTopKIndexed]] go through this one
+    * trainer and one encoder, so indexed ≡ fresh by construction. */
+  private[graft] final case class IvfPqModel(
+      centers: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      m: Int, ksub: Int) {
+    val dim: Int = centers(0).length
+    val sub: Int = dim / m
+  }
+
+  private def trainIvfPqModel(corpus: DataFrame, nCells: Int, m: Int,
+      ksub: Int, seed: Long, trainFraction: Double, maxTrainRows: Int,
+      vecCol: String): IvfPqModel = {
     val train = trainSample(corpus, vecCol, trainFraction, maxTrainRows, seed)
     require(train.nonEmpty, "ivfpq: empty training sample")
     require(ksub >= 2 && ksub <= 256,
@@ -675,7 +681,6 @@ object Ann {
     val dim = train(0).length
     require(dim % m == 0, s"ivfpq: dim $dim not divisible by m=$m")
     val sub = dim / m
-
     val centers = lloydKMeans(train, nCells, iters = 15, seed)
     def nearestCell(v: Array[Float]): Int = {
       var best = 0; var bestD = Double.MaxValue; var c = 0
@@ -701,10 +706,17 @@ object Ann {
       val subVecs = residuals.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
       lloydKMeans(subVecs, ksub, iters = 15, seed + j)
     }
-    val bcCenters = spark.sparkContext.broadcast(centers)
-    val bcCb = spark.sparkContext.broadcast(codebooks)
+    IvfPqModel(centers, codebooks, m, ksub)
+  }
 
-    // one scan: cell assignment + residual PQ encoding together
+  /** One scan: cell assignment + residual PQ encoding together →
+    * (id, cell, codes). */
+  private def ivfPqEncode(corpus: DataFrame, model: IvfPqModel,
+      idCol: String, vecCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    val m = model.m; val sub = model.sub
+    val bcCenters = spark.sparkContext.broadcast(model.centers)
+    val bcCb = spark.sparkContext.broadcast(model.codebooks)
     val encode = udf { (v: Seq[Float]) =>
       val cs = bcCenters.value; val cb = bcCb.value
       val vv = v.toArray
@@ -736,16 +748,44 @@ object Ann {
       }
       (best, codes)
     }
+    corpus.select(col(idCol).cast("long").as("id"),
+      encode(col(vecCol).cast("array<float>")).as("cc"))
+      .select(col("id"), col("cc._1").as("cell"), col("cc._2").as("codes"))
+  }
 
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ksub: Int = 16, rerank: Int = 0, seed: Long = 42L,
+                trainFraction: Double = 1.0, maxTrainRows: Int = 16384,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank == 0 || rerank >= k,
+      s"ivfpq: rerank=$rerank must be 0 (off) or >= k=$k — a shortlist " +
+        "smaller than k cannot produce k reranked results")
+    val model = trainIvfPqModel(corpus, nCells, m, ksub, seed,
+      trainFraction, maxTrainRows, vecCol)
+    val encoded = ivfPqEncode(corpus, model, idCol, vecCol)
+    ivfPqSearchStage(encoded, corpus, queries, model, k, nProbe, nCells,
+      rerank, idCol, vecCol)
+  }
+
+  /** ADC scan + rank over a pre-encoded (id, cell, codes) frame —
+    * shared by the inline and persisted-index paths. Rows whose cell
+    * no query probes contribute nothing (slot −1), which is why the
+    * indexed path may prune them from the scan entirely. */
+  private def ivfPqSearchStage(encoded: DataFrame, corpus: DataFrame,
+      queries: DataFrame, model: IvfPqModel, k: Int, nProbe: Int,
+      nCells: Int, rerank: Int, idCol: String, vecCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    val shortK = if (rerank > 0) rerank else k
+    val m = model.m; val ksub = model.ksub
+    val sub = model.sub; val dim = model.dim
+    val bcCenters = spark.sparkContext.broadcast(model.centers)
+    val bcCb = spark.sparkContext.broadcast(model.codebooks)
     val qRows: Array[(Long, Array[Float])] = queries
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val bcQ = spark.sparkContext.broadcast(qRows)
-
-    val encoded = corpus.select(col(idCol).cast("long").as("id"),
-      encode(col(vecCol).cast("array<float>")).as("cc"))
-      .select(col("id"), col("cc._1").as("cell"), col("cc._2").as("codes"))
     val probeCount = math.min(nProbe, nCells)
 
     val candidates = encoded.rdd.mapPartitions { it =>
@@ -825,6 +865,109 @@ object Ann {
       StructField("approx_dist", DoubleType, nullable = false)))
     rankPqCandidates(corpus, queries,
       spark.createDataFrame(candidates, schema), k, rerank, idCol, vecCol)
+  }
+
+  /** Build and PERSIST an IVF-PQ index: train once, encode once,
+    * write once — every later query batch pays an index scan instead
+    * of retraining codebooks and re-encoding the corpus (the dd14
+    * incremental pattern applied to vector search; at 100 TB the
+    * encode pass is the dominant cost and amortizing it across query
+    * batches is the production deployment shape).
+    *
+    * Layout under `dir`:
+    *  - `codes/` — (id, codes) parquet PARTITIONED BY the IVF cell:
+    *    a query batch probing p of nCells cells reads only those
+    *    partition directories (Spark partition pruning on the scan —
+    *    plan-asserted in AnnSpec), so probe selectivity becomes I/O
+    *    selectivity, which the inline path cannot offer;
+    *  - `codebooks/` — the model, a few KB: one row per coarse
+    *    centroid (kind 0) and per sub-codebook entry (kind 1), plus
+    *    the params string `nCells/m/ksub/seed/dim` on every row —
+    *    [[ivfPqTopKIndexed]] refuses parameter drift loudly, the
+    *    params-guard discipline of the dedup signature index.
+    *
+    * Training and encoding are the SAME code as [[ivfPqTopK]]
+    * (one trainer, one encoder), so querying the index reproduces the
+    * inline result row-for-row at equal parameters — spec-pinned. */
+  def buildIvfPqIndex(corpus: DataFrame, dir: String,
+                      nCells: Int = 16, m: Int = 8, ksub: Int = 16,
+                      seed: Long = 42L, trainFraction: Double = 1.0,
+                      maxTrainRows: Int = 16384,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val model = trainIvfPqModel(corpus, nCells, m, ksub, seed,
+      trainFraction, maxTrainRows, vecCol)
+    val params = s"$nCells/$m/$ksub/$seed/${model.dim}"
+    val cbRows =
+      model.centers.zipWithIndex.map { case (v, c) =>
+        (0, c, 0, v.toSeq, params)
+      } ++
+      model.codebooks.zipWithIndex.flatMap { case (cbj, j) =>
+        cbj.zipWithIndex.map { case (v, ci) => (1, j, ci, v.toSeq, params) }
+      }
+    import spark.implicits._
+    cbRows.toSeq.toDF("kind", "idx1", "idx2", "vec", "params")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    ivfPqEncode(corpus, model, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** [[ivfPqTopK]] against a prebuilt [[buildIvfPqIndex]] directory —
+    * no training, no encode pass: the model loads from `codebooks/`
+    * (KBs), the query batch's probe-cell UNION is computed
+    * driver-side against the loaded centroids, and the `codes/` scan
+    * is FILTERED to those cells — partition pruning turns probe
+    * selectivity into I/O selectivity (rows in unprobed cells would
+    * score nothing anyway, so pruning them is result-invariant).
+    * `corpus` supplies raw vectors for the exact rerank stage only
+    * (`rerank = 0` never reads it). Row-identical to the inline path
+    * at equal (params, seed) by shared-trainer construction;
+    * parameter drift against the stored params string fails loudly. */
+  def ivfPqTopKIndexed(spark: SparkSession, dir: String,
+                       queries: DataFrame, corpus: DataFrame, k: Int,
+                       nCells: Int = 16, nProbe: Int = 4,
+                       m: Int = 8, ksub: Int = 16, rerank: Int = 0,
+                       seed: Long = 42L,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(rerank == 0 || rerank >= k,
+      s"ivfpq-indexed: rerank=$rerank must be 0 (off) or >= k=$k")
+    val cbDf = spark.read.parquet(s"$dir/codebooks")
+    val rows = cbDf.select("kind", "idx1", "idx2", "vec", "params").collect()
+    require(rows.nonEmpty, s"ivfpq-indexed: empty codebooks at $dir")
+    val storedParams = rows(0).getString(4)
+    val centers = rows.filter(_.getInt(0) == 0).sortBy(_.getInt(1))
+      .map(_.getSeq[Float](3).toArray)
+    val dim = centers(0).length
+    val want = s"$nCells/$m/$ksub/$seed/$dim"
+    require(storedParams == want,
+      s"ivfpq-indexed: index at $dir was built with params $storedParams, " +
+        s"query side uses $want — rebuild the index or match the parameters")
+    val codebooks = Array.tabulate(m) { j =>
+      rows.filter(r => r.getInt(0) == 1 && r.getInt(1) == j)
+        .sortBy(_.getInt(2)).map(_.getSeq[Float](3).toArray)
+    }
+    val model = IvfPqModel(centers, codebooks, m, ksub)
+    // union of every query's probe set, computed driver-side against
+    // the loaded centroids — the codes scan reads ONLY these cells
+    val probeCount = math.min(nProbe, nCells)
+    val qVecs = queries.select(col(vecCol).cast("array<float>"))
+      .filter(col(vecCol).isNotNull)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val probedCells: Array[Int] = qVecs.flatMap { qv =>
+      centers.indices.map { c =>
+        var d = 0.0; var i = 0
+        val cv = centers(c)
+        while (i < dim) { val t = qv(i).toDouble - cv(i); d += t * t; i += 1 }
+        (d, c)
+      }.sortBy(_._1).take(probeCount).map(_._2)
+    }.distinct.sorted
+    val encoded = spark.read.parquet(s"$dir/codes")
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .select("id", "cell", "codes")
+    ivfPqSearchStage(encoded, corpus, queries, model, k, nProbe, nCells,
+      rerank, idCol, vecCol)
   }
 
   /** Approximate top-k: SRP-LSH bucket join (multi-table for recall)

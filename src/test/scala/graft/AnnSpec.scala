@@ -423,4 +423,50 @@ class AnnSpec extends AnyFunSuite {
     assert(clean.select("query_id", "neighbor_id").except(
       polluted.select("query_id", "neighbor_id")).count() == 0)
   }
+
+  test("persisted IVF-PQ index reproduces the inline path row-for-row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_idx").toString
+    Ann.buildIvfPqIndex(emb, dir, nCells = 8, m = 8, ksub = 16)
+    for (rerank <- Seq(0, 30)) {
+      val fresh = Ann.ivfPqTopK(emb, queries, k = 5,
+        nCells = 8, nProbe = 3, m = 8, ksub = 16, rerank = rerank)
+      val indexed = Ann.ivfPqTopKIndexed(spark, dir, queries, emb, k = 5,
+        nCells = 8, nProbe = 3, m = 8, ksub = 16, rerank = rerank)
+      assert(indexed.exceptAll(fresh).count() == 0 &&
+        fresh.exceptAll(indexed).count() == 0,
+        s"indexed != fresh at rerank=$rerank")
+    }
+  }
+
+  test("index layout: codes partitioned by cell, probe filter prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_idx2").toString
+    Ann.buildIvfPqIndex(emb, dir, nCells = 8, m = 8, ksub = 16)
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length > 1 && cellDirs.length <= 8,
+      s"expected cell=* partition dirs, got ${cellDirs.map(_.getName).toSeq}")
+    // the probe filter the indexed path applies must reach the scan as
+    // a partition filter: fewer partitions than the full table
+    val pruned = spark.read.parquet(s"$dir/codes")
+      .filter(col("cell").isin(0, 1))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan.take(800))
+    val full = spark.read.parquet(s"$dir/codes")
+    assert(pruned.count() < full.count(),
+      "probe filter did not restrict the codes scan")
+  }
+
+  test("indexed path refuses parameter drift against the stored params") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_idx3").toString
+    Ann.buildIvfPqIndex(emb, dir, nCells = 8, m = 8, ksub = 16)
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfPqTopKIndexed(spark, dir, queries, emb, k = 5,
+        nCells = 16, nProbe = 3, m = 8, ksub = 16)
+    }
+    assert(e.getMessage.contains("params"))
+    intercept[IllegalArgumentException] {
+      Ann.ivfPqTopKIndexed(spark, dir, queries, emb, k = 5,
+        nCells = 8, nProbe = 3, m = 8, ksub = 16, seed = 7L)
+    }
+  }
 }
