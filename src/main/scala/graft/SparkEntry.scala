@@ -1371,6 +1371,36 @@ object SparkEntry {
         .orderBy(col("id_a").asc, col("id_b").asc)
     }),
 
+    "mm5_video_dedup" -> ((s, dir) => {
+      // VIDEO near-dedup via temporal perceptual signature: every doc
+      // renders as a GVID (raw-frame container — the JVM ships no
+      // video codec, so the container is synthetic while the parse /
+      // frame-extract / dHash / re-encode plumbing is real, the
+      // library's multimodal contract); every 3rd doc re-plants with
+      // HALF THE FRAMES (frame-rate change, real byte-level
+      // re-encode) and every 5th brightness-shifted +30. Scene-center
+      // sampling by relative position + gradient dHash make both
+      // transforms Hamming-0 BY CONSTRUCTION (recall 1.0 by design,
+      // not tuning — the mm3/mm4 discipline); the budget is left for
+      // real-codec noise. Rows-only (hash-design values);
+      // MultimodalSpec pins the exact pair set, both invariances and
+      // zero bridging. Only (id, 64-bit sig) shuffles; payloads stay
+      // in the scan. Corpus bounded to doc_id < 400 — the render is
+      // fixture synthesis, seeded by doc_id alone, identical at
+      // every SF.
+      val base = Multimodal.syntheticVideoTable(
+        t(s, dir, "documents").filter(col("doc_id") < 400)
+          .select("doc_id")).localCheckpoint()
+      val off1 = 10000000L; val off2 = 20000000L
+      val corpus = base
+        .unionByName(Multimodal.frameDroppedVideoTable(
+          base.filter(pmod(col("doc_id"), lit(3)) === 0), off1, keepEvery = 2))
+        .unionByName(Multimodal.brightnessShiftedVideoTable(
+          base.filter(pmod(col("doc_id"), lit(5)) === 0), off2, delta = 30))
+      Multimodal.videoDupPairs(corpus, maxHamming = 4, bucketCap = 1000)
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    }),
+
     "mm4_audio_dedup" -> ((s, dir) => {
       // AUDIO near-dedup through the real JDK codec (javax.sound WAV
       // decode end-to-end): every doc renders as one second of seeded

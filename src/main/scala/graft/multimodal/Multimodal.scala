@@ -665,4 +665,243 @@ object Multimodal {
       javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
     baos.toByteArray
   }
+
+  // ---- video: frame sampling + temporal perceptual signature ----------
+
+  /** splitmix64 avalanche — the audio synth's mixer, shared by the
+    * video scene seeder (full-width bit diffusion; low bits of a
+    * product are a ramp, see the envelope comment above). */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Raw-frame video container ("GVID"): magic (4) + width (2 BE) +
+    * height (2 BE) + nFrames (2 BE) + nFrames × (w·h) luminance
+    * bytes. The JVM ships no video codec, so — per the library's
+    * multimodal contract — the CONTAINER is synthetic while every
+    * plumbing stage is real: magic-sniff + bounds-checked byte parse,
+    * frame extraction, per-frame decode to a real BufferedImage, and
+    * byte-level re-encode for the variant tables. A production
+    * deployment swaps [[parse]] for an FFmpeg-backed demuxer with the
+    * same signature; nothing downstream changes. */
+  object GvidDecoder {
+    val Magic: Array[Byte] = "GVID".getBytes("US-ASCII")
+
+    private def be16(p: Array[Byte], off: Int): Int =
+      ((p(off) & 0xff) << 8) | (p(off + 1) & 0xff)
+
+    /** (width, height, nFrames) if `payload` is a well-formed GVID —
+      * magic, sane dims, exact length — else None (stub arm). */
+    def parse(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (payload.length < 10 ||
+        payload(0) != Magic(0) || payload(1) != Magic(1) ||
+        payload(2) != Magic(2) || payload(3) != Magic(3)) None
+      else {
+        val w = be16(payload, 4); val h = be16(payload, 6)
+        val n = be16(payload, 8)
+        if (w <= 0 || h <= 0 || n <= 0 ||
+          payload.length != 10L + w.toLong * h * n) None
+        else Some((w, h, n))
+      }
+    }
+
+    /** Frame `f` as a real grayscale BufferedImage (the dHash input). */
+    def frame(payload: Array[Byte], w: Int, h: Int, f: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val base = 10 + f * w * h
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val l = payload(base + y * w + x) & 0xff
+          img.setRGB(x, y, (l << 16) | (l << 8) | l)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    def encode(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new Array[Byte](10 + w * h * frames.length)
+      System.arraycopy(Magic, 0, out, 0, 4)
+      out(4) = ((w >> 8) & 0xff).toByte; out(5) = (w & 0xff).toByte
+      out(6) = ((h >> 8) & 0xff).toByte; out(7) = (h & 0xff).toByte
+      out(8) = ((frames.length >> 8) & 0xff).toByte
+      out(9) = (frames.length & 0xff).toByte
+      frames.zipWithIndex.foreach { case (fr, i) =>
+        System.arraycopy(fr, 0, out, 10 + i * w * h, w * h)
+      }
+      out
+    }
+  }
+
+  /** Temporal perceptual signature: sample one frame at the CENTER of
+    * each of `nScenes` equal time slices, dHash each sampled frame,
+    * keep the top byte of each — a 64-bit signature at nScenes = 8.
+    *
+    * Sampling by RELATIVE position makes the signature frame-rate
+    * invariant by construction: for any version with ≥ 2·nScenes
+    * frames, the center frame of time slice s lies in slice s
+    * (⌊⌊(s+½)n/S⌋·S/n⌋ = s whenever n ≥ 2S), so uniformly dropped
+    * frames re-sample the same scene. dHash is luminance-GRADIENT
+    * based, so a global brightness shift that stays inside [0, 255]
+    * flips no bits. Together: frame-rate-halved and
+    * brightness-shifted re-encodes attain Hamming distance 0 —
+    * exactly the mm3/mm4 design discipline (recall on the planted
+    * transforms is 1.0 by construction, not by tuning), with the
+    * Hamming budget left for real-codec noise.
+    *
+    * Non-GVID payloads take the byte-grid stub arm ([[dHash64Stub]]'s
+    * contract): the pipeline is total, `codec` says which path ran.
+    * Output (id, sig, codec) plugs into
+    * [[graft.dedup.Dedup.hamming64Pairs]] — only ~16 bytes/row ever
+    * leave the scan, payloads stay put: the 100 TB shape. */
+  def videoSignatures(media: DataFrame, nScenes: Int = 8): DataFrame = {
+    require(nScenes >= 1 && nScenes <= 8,
+      s"videoSignatures: nScenes must be in [1,8] (8 bits per scene " +
+        s"in a 64-bit signature), got $nScenes")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        GvidDecoder.parse(r.payload) match {
+          case Some((w, h, n)) =>
+            var sig = 0L
+            var s = 0
+            while (s < nScenes) {
+              val f = ((2 * s + 1) * n) / (2 * nScenes) // ⌊(s+½)n/S⌋
+              val dh = dHash64(GvidDecoder.frame(r.payload, w, h, f))
+              // XOR-fold the 64-bit frame dHash to one byte: every
+              // gradient row contributes (a single comparison row of
+              // a smooth frame can be constant — all-0x00/0xFF bytes
+              // would let distinct videos collide), and a flipped
+              // dHash bit still flips exactly one signature bit
+              var fold = 0L; var b = 0
+              while (b < 8) { fold ^= (dh >>> (8 * b)) & 0xffL; b += 1 }
+              sig |= fold << (8 * s)
+              s += 1
+            }
+            (r.doc_id, sig, "gvid")
+          case None => (r.doc_id, dHash64Stub(r.payload), "stub")
+        }
+      }
+    }.toDF("id", "sig", "codec")
+  }
+
+  /** Video near-duplicate pairs: temporal signature → pigeonhole
+    * Hamming buckets → popcount verify (the shared
+    * [[graft.dedup.Dedup.hamming64Pairs]] machinery — payloads never
+    * shuffle). Finds re-encodes byte-level dedup cannot: frame-rate
+    * changes and brightness shifts by design (distance 0), codec
+    * noise within `maxHamming`. */
+  def videoDupPairs(media: DataFrame, maxHamming: Int = 4,
+                    bucketCap: Int = 1000,
+                    materializeSigs: Boolean = true): DataFrame = {
+    val feats = videoSignatures(media).select("id", "sig")
+    val sigs = if (materializeSigs) feats.localCheckpoint() else feats
+    graft.dedup.Dedup.hamming64Pairs(sigs, maxHamming, bucketCap)
+  }
+
+  /** Deterministic synthetic GVID corpus: `framesPerScene` identical
+    * frames per scene × 8 scenes; each scene is a seeded bilinear
+    * luminance gradient PLUS three seeded solid rectangles (the
+    * syntheticImageTable recipe — a bare gradient is linear along
+    * every row, making each dHash comparison row constant-sign and
+    * letting distinct videos collide). All values stay inside
+    * [30, 190]: 65 headroom on both sides so the brightness-shift
+    * variant never clamps (clamping flattens gradients and would
+    * break the exact-invariance claim). */
+  def syntheticVideoTable(docs: DataFrame, width: Int = 48, height: Int = 36,
+                          framesPerScene: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = width; val h = height; val fps = framesPerScene
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val frames = (0 until 8).flatMap { scene =>
+        val s0 = splitmix64(id * 8 + scene + 7777)
+        def rnd(k: Int): Long = splitmix64(s0 + k) >>> 8
+        def corner(k: Int): Double = 30.0 + (rnd(k) % 131).toDouble
+        val (c00, c10, c01, c11) = (corner(1), corner(2), corner(3), corner(4))
+        val fr = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val fx = x.toDouble / (w - 1); val fy = y.toDouble / (h - 1)
+            val l = (c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy) +
+              c01 * (1 - fx) * fy + c11 * fx * fy)
+            fr(y * w + x) = math.round(l).toByte
+            x += 1
+          }
+          y += 1
+        }
+        var rect = 0
+        while (rect < 3) {
+          val rx = (rnd(10 + rect * 5) % math.max(1, w - 12)).toInt
+          val ry = (rnd(11 + rect * 5) % math.max(1, h - 10)).toInt
+          val rw = 6 + (rnd(12 + rect * 5) % 7).toInt
+          val rh = 5 + (rnd(13 + rect * 5) % 6).toInt
+          val rl = (30 + rnd(14 + rect * 5) % 161).toInt
+          var y2 = ry
+          while (y2 < math.min(h, ry + rh)) {
+            var x2 = rx
+            while (x2 < math.min(w, rx + rw)) {
+              fr(y2 * w + x2) = rl.toByte
+              x2 += 1
+            }
+            y2 += 1
+          }
+          rect += 1
+        }
+        Seq.fill(fps)(fr)
+      }
+      MediaRow(id, "video", GvidDecoder.encode(w, h, frames),
+        "video/x-gvid", 10L + w.toLong * h * frames.length)
+    }.toDF("doc_id", "modality", "payload", "media_type", "n_bytes")
+  }
+
+  /** Byte-level re-encode keeping every `keepEvery`-th frame — the
+    * frame-rate-change variant (REAL parse + re-encode of the
+    * container bytes, not a re-render). */
+  def frameDroppedVideoTable(media: DataFrame, idOffset: Long,
+                             keepEvery: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].map { r =>
+      val (w, h, n) = GvidDecoder.parse(r.payload).getOrElse(
+        throw new IllegalArgumentException(
+          s"frameDroppedVideoTable: doc ${r.doc_id} is not GVID"))
+      val kept = (0 until n by keepEvery).map { f =>
+        java.util.Arrays.copyOfRange(r.payload, 10 + f * w * h, 10 + (f + 1) * w * h)
+      }
+      val p = GvidDecoder.encode(w, h, kept)
+      MediaRow(r.doc_id + idOffset, r.modality, p, r.media_type, p.length.toLong)
+    }.toDF("doc_id", "modality", "payload", "media_type", "n_bytes")
+  }
+
+  /** Byte-level re-encode adding `delta` to every luminance value —
+    * the brightness/gain variant. The synthetic corpus keeps values
+    * in [30, 190], so |delta| ≤ 65 never clamps. */
+  def brightnessShiftedVideoTable(media: DataFrame, idOffset: Long,
+                                  delta: Int = 30): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].map { r =>
+      val (w, h, n) = GvidDecoder.parse(r.payload).getOrElse(
+        throw new IllegalArgumentException(
+          s"brightnessShiftedVideoTable: doc ${r.doc_id} is not GVID"))
+      val p = r.payload.clone()
+      var i = 10
+      while (i < p.length) {
+        p(i) = math.max(0, math.min(255, (p(i) & 0xff) + delta)).toByte
+        i += 1
+      }
+      MediaRow(r.doc_id + idOffset, r.modality, p, r.media_type, p.length.toLong)
+    }.toDF("doc_id", "modality", "payload", "media_type", "n_bytes")
+  }
 }

@@ -226,4 +226,59 @@ class MultimodalSpec extends AnyFunSuite {
     val sig = Multimodal.audioPerceptualFeatures(junk).collect()(0)
     assert(sig.getString(2) == "stub")
   }
+
+  private def videoDocs(n: Int) = {
+    import spark.implicits._
+    (0L until n.toLong).toDF("doc_id")
+  }
+
+  test("video: GVID parse round-trips; corrupt payloads take the stub arm") {
+    import spark.implicits._
+    val base = Multimodal.syntheticVideoTable(videoDocs(3))
+    val p = base.collect()(0).getAs[Array[Byte]]("payload")
+    assert(Multimodal.GvidDecoder.parse(p) == Some((48, 36, 32)))
+    // corrupt magic, truncated body, absurd dims: parse refuses, the
+    // signature pipeline stays total on the labeled stub arm
+    val badMagic = p.clone(); badMagic(0) = 'X'.toByte
+    assert(Multimodal.GvidDecoder.parse(badMagic).isEmpty)
+    assert(Multimodal.GvidDecoder.parse(p.take(p.length - 1)).isEmpty)
+    assert(Multimodal.GvidDecoder.parse(p.take(9)).isEmpty)
+    val junk = Seq((7L, "video", badMagic, "video/x-gvid", badMagic.length.toLong))
+      .toDF("doc_id", "modality", "payload", "media_type", "n_bytes")
+    val sig = Multimodal.videoSignatures(junk).collect()(0)
+    assert(sig.getString(2) == "stub")
+  }
+
+  test("video: signature EXACTLY invariant under frame drop and brightness shift") {
+    val base = Multimodal.syntheticVideoTable(videoDocs(20)).localCheckpoint()
+    val sigs = Multimodal.videoSignatures(base)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(sigs.values.forall(_._2 == "gvid"), "corpus must take the real parse arm")
+    val dropped = Multimodal.videoSignatures(
+      Multimodal.frameDroppedVideoTable(base, 1000L, keepEvery = 2))
+      .collect().map(r => (r.getLong(0) - 1000L) -> r.getLong(1)).toMap
+    val shifted = Multimodal.videoSignatures(
+      Multimodal.brightnessShiftedVideoTable(base, 2000L, delta = 30))
+      .collect().map(r => (r.getLong(0) - 2000L) -> r.getLong(1)).toMap
+    sigs.foreach { case (id, (s, _)) =>
+      assert(dropped(id) == s, s"frame drop changed the signature of $id")
+      assert(shifted(id) == s, s"brightness shift changed the signature of $id")
+    }
+  }
+
+  test("video: planted variants all recalled, zero cross-video pairs") {
+    import spark.implicits._
+    val base = Multimodal.syntheticVideoTable(videoDocs(30)).localCheckpoint()
+    val corpus = base
+      .unionByName(Multimodal.frameDroppedVideoTable(base, 1000L))
+      .unionByName(Multimodal.brightnessShiftedVideoTable(base, 2000L))
+    val pairs = Multimodal.videoDupPairs(corpus, maxHamming = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0L until 30L).flatMap(i =>
+      Seq((i, i + 1000L), (i, i + 2000L), (i + 1000L, i + 2000L))).toSet
+    val missed = planted.diff(pairs)
+    assert(missed.isEmpty, s"planted video near-dups missed: $missed")
+    val bridging = pairs.filterNot { case (a, b) => a % 1000L == b % 1000L }
+    assert(bridging.isEmpty, s"distinct videos paired: $bridging")
+  }
 }
