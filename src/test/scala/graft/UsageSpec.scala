@@ -229,4 +229,64 @@ class UsageSpec extends AnyFunSuite {
     assert(b.select("doc_id").except(a.select("doc_id")).count() == 0)
     assert(span.count() <= clique.count())
   }
+
+  test("usage §3a3: fuzzy record linkage across two tables") {
+    import graft.operators.FuzzyJoin
+    val part = Tables.load(spark, sfDir, "part")
+    val catalogA = part.select(col("p_partkey").as("id"),
+      lower(col("p_name")).as("name"))
+    val catalogB = part.select((col("p_partkey") + 100000L).as("id"),
+      expr("substring(lower(p_name), 3)").as("name"))
+    val links = FuzzyJoin.linkPairs(
+      catalogA, "id", "name", catalogB, "id", "name", maxDistance = 2)
+    assert(links.count() > 0)
+  }
+
+  test("usage §4c: persisted IVF-PQ index round trip") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.limit(8)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_usage_annidx").toString
+    Ann.buildIvfPqIndex(emb, indexDir, nCells = 16, m = 8, ksub = 16)
+    val hits = Ann.ivfPqTopKIndexed(spark, indexDir, queries, emb, k = 10,
+      nCells = 16, nProbe = 4, m = 8, ksub = 16, rerank = 50)
+    assert(hits.count() > 0)
+  }
+
+  test("usage §5c: inverted-index search + BM25") {
+    import graft.operators.Search
+    val docs = Tables.load(spark, sfDir, "documents")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_usage_idx").toString
+    Search.invertedIndex(docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxDir)
+    val index = spark.read.parquet(idxDir)
+    val hits = Search.andSearch(index, Seq("spark", "window"))
+    val any = Search.orSearch(index, Seq("spark", "window"))
+    val ranked = Search.bm25TopDocs(docs, "doc_id", "text",
+      Seq("spark", "window"), topN = 20)
+    assert(hits.count() > 0 && any.count() >= hits.count())
+    assert(ranked.count() <= 20 && ranked.count() > 0)
+  }
+
+  test("usage §5d: per-group heavy hitters") {
+    import graft.operators.Freq
+    val docs = Tables.load(spark, sfDir, "documents")
+    val words = docs.select(col("source"),
+      explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
+        .as("word"))
+      .filter(col("word") =!= "")
+    val perSource = Freq.groupedHeavyHitters(
+      words,
+      groupCols = Seq("source"), itemCol = "word",
+      minFraction = 0.005,
+      estimatedGroups = 64)
+    assert(perSource.count() > 0)
+  }
+
+  test("usage §7c: video near-dedup") {
+    import spark.implicits._
+    val media = Multimodal.syntheticVideoTable((0L until 10L).toDF("doc_id"))
+    val videoDups = Multimodal.videoDupPairs(media, maxHamming = 4)
+    // distinct synthetic videos: pipeline runs, no spurious pairs
+    assert(videoDups.count() == 0)
+  }
 }
