@@ -326,6 +326,22 @@ object StressGate {
     val recallBpR = hitsR * 10000L / (p.nTwins * 10L)
     check("ann5_rerank_recall_bp", recallBpR >= 500, recallBpR, ">= 500 (0.05)")
 
+    // --- ann9: the persisted-index pair. Build (train + encode +
+    // cell-partitioned write) and the indexed query must both stay
+    // linear; the indexed result must be ROW-IDENTICAL to the inline
+    // path at equal (params, seed) — the shared-trainer claim checked
+    // at full fixture scale, not just sbt scale.
+    val idxDir = s"$dir/s$scale/ann9_index"
+    run("ann9_index_build", None) {
+      Ann.buildIvfPqIndex(emb, idxDir, nCells = 64, m = 8, ksub = 32)
+      spark.read.parquet(s"$idxDir/codes").count()
+    }
+    def ann9 = Ann.ivfPqTopKIndexed(spark, idxDir, queries, emb, k = 10,
+      nCells = 64, nProbe = 8, m = 8, ksub = 32)
+    run("ann9_indexed_query", None)(ann9.count())
+    val idxDiff = ann9.exceptAll(ann5).count() + ann5.exceptAll(ann9).count()
+    check("ann9_route_equality", idxDiff == 0, idxDiff, "0 (symmetric diff)")
+
     // --- skew mitigation: salted aggregation and split-route join must
     // be bit-equal to the plain plans (exact integer-valued doubles) ---
     def plainAgg = li.groupBy("grp").agg(
