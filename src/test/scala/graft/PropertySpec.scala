@@ -187,6 +187,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("groupedHeavyHitters == per-group HAVING over random grouped streams") {
+    // the grouped form under the same regime, with group sizes varying
+    // by 10×: each group's threshold derives from ITS total, so an
+    // item hot only in a small group must surface there and nowhere
+    // else — across partitionings (per-group sketch merge paths)
+    (1 to trials).foreach { s =>
+      val rnd = new scala.util.Random(9000 + s)
+      val nGroups = 2 + rnd.nextInt(3)
+      val rows = (0 until nGroups).flatMap { g =>
+        val gname = s"g$g"
+        val scale = 1 + g * 3
+        val hot = (0 until 1 + rnd.nextInt(3)).flatMap { i =>
+          List.fill((20 + rnd.nextInt(60)) * scale)(s"hot_${g}_$i")
+        }
+        val tail = (0 until (100 + rnd.nextInt(300)) * scale).map(i => s"t$i")
+        (hot ++ tail).map((gname, _))
+      }
+      val parts = 1 + (s % 4) * 3
+      val df = rows.toDF("g", "w").repartition(parts)
+      val frac = 0.02
+      val expected = rows.groupBy(_._1).flatMap { case (g, ws) =>
+        val thresh = math.ceil(ws.size * frac).toLong
+        ws.groupBy(_._2).view.mapValues(_.size.toLong)
+          .filter(_._2 >= thresh)
+          .map { case (w, n) => (g, w) -> n }
+      }.toMap
+      val got = graft.operators.Freq
+        .groupedHeavyHitters(df, Seq("g"), "w", minFraction = frac)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == expected, s"seed $s parts $parts: " +
+        s"missing=${(expected.keySet -- got.keySet).take(4)} " +
+        s"extra=${(got.keySet -- expected.keySet).take(4)}")
+    }
+  }
+
   test("spanning LSH clusters == ground-truth duplicate classes over random corpora") {
     // randomized structural check for the threshold=1.0 spanning path:
     // K distinct base texts, each duplicated a random number of times
@@ -256,6 +291,49 @@ class PropertySpec extends AnyFunSuite {
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
         val want = (for {
           (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+          d = lev(sa, sb) if d <= k
+        } yield (ia, ib, d)).toSet
+        assert(got == want, s"seed $s k=$k: missing=${(want -- got).take(4)} " +
+          s"extra=${(got -- want).take(4)}")
+      }
+    }
+  }
+
+  test("FuzzyJoin.linkPairs == brute-force cross levenshtein over random corpora (k=0..2)") {
+    // the linkage (R-S) form under the same hostile regime: tiny
+    // alphabet, short strings, heavy duplication on BOTH sides —
+    // duplicates must expand to full m×n blocks, distance-0 cross
+    // matches must surface, and the asymmetric probe/candidate key
+    // coverage must hold for every length combination
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(identity)
+      for (i <- 1 to b.length) {
+        var prev = d(0); d(0) = i
+        for (j <- 1 to a.length) {
+          val t = d(j)
+          d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+            prev + (if (a(j - 1) == b(i - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    (1 to trials).foreach { s =>
+      val rnd = new scala.util.Random(5000 + s)
+      def corpus(m: Int, off: Long) = (0 until m).map { i =>
+        val len = rnd.nextInt(7)
+        (off + i,
+          (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      }
+      val l = corpus(20 + rnd.nextInt(15), 0L)
+      val r = corpus(20 + rnd.nextInt(15), 10000L)
+      val ldf = l.toDF("id", "s"); val rdf = r.toDF("id", "s")
+      for (k <- 0 to 2) {
+        val got = graft.operators.FuzzyJoin
+          .linkPairs(ldf, "id", "s", rdf, "id", "s", k)
+          .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+        val want = (for {
+          (ia, sa) <- l; (ib, sb) <- r
           d = lev(sa, sb) if d <= k
         } yield (ia, ib, d)).toSet
         assert(got == want, s"seed $s k=$k: missing=${(want -- got).take(4)} " +
