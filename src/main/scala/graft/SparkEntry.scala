@@ -1437,6 +1437,21 @@ object SparkEntry {
       Streams.tumblingAggStreamOnce(s, s"$dir/events.parquet", "1 hour")
         .orderBy(col("window_start").asc, col("event_type").asc)),
 
+    "ev12_trending_stream" -> ((s, dir) =>
+      // per-window TRENDING types through the engine's CHAINED
+      // stateful operators: per-(window, type) counts feed a SECOND
+      // stateful windowed aggregate (totals + type list re-windowed
+      // via window_time), both append-mode — the multi-stateful
+      // capability none of ev1–ev11 exercises (plan-asserted: two
+      // StateStoreSaves). State is O(windows × types), never
+      // per-event. Append finalization (the ev6 discipline): only
+      // windows sealed by the final watermark (max event time − 2 h)
+      // emit on a bounded input — the oracle encodes exactly that
+      // cutoff in ms (Spark tracks event time in floor-ms).
+      Streams.trendingStreamOnce(s, s"$dir/events.parquet",
+          windowLen = "1 hour", minFraction = 0.25)
+        .orderBy(col("window_start").asc, col("event_type").asc)),
+
     "ev8_stream_static_join" -> ((s, dir) => {
       // stream-static enrichment executed BY the streaming engine:
       // events stream in, a static per-type dimension (derived from
@@ -3371,6 +3386,24 @@ object SparkEntry {
            count(*) AS n_events,
            round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "ev12_trending_stream" ->
+      """WITH e AS (
+           SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS ws,
+             event_type
+           FROM events),
+         wm AS (
+           SELECT (max(epoch_ns(ts)) // 1000000) - 7200000 AS wm_ms
+           FROM events),
+         c AS (SELECT ws, event_type, count(*) AS n_events FROM e GROUP BY 1, 2),
+         t AS (SELECT ws, CAST(sum(n_events) AS BIGINT) AS window_total
+               FROM c GROUP BY 1)
+         SELECT c.ws AS window_start, c.event_type,
+           c.n_events, t.window_total
+         FROM c JOIN t USING (ws), wm
+         WHERE c.n_events >= ceil(t.window_total * 0.25)
+           AND (c.ws + 3600) * 1000 <= wm.wm_ms
+         ORDER BY window_start, event_type""",
 
     "ev8_stream_static_join" ->
       """WITH dim AS (

@@ -484,6 +484,90 @@ object Streams {
     detachedTable(spark, qn)
   }
 
+  /** Per-window TRENDING event types (batch form): types taking at
+    * least `minFraction` of their window's events — the windowed
+    * heavy-hitter alert (a spike detector: a type that dominates one
+    * window surfaces even if globally rare). Output: (window_start,
+    * event_type, n_events, window_total), BigDecimal threshold
+    * arithmetic like the heavy-hitter family. */
+  def trendingAgg(events: DataFrame, windowLen: String = "1 hour",
+                  minFraction: Double = 0.25): DataFrame = {
+    require(minFraction > 0.0 && minFraction <= 1.0,
+      s"trendingAgg: minFraction must be in (0,1], got $minFraction")
+    val counts = events
+      .groupBy(window(eventTs(events, "ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val totals = counts.groupBy(col("w"))
+      .agg(sum(col("n_events")).as("window_total"))
+    counts.join(totals, Seq("w"))
+      .filter(col("n_events") >=
+        ceil(col("window_total") * lit(java.math.BigDecimal.valueOf(minFraction))))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("window_total"))
+  }
+
+  /** [[trendingAgg]] executed end-to-end BY the streaming engine as a
+    * bounded backfill — and the library's CHAINED-stateful-operator
+    * gate: the per-(window, type) count aggregate feeds a SECOND
+    * stateful windowed aggregate (per-window totals + the type list,
+    * re-windowed via `window_time`), both in append mode, then a
+    * stateless explode + threshold. State is O(windows × types) in
+    * the first operator and O(windows) in the second — never
+    * per-event — and the watermark bounds both stores.
+    *
+    * Append-mode finalization contract (the ev6 discipline): a window
+    * emits only once the watermark passes it, so on a BOUNDED input
+    * the emitted set is the batch [[trendingAgg]] result restricted
+    * to windows whose end lies at or before the final watermark
+    * (max event time − `watermark`); the tail windows are still open
+    * in state when the input ends — exactly what an unbounded run
+    * would emit later, and exactly what the declared oracle encodes.
+    */
+  def trendingStreamOnce(spark: SparkSession, sourcePath: String,
+                         windowLen: String = "1 hour",
+                         minFraction: Double = 0.25,
+                         watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    require(minFraction > 0.0 && minFraction <= 1.0,
+      s"trendingStreamOnce: minFraction must be in (0,1], got $minFraction")
+    val schema = spark.read.parquet(sourcePath).schema
+    val inputPath = asStreamDir(sourcePath)
+    val qn = "graft_trending_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val raw = spark.readStream.schema(schema).parquet(inputPath)
+    val src = raw.withColumn("__evt", eventTs(raw, "ts"))
+      .withWatermark("__evt", watermark)
+    val counts = src
+      .groupBy(window(col("__evt"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val perWindow = counts
+      .groupBy(window(window_time(col("w")), windowLen).as("w2"))
+      .agg(sum(col("n")).as("window_total"),
+        collect_list(struct(col("event_type"), col("n"))).as("types"))
+    val out = perWindow
+      .select(unix_timestamp(col("w2.start")).as("window_start"),
+        col("window_total"), explode(col("types")).as("t"))
+      .filter(col("t.n") >=
+        ceil(col("window_total") * lit(java.math.BigDecimal.valueOf(minFraction))))
+      .select(col("window_start"), col("t.event_type").as("event_type"),
+        col("t.n").as("n_events"), col("window_total"))
+    withBackfillStatePartitions(spark) {
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        val plan = org.apache.spark.sql.graftbridge.Bridge
+          .lastStreamingExecutedPlan(q).map(_.toString).getOrElse("")
+        // the whole point is the chained-stateful shape — require BOTH
+        // stateful aggregates in the executed streaming plan
+        require("StateStoreSave".r.findAllIn(plan).length >= 2,
+          "trendingStreamOnce: engine did not plan two chained stateful " +
+            s"aggregates:\n${plan.take(1500)}")
+      } finally if (q.isActive) q.stop()
+    }
+    detachedTable(spark, qn)
+  }
+
   /** Streaming exact dedup — the continuous form of [[graft.dedup.Dedup.exact]]
     * for at-least-once sources that redeliver records.
     * `dropDuplicatesWithinWatermark` keeps the first arrival per key and

@@ -315,4 +315,32 @@ class StreamsSpec extends AnyFunSuite {
       assert(batch.exceptAll(got).count() == 0)
     } finally q.stop()
   }
+
+  test("trending: chained stateful aggs equal batch trendingAgg on sealed windows") {
+    val src = s"${SparkT.sfDir}/events.parquet"
+    val events = spark.read.parquet(src)
+    val batch = graft.streaming.Streams.trendingAgg(events, "1 hour",
+      minFraction = 0.25)
+    // append-mode finalization: only windows whose END is at or before
+    // the final watermark (max event time floor-ms − 2 h) may emit
+    val maxMs = events
+      .select(max(graft.streaming.Streams.eventTsMs(events, "ts")))
+      .collect()(0).getLong(0)
+    val sealedBatch = batch
+      .filter((col("window_start") + 3600) * 1000 <= maxMs - 7200000L)
+    val got = graft.streaming.Streams.trendingStreamOnce(spark, src,
+      "1 hour", minFraction = 0.25)
+    assert(got.count() > 0, "no sealed trending windows — fixture too short")
+    assert(got.exceptAll(sealedBatch).count() == 0 &&
+      sealedBatch.exceptAll(got).count() == 0,
+      "stream != batch on sealed windows")
+    // batch form sanity: every window's trending shares sum ≤ 1/frac
+    // rows and each row clears its own window's threshold
+    val bad = batch.filter(col("n_events") <
+      ceil(col("window_total") * lit(java.math.BigDecimal.valueOf(0.25))))
+    assert(bad.count() == 0)
+    intercept[IllegalArgumentException] {
+      graft.streaming.Streams.trendingAgg(events, "1 hour", minFraction = 0.0)
+    }
+  }
 }
