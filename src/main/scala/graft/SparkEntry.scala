@@ -2071,6 +2071,18 @@ object SparkEntry {
         .orderBy(col("id").asc)
     }),
 
+    "cur9_profile" -> ((s, dir) =>
+      // column-level data profiling (the pre-training data-quality
+      // gate): null rates, exact cardinalities and value ranges for
+      // six heterogeneous orders columns in ONE aggregate pass, tidied
+      // to a row per column. Exact-distinct mode here (oracle-
+      // replayable; Spark plans it via Expand) — the approxDistinct
+      // flag keeps the 100 TB form single-scan with HLL++.
+      graft.operators.Profiler.columnStats(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority"))
+        .orderBy(col("col_name").asc)),
+
     "q55_fuzzy_link" -> ((s, dir) => {
       // record linkage ACROSS catalogs: the part names vs a second
       // catalog whose keys lost their two leading characters
@@ -3594,6 +3606,42 @@ object SparkEntry {
          FROM nm JOIN cc ON nm.id = cc.id
          WHERE cc.lab = nm.id
          ORDER BY id""",
+
+    "cur9_profile" ->
+      """WITH s AS (
+           SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+             count(o_orderkey) AS n_nonnull,
+             count(*) - count(o_orderkey) AS n_null,
+             count(DISTINCT o_orderkey) AS n_distinct,
+             CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+             CAST(max(o_orderkey) AS VARCHAR) AS max_value
+           FROM orders
+           UNION ALL
+           SELECT 'o_custkey', count(*), count(o_custkey),
+             count(*) - count(o_custkey), count(DISTINCT o_custkey),
+             CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+             count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
+             CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'o_totalprice', count(*), count(o_totalprice),
+             count(*) - count(o_totalprice), count(DISTINCT o_totalprice),
+             CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderdate', count(*), count(o_orderdate),
+             count(*) - count(o_orderdate), count(DISTINCT o_orderdate),
+             CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+             count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority),
+             CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+           FROM orders)
+         SELECT * FROM s ORDER BY col_name""",
 
     "q55_fuzzy_link" ->
       """WITH l AS (

@@ -146,6 +146,13 @@ object Freq {
     * plain two-level groupBy, where the group key itself is the long
     * tail. As with `estimatedItemBytes`, understating
     * `estimatedGroups` undersizes the guard, never the result.
+    *
+    * Cost honesty (stress-measured): when the distinct-ITEM universe
+    * is small enough that a two-level groupBy's hash map fits memory,
+    * the plain aggregate is FASTER — the sketch's per-row update isn't
+    * free, and it buys nothing without a long tail to avoid
+    * shuffling. Reach for this operator when distinct items per
+    * group are huge (shingles, URLs); profile first if unsure.
     */
   def groupedHeavyHitters(df: DataFrame, groupCols: Seq[String],
                           itemCol: String, minFraction: Double,
