@@ -196,4 +196,76 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(sigs.find(_.getLong(0) == 1L).get.isNullAt(1))
     assert(!sigs.find(_.getLong(0) == 2L).get.isNullAt(1))
   }
+
+  test("linkPairs: either side empty or all-null yields an empty result") {
+    import spark.implicits._
+    val some = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "s")
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    val nulls = Seq((9L, null.asInstanceOf[String])).toDF("id", "s")
+    assert(graft.operators.FuzzyJoin.linkPairs(
+      empty, "id", "s", some, "id", "s", 2).count() == 0)
+    assert(graft.operators.FuzzyJoin.linkPairs(
+      some, "id", "s", empty, "id", "s", 2).count() == 0)
+    assert(graft.operators.FuzzyJoin.linkPairs(
+      some, "id", "s", nulls, "id", "s", 2).count() == 0)
+  }
+
+  test("groupedHeavyHitters and trendingAgg: empty inputs are empty, not errors") {
+    import spark.implicits._
+    val emptyGw = Seq.empty[(String, String)].toDF("g", "w")
+    assert(graft.operators.Freq.groupedHeavyHitters(
+      emptyGw, Seq("g"), "w", minFraction = 0.1).count() == 0)
+    val emptyEvents = spark.read.parquet(s"${SparkT.sfDir}/events.parquet")
+      .filter(lit(false))
+    assert(graft.streaming.Streams.trendingAgg(
+      emptyEvents, "1 hour", 0.25).count() == 0)
+  }
+
+  test("Search: empty corpus, no-hit terms, and null text degrade to empty") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Search.invertedIndex(emptyDocs, "doc_id", "text").count() == 0)
+    assert(graft.operators.Search.bm25TopDocs(
+      emptyDocs, "doc_id", "text", Seq("x"), 5).count() == 0)
+    val nullDocs = Seq((1L, null.asInstanceOf[String]), (2L, "real text here"))
+      .toDF("doc_id", "text")
+    assert(graft.operators.Search.bm25TopDocs(
+      nullDocs, "doc_id", "text", Seq("zzz_absent"), 5).count() == 0)
+    val idx = graft.operators.Search.invertedIndex(nullDocs, "doc_id", "text")
+    assert(graft.operators.Search.andSearch(idx, Seq("zzz_absent")).count() == 0)
+  }
+
+  test("ivfPqTopKIndexed: empty query batch returns empty, reads no cells") {
+    import spark.implicits._
+    val emb = SparkT.table("embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_annidx").toString
+    graft.similarity.Ann.buildIvfPqIndex(emb, dir, nCells = 4, m = 8, ksub = 16)
+    val noQueries = emb.filter(lit(false))
+    assert(graft.similarity.Ann.ivfPqTopKIndexed(
+      spark, dir, noQueries, emb, k = 5, nCells = 4, m = 8, ksub = 16).count() == 0)
+  }
+
+  test("videoSignatures: empty frame empty; zero-length payload takes the stub arm") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Array[Byte], String, Long)]
+      .toDF("doc_id", "modality", "payload", "media_type", "n_bytes")
+    assert(graft.multimodal.Multimodal.videoSignatures(empty).count() == 0)
+    val zero = Seq((1L, "video", Array.emptyByteArray, "video/x-gvid", 0L))
+      .toDF("doc_id", "modality", "payload", "media_type", "n_bytes")
+    val r = graft.multimodal.Multimodal.videoSignatures(zero).collect()(0)
+    assert(r.getString(2) == "stub")
+  }
+
+  test("columnStats on an empty frame: zero counts, null ranges — not a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    val rows = graft.operators.Profiler.columnStats(empty, Seq("id", "s"))
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L &&
+        r.getLong(3) == 0L && r.getLong(4) == 0L)
+      assert(r.isNullAt(5) && r.isNullAt(6))
+    }
+  }
 }
