@@ -3701,7 +3701,7 @@ object SparkEntry {
          t AS (SELECT source, count(*) AS n_grp FROM w GROUP BY source)
          SELECT w.source AS source, w.word AS word,
            CAST(count(*) AS BIGINT) AS n
-         FROM w JOIN t ON w.source = t.source
+         FROM w JOIN t ON w.source IS NOT DISTINCT FROM t.source
          GROUP BY w.source, w.word, t.n_grp
          HAVING count(*) >= ceil(t.n_grp * 0.005)
          ORDER BY source, n DESC, word""",

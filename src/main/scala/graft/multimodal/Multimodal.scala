@@ -616,18 +616,12 @@ object Multimodal {
     // RAMP (K ≡ odd mod 16): every seed then produces the same
     // sawtooth envelope up to phase, and all recordings co-bucket
     // (measured: 56 cross-recording pairs in a 60-doc fixture)
-    def mix64(x0: Long): Long = {
-      var x = x0 + 0x9E3779B97F4A7C15L
-      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-      x ^ (x >>> 31)
-    }
     val levels = new Array[Double](w)
     var prev = -1
     var i = 0
     while (i < w) {
       var lvl = (java.lang.Long.remainderUnsigned(
-        mix64(seed * 8191L + i), 16L)).toInt
+        splitmix64(seed * 8191L + i), 16L)).toInt
       if (lvl == prev) lvl = (lvl + 1) % 16
       levels(i) = 0.25 + 0.75 * lvl / 16.0
       prev = lvl
@@ -668,8 +662,8 @@ object Multimodal {
 
   // ---- video: frame sampling + temporal perceptual signature ----------
 
-  /** splitmix64 avalanche — the audio synth's mixer, shared by the
-    * video scene seeder (full-width bit diffusion; low bits of a
+  /** splitmix64 avalanche, shared by the audio envelope seeder and
+    * the video scene seeder (full-width bit diffusion; low bits of a
     * product are a ramp, see the envelope comment above). */
   private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
@@ -813,9 +807,9 @@ object Multimodal {
     * syntheticImageTable recipe — a bare gradient is linear along
     * every row, making each dHash comparison row constant-sign and
     * letting distinct videos collide). All values stay inside
-    * [30, 190]: 65 headroom on both sides so the brightness-shift
-    * variant never clamps (clamping flattens gradients and would
-    * break the exact-invariance claim). */
+    * [30, 190]: headroom 30 below and 65 above, so a brightness
+    * shift with delta ∈ [−30, +65] never clamps (clamping flattens
+    * gradients and would break the exact-invariance claim). */
   def syntheticVideoTable(docs: DataFrame, width: Int = 48, height: Int = 36,
                           framesPerScene: Int = 4): DataFrame = {
     val spark = docs.sparkSession
@@ -870,15 +864,23 @@ object Multimodal {
     * container bytes, not a re-render). */
   def frameDroppedVideoTable(media: DataFrame, idOffset: Long,
                              keepEvery: Int = 2): DataFrame = {
+    require(keepEvery >= 1,
+      s"frameDroppedVideoTable: keepEvery must be >= 1, got $keepEvery")
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].map { r =>
       val (w, h, n) = GvidDecoder.parse(r.payload).getOrElse(
         throw new IllegalArgumentException(
           s"frameDroppedVideoTable: doc ${r.doc_id} is not GVID"))
+      // frame 0 always survives (0 until n by k is non-empty for
+      // n >= 1), so the variant stays a parseable GVID — but fail
+      // loudly rather than emit a frameless container if a future
+      // edit breaks that
       val kept = (0 until n by keepEvery).map { f =>
         java.util.Arrays.copyOfRange(r.payload, 10 + f * w * h, 10 + (f + 1) * w * h)
       }
+      require(kept.nonEmpty,
+        s"frameDroppedVideoTable: doc ${r.doc_id} would keep zero frames")
       val p = GvidDecoder.encode(w, h, kept)
       MediaRow(r.doc_id + idOffset, r.modality, p, r.media_type, p.length.toLong)
     }.toDF("doc_id", "modality", "payload", "media_type", "n_bytes")
@@ -886,7 +888,10 @@ object Multimodal {
 
   /** Byte-level re-encode adding `delta` to every luminance value —
     * the brightness/gain variant. The synthetic corpus keeps values
-    * in [30, 190], so |delta| ≤ 65 never clamps. */
+    * in [30, 190] — headroom 30 below, 65 above — so delta ∈
+    * [−30, +65] never clamps; outside that range clamped pixels
+    * flatten gradients and the exact-invariance claim no longer
+    * holds (dHash distance grows with the clamped area). */
   def brightnessShiftedVideoTable(media: DataFrame, idOffset: Long,
                                   delta: Int = 30): DataFrame = {
     val spark = media.sparkSession

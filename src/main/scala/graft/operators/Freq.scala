@@ -175,10 +175,15 @@ object Freq {
       else math.max(16L, want).toInt
     require(cap.toLong >= math.ceil(1.0 / minFraction).toLong,
       s"groupedHeavyHitters: capacity $cap cannot guarantee recall at minFraction $minFraction")
-    val estBroadcast =
-      2L * cap * estimatedGroups * (estimatedItemBytes + estimatedGroupBytes + RowOverheadBytes)
-    require(estBroadcast <= MaxCandidateBroadcastBytes,
-      s"groupedHeavyHitters: estimated candidate broadcast ${estBroadcast >> 20} MB " +
+    // overflow-safe budget check: estimatedGroups is caller-supplied
+    // Long, so the product 2·cap·groups·bytes can wrap past 2^63 and
+    // a wrapped (negative or small) estimate would sail through the
+    // guard — compare against the DIVIDED budget instead of
+    // multiplying up
+    val perGroupBytes =
+      2L * cap * (estimatedItemBytes + estimatedGroupBytes + RowOverheadBytes)
+    require(estimatedGroups <= MaxCandidateBroadcastBytes / perGroupBytes,
+      s"groupedHeavyHitters: estimated candidate broadcast " +
         s"(2 x $cap x $estimatedGroups groups x " +
         s"($estimatedItemBytes + $estimatedGroupBytes + $RowOverheadBytes) bytes) exceeds " +
         s"${MaxCandidateBroadcastBytes >> 20} MB — lower capacity/estimatedGroups, " +

@@ -709,14 +709,25 @@ object Ann {
     IvfPqModel(centers, codebooks, m, ksub)
   }
 
+  /** The model's two broadcast handles — created ONCE per operator
+    * call and passed to every stage that needs them (encode + search
+    * in the inline path), not re-broadcast per stage: broadcasts live
+    * until context shutdown, so duplicates pin doubled driver/
+    * BlockManager bookkeeping for the whole session. */
+  private def broadcastModel(spark: SparkSession, model: IvfPqModel):
+      (org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+       org.apache.spark.broadcast.Broadcast[Array[Array[Array[Float]]]]) =
+    (spark.sparkContext.broadcast(model.centers),
+      spark.sparkContext.broadcast(model.codebooks))
+
   /** One scan: cell assignment + residual PQ encoding together →
     * (id, cell, codes). */
   private def ivfPqEncode(corpus: DataFrame, model: IvfPqModel,
+      bc: (org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+           org.apache.spark.broadcast.Broadcast[Array[Array[Array[Float]]]]),
       idCol: String, vecCol: String): DataFrame = {
-    val spark = corpus.sparkSession
     val m = model.m; val sub = model.sub
-    val bcCenters = spark.sparkContext.broadcast(model.centers)
-    val bcCb = spark.sparkContext.broadcast(model.codebooks)
+    val (bcCenters, bcCb) = bc
     val encode = udf { (v: Seq[Float]) =>
       val cs = bcCenters.value; val cb = bcCb.value
       val vv = v.toArray
@@ -763,8 +774,9 @@ object Ann {
         "smaller than k cannot produce k reranked results")
     val model = trainIvfPqModel(corpus, nCells, m, ksub, seed,
       trainFraction, maxTrainRows, vecCol)
-    val encoded = ivfPqEncode(corpus, model, idCol, vecCol)
-    ivfPqSearchStage(encoded, corpus, queries, model, k, nProbe, nCells,
+    val bc = broadcastModel(corpus.sparkSession, model)
+    val encoded = ivfPqEncode(corpus, model, bc, idCol, vecCol)
+    ivfPqSearchStage(encoded, corpus, queries, model, bc, k, nProbe, nCells,
       rerank, idCol, vecCol)
   }
 
@@ -773,14 +785,16 @@ object Ann {
     * no query probes contribute nothing (slot −1), which is why the
     * indexed path may prune them from the scan entirely. */
   private def ivfPqSearchStage(encoded: DataFrame, corpus: DataFrame,
-      queries: DataFrame, model: IvfPqModel, k: Int, nProbe: Int,
+      queries: DataFrame, model: IvfPqModel,
+      bc: (org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+           org.apache.spark.broadcast.Broadcast[Array[Array[Array[Float]]]]),
+      k: Int, nProbe: Int,
       nCells: Int, rerank: Int, idCol: String, vecCol: String): DataFrame = {
     val spark = corpus.sparkSession
     val shortK = if (rerank > 0) rerank else k
     val m = model.m; val ksub = model.ksub
     val sub = model.sub; val dim = model.dim
-    val bcCenters = spark.sparkContext.broadcast(model.centers)
-    val bcCb = spark.sparkContext.broadcast(model.codebooks)
+    val (bcCenters, bcCb) = bc
     val qRows: Array[(Long, Array[Float])] = queries
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .collect()
@@ -909,7 +923,7 @@ object Ann {
     import spark.implicits._
     cbRows.toSeq.toDF("kind", "idx1", "idx2", "vec", "params")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    ivfPqEncode(corpus, model, idCol, vecCol)
+    ivfPqEncode(corpus, model, broadcastModel(spark, model), idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
   }
 
@@ -966,7 +980,8 @@ object Ann {
     val encoded = spark.read.parquet(s"$dir/codes")
       .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
       .select("id", "cell", "codes")
-    ivfPqSearchStage(encoded, corpus, queries, model, k, nProbe, nCells,
+    ivfPqSearchStage(encoded, corpus, queries, model,
+      broadcastModel(spark, model), k, nProbe, nCells,
       rerank, idCol, vecCol)
   }
 
