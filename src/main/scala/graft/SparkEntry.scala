@@ -2083,6 +2083,21 @@ object SparkEntry {
             "o_totalprice", "o_orderdate", "o_orderpriority"))
         .orderBy(col("col_name").asc)),
 
+    "cur10_drift" -> ((s, dir) => {
+      // distribution drift (PSI) between a base snapshot and a
+      // planted 15%-inflated current snapshot of o_totalprice — the
+      // production "did the new shard shift the distribution" gate.
+      // Equi-width bins over the BASE range by pure floor arithmetic
+      // (identical IEEE ops both engines), epsilon-floored
+      // proportions, one-row output. The planted shift must register
+      // (psi > 0.1, spec-pinned); identical snapshots give ~0.
+      val orders = t(s, dir, "orders")
+      graft.operators.Profiler.psiDrift(
+          orders.select(col("o_totalprice")),
+          orders.select((col("o_totalprice") * 1.15).as("o_totalprice")),
+          "o_totalprice", nBins = 10)
+    }),
+
     "q55_fuzzy_link" -> ((s, dir) => {
       // record linkage ACROSS catalogs: the part names vs a second
       // catalog whose keys lost their two leading characters
@@ -3642,6 +3657,32 @@ object SparkEntry {
              CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
            FROM orders)
          SELECT * FROM s ORDER BY col_name""",
+
+    "cur10_drift" ->
+      """WITH bounds AS (
+           SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+         bb AS (
+           SELECT least(greatest(CAST(floor(
+             (o_totalprice - lo) / ((hi - lo) / 10)) AS INTEGER), 0), 9) AS bin
+           FROM orders, bounds),
+         cc AS (
+           SELECT least(greatest(CAST(floor(
+             (o_totalprice * 1.15 - lo) / ((hi - lo) / 10)) AS INTEGER), 0), 9) AS bin
+           FROM orders, bounds),
+         bins AS (SELECT CAST(unnest(range(10)) AS INTEGER) AS bin),
+         bcnt AS (SELECT bin, count(*) AS n_base FROM bb GROUP BY 1),
+         ccnt AS (SELECT bin, count(*) AS n_cur FROM cc GROUP BY 1),
+         j AS (
+           SELECT bins.bin, coalesce(n_base, 0) AS n_base,
+             coalesce(n_cur, 0) AS n_cur
+           FROM bins LEFT JOIN bcnt USING (bin) LEFT JOIN ccnt USING (bin)),
+         t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j)
+         SELECT round(sum((pb - pc) * ln(pb / pc)), 6) AS psi,
+           CAST(sum(n_base) AS BIGINT) AS n_base,
+           CAST(sum(n_cur) AS BIGINT) AS n_cur
+         FROM (SELECT greatest(n_base / tb, 0.0001) AS pb,
+                 greatest(n_cur / tc, 0.0001) AS pc, n_base, n_cur
+               FROM j, t)""",
 
     "q55_fuzzy_link" ->
       """WITH l AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column-level data profiling — the data-quality gate a pipeline
@@ -60,5 +61,74 @@ object Profiler {
         col("r.n_null").as("n_null"), col("r.n_distinct").as("n_distinct"),
         col("r.min_value").as("min_value"), col("r.max_value").as("max_value"))
       .orderBy(col("ord").asc).drop("ord")
+  }
+
+  /** Distribution drift between two snapshots of one numeric column —
+    * the Population Stability Index, the standard production metric
+    * for "did the new crawl/shard shift the data a model was tuned
+    * on" (rule of thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * shifted).
+    *
+    * Binning: `nBins` EQUI-WIDTH bins over the BASE snapshot's
+    * [min, max] (one scalar aggregate on base); values are assigned
+    * by pure floor arithmetic `⌊(x − min)/w⌋` clamped into
+    * [0, nBins−1], so out-of-range current-snapshot values land in
+    * the edge bins (drift SHOULD count them) and the whole assignment
+    * is identical-IEEE-ops replayable by the oracle. Nulls are
+    * excluded on both sides (they are [[columnStats]]'s department).
+    * Equi-width is deliberate: the cut points are two numbers, not a
+    * quantile sketch — cheap, deterministic, engine-neutral; for
+    * heavy-tailed columns bin on a transformed column (log) instead.
+    *
+    * PSI = Σ_bins (pBase − pCur) · ln(pBase / pCur), with both
+    * proportions floored at `epsilon` (an empty bin on either side
+    * would make the term infinite; the floor is the standard
+    * practice and is part of the declared semantics, not a fudge —
+    * identical on both engines).
+    *
+    * Two scans of base (min/max + counts) and one of cur; everything
+    * aggregates map-side to nBins rows. Output: one row —
+    * (psi, n_base, n_cur), psi rounded 6dp (sum of ≤ nBins ln terms;
+    * the grid step is far above summation-order error). */
+  def psiDrift(base: DataFrame, cur: DataFrame, valueCol: String,
+               nBins: Int = 10, epsilon: Double = 1e-4): DataFrame = {
+    require(nBins >= 2, s"psiDrift: nBins must be >= 2, got $nBins")
+    require(epsilon > 0.0 && epsilon < 0.5,
+      s"psiDrift: epsilon must be in (0, 0.5), got $epsilon")
+    val v = col(valueCol).cast("double")
+    val bounds = base.filter(v.isNotNull)
+      .agg(min(v).as("lo"), max(v).as("hi"))
+    def binned(df: DataFrame, as: String) = {
+      val w = (col("hi") - col("lo")) / nBins
+      // degenerate base (constant column or single row): width 0 puts
+      // everything in bin 0 — defined, and PSI then measures only
+      // mass escaping the constant
+      val raw = when(col("hi") === col("lo"), lit(0))
+        .otherwise(floor((v - col("lo")) / w).cast("int"))
+      df.filter(v.isNotNull)
+        .crossJoin(broadcast(bounds))
+        .select(least(greatest(raw, lit(0)), lit(nBins - 1)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(as))
+    }
+    val b = binned(base, "n_base")
+    val c = binned(cur, "n_cur")
+    // all nBins bins present even when empty on both sides: the
+    // epsilon floor applies per bin, so missing rows must not
+    // silently drop terms
+    val spark = base.sparkSession
+    val allBins = spark.range(nBins).select(col("id").cast("int").as("bin"))
+    val joined = allBins
+      .join(b, Seq("bin"), "left").join(c, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
+    joined.crossJoin(broadcast(totals))
+      .select(
+        greatest(col("n_base") / col("tb"), lit(epsilon)).as("pb"),
+        greatest(col("n_cur") / col("tc"), lit(epsilon)).as("pc"),
+        col("n_base"), col("n_cur"))
+      .agg(round(sum((col("pb") - col("pc")) * log(col("pb") / col("pc"))), 6).as("psi"),
+        sum(col("n_base")).as("n_base"), sum(col("n_cur")).as("n_cur"))
   }
 }

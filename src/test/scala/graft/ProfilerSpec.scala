@@ -57,4 +57,32 @@ class ProfilerSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("psiDrift: zero on identical snapshots, detects a planted shift, exact on a hand case") {
+    val base = (1 to 1000).map(_.toDouble / 10.0).toDF("v")
+    val same = Profiler.psiDrift(base, base, "v").collect()(0)
+    assert(same.getDouble(0) == 0.0 && same.getLong(1) == 1000L)
+    // planted shift: +30% pushes mass rightward across bins
+    val shifted = base.select((col("v") * 1.3).as("v"))
+    val psi = Profiler.psiDrift(base, shifted, "v").collect()(0).getDouble(0)
+    assert(psi > 0.1, s"planted shift not detected: psi=$psi")
+    // hand-computable case: 2 bins, base uniform {1,1,2,2}, cur all-low
+    // {1,1,1,1}: lo=1 hi=2 w=0.5 → base bins (0,0,1,1), cur (0,0,0,0)
+    // pb=(.5,.5) pc=(1,eps) → psi = (.5-1)ln(.5) + (.5-eps)ln(.5/eps)
+    val b2 = Seq(1.0, 1.0, 2.0, 2.0).toDF("v")
+    val c2 = Seq(1.0, 1.0, 1.0, 1.0).toDF("v")
+    val eps = 1e-4
+    val want = BigDecimal((0.5 - 1.0) * math.log(0.5) +
+      (0.5 - eps) * math.log(0.5 / eps))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Profiler.psiDrift(b2, c2, "v", nBins = 2).collect()(0).getDouble(0)
+    assert(got == want, s"got=$got want=$want")
+    // nulls excluded; degenerate constant base defined (all bin 0)
+    val withNull = Seq(Some(1.0), None, Some(2.0)).toDF("v")
+    assert(Profiler.psiDrift(withNull, withNull, "v").collect()(0).getLong(1) == 2L)
+    val const = Seq(5.0, 5.0).toDF("v")
+    assert(Profiler.psiDrift(const, const, "v").collect()(0).getDouble(0) == 0.0)
+    intercept[IllegalArgumentException] { Profiler.psiDrift(base, base, "v", nBins = 1) }
+    intercept[IllegalArgumentException] { Profiler.psiDrift(base, base, "v", epsilon = 0.7) }
+  }
 }
