@@ -2098,6 +2098,21 @@ object SparkEntry {
           "o_totalprice", nBins = 10)
     }),
 
+    "cur11_ks" -> ((s, dir) => {
+      // exact two-sample Kolmogorov-Smirnov drift between the base
+      // order-price snapshot and a planted 5%-inflated one — the
+      // binning-free companion gate to cur10. The statistic is a max
+      // over |k/n - j/m| with exact integer cumulative counts from
+      // the distributed range-partitioned prefix-sum CDF, so the
+      // oracle replays it bit-for-bit (only the final 6dp round
+      // touches float formatting).
+      val orders = t(s, dir, "orders")
+      graft.operators.Profiler.ksDrift(
+          orders.select(col("o_totalprice")),
+          orders.select((col("o_totalprice") * 1.05).as("o_totalprice")),
+          "o_totalprice")
+    }),
+
     "q55_fuzzy_link" -> ((s, dir) => {
       // record linkage ACROSS catalogs: the part names vs a second
       // catalog whose keys lost their two leading characters
@@ -3683,6 +3698,23 @@ object SparkEntry {
          FROM (SELECT greatest(n_base / tb, 0.0001) AS pb,
                  greatest(n_cur / tc, 0.0001) AS pc, n_base, n_cur
                FROM j, t)""",
+
+    "cur11_ks" ->
+      """WITH d AS (
+           SELECT v, sum(b) AS cb, sum(c) AS cc FROM (
+             SELECT o_totalprice AS v, 1 AS b, 0 AS c FROM orders
+             UNION ALL
+             SELECT o_totalprice * 1.05 AS v, 0 AS b, 1 AS c FROM orders) u
+           GROUP BY v),
+         r AS (
+           SELECT
+             sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+             sum(cc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumc
+           FROM d),
+         t AS (SELECT sum(cb) AS nb, sum(cc) AS nc FROM d)
+         SELECT round(max(abs(cumb / nb - cumc / nc)), 6) AS ks,
+           CAST(max(nb) AS BIGINT) AS n_base, CAST(max(nc) AS BIGINT) AS n_cur
+         FROM r, t""",
 
     "q55_fuzzy_link" ->
       """WITH l AS (

@@ -131,4 +131,81 @@ object Profiler {
       .agg(round(sum((col("pb") - col("pc")) * log(col("pb") / col("pc"))), 6).as("psi"),
         sum(col("n_base")).as("n_base"), sum(col("n_cur")).as("n_cur"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between two
+    * snapshots of one numeric column — the binning-free complement to
+    * [[psiDrift]]: D = sup_x |F_base(x) − F_cur(x)|, the largest gap
+    * between the two empirical CDFs. No bins, no epsilon — the
+    * statistic is a max over |k/n − j/m| with k, j, n, m exact
+    * integer counts, so the whole computation is bit-replayable by
+    * the oracle (one integer division and one subtraction per
+    * distinct value; only the final 6dp round touches float
+    * formatting).
+    *
+    * Scale shape — a distributed exact CDF, never a single-task sort:
+    *  1. tag-union the two sides and `groupBy(value)` into distinct
+    *     (value, n_base, n_cur) digests — the only pass that touches
+    *     every row, hash-aggregated with map-side combine (a
+    *     near-unique column at corpus scale still counts in parallel
+    *     because the exchange key is the value itself);
+    *  2. range-partition the digests by value and prefix-sum WITHIN
+    *     each (globally ordered) partition — a per-partition window,
+    *     parallel across partitions;
+    *  3. per-partition count totals (one row per partition, shared
+    *     with step 2's exchange via ReuseExchange — the fillDown
+    *     discipline, GraftFrame.fillDown) become exclusive prefix
+    *     offsets through a tiny partition-count-sized window,
+    *     broadcast back, and close the global cumulative counts.
+    * The KS gap only needs evaluating at distinct values (the CDF
+    * gap is constant between them and both CDFs step AT a value —
+    * evaluating |F_b − F_c| at every digest after both cumulative
+    * sums include that value's own counts covers every sup
+    * candidate).
+    *
+    * Nulls are excluded on both sides; an empty (all-null) side makes
+    * KS undefined and raises an IllegalArgumentException naming the
+    * side (a drift gate fed an empty snapshot is a pipeline bug, not
+    * a zero-drift corpus). Output: one row —
+    * (ks, n_base, n_cur), ks in [0, 1] rounded 6dp. Identical
+    * snapshots give exactly 0; disjoint value ranges give exactly 1. */
+  def ksDrift(base: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    def side(df: DataFrame, b: Int, name: String) = {
+      val f = df.filter(v.isNotNull)
+      require(!f.isEmpty,
+        s"ksDrift: $name snapshot has no non-null '$valueCol' values — KS is undefined")
+      f.select(v.as("__v"), lit(b.toLong).as("__b"), lit(1L - b).as("__c"))
+    }
+    val digests = side(base, 1, "base").unionAll(side(cur, 0, "cur"))
+      .groupBy(col("__v"))
+      .agg(sum(col("__b")).as("__cb"), sum(col("__c")).as("__cc"))
+    val ranged = digests.repartitionByRange(col("__v").asc)
+      .sortWithinPartitions(col("__v").asc)
+      .withColumn("__pid", spark_partition_id())
+    val wRun = Window.partitionBy("__pid").orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = ranged
+      .withColumn("__rb", sum(col("__cb")).over(wRun))
+      .withColumn("__rc", sum(col("__cc")).over(wRun))
+    // per-partition totals: one row per range partition, computed from
+    // the pre-window branch so the shuffle is shared (ReuseExchange),
+    // then a partition-count-sized window turns them into exclusive
+    // prefix offsets — broadcast back to close the global running sums
+    val wOff = Window.orderBy(col("__pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pidTotals = ranged.groupBy("__pid")
+      .agg(sum(col("__cb")).as("__tb"), sum(col("__cc")).as("__tc"))
+    val offsets = pidTotals.select(col("__pid"),
+      coalesce(sum(col("__tb")).over(wOff), lit(0L)).as("__ob"),
+      coalesce(sum(col("__tc")).over(wOff), lit(0L)).as("__oc"))
+    val totals = pidTotals
+      .agg(sum(col("__tb")).as("__nb"), sum(col("__tc")).as("__nc"))
+    run.join(broadcast(offsets), Seq("__pid"))
+      .crossJoin(broadcast(totals))
+      .select(abs((col("__rb") + col("__ob")) / col("__nb")
+          - (col("__rc") + col("__oc")) / col("__nc")).as("__gap"),
+        col("__nb"), col("__nc"))
+      .agg(round(max(col("__gap")), 6).as("ks"),
+        first(col("__nb")).as("n_base"), first(col("__nc")).as("n_cur"))
+  }
 }

@@ -85,4 +85,44 @@ class ProfilerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Profiler.psiDrift(base, base, "v", nBins = 1) }
     intercept[IllegalArgumentException] { Profiler.psiDrift(base, base, "v", epsilon = 0.7) }
   }
+
+  test("ksDrift: exact endpoints, hand case, brute-force parity, nulls, refusals") {
+    val base = (1 to 1000).map(_.toDouble / 10.0).toDF("v")
+    val same = Profiler.ksDrift(base, base, "v").collect()(0)
+    assert(same.getDouble(0) == 0.0 && same.getLong(1) == 1000L
+      && same.getLong(2) == 1000L)
+    // disjoint value ranges: every base value precedes every cur value,
+    // so the CDF gap reaches exactly 1 at the base max
+    val hi = base.select((col("v") + 1000.0).as("v"))
+    assert(Profiler.ksDrift(base, hi, "v").collect()(0).getDouble(0) == 1.0)
+    // hand case: base {1,2,3,4}, cur {3,4,5,6} — gaps at the distinct
+    // values are .25,.5,.5,.5,.25,0 → D = 0.5 exactly
+    val b4 = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val c4 = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    assert(Profiler.ksDrift(b4, c4, "v").collect()(0).getDouble(0) == 0.5)
+    // brute-force parity on a ties-heavy unequal-size mix: the
+    // distributed prefix-sum must agree with a local sort to 6dp
+    val bv = (1 to 500).map(i => (i * 37 % 97).toDouble)
+    val cv = (1 to 400).map(i => (i * 53 % 89).toDouble + 3.0)
+    val want = {
+      val xs = (bv ++ cv).distinct.sorted
+      val d = xs.map { x =>
+        math.abs(bv.count(_ <= x).toDouble / bv.size
+          - cv.count(_ <= x).toDouble / cv.size)
+      }.max
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Profiler.ksDrift(
+      bv.toDF("v").repartition(7), cv.toDF("v").repartition(5), "v")
+      .collect()(0)
+    assert(got.getDouble(0) == want, s"got=${got.getDouble(0)} want=$want")
+    assert(got.getLong(1) == 500L && got.getLong(2) == 400L)
+    // nulls excluded; an all-null/empty side refuses with a named error
+    val withNull = Seq(Some(1.0), None, Some(2.0)).toDF("v")
+    assert(Profiler.ksDrift(withNull, withNull, "v").collect()(0).getLong(1) == 2L)
+    val e = intercept[IllegalArgumentException] {
+      Profiler.ksDrift(base.filter(col("v") < 0), base, "v")
+    }
+    assert(e.getMessage.contains("base snapshot"))
+  }
 }
