@@ -2113,6 +2113,21 @@ object SparkEntry {
           "o_totalprice")
     }),
 
+    "cur12_cat_drift" -> ((s, dir) => {
+      // categorical drift on the order-priority mix: the current
+      // snapshot deterministically remaps every orderkey % 5 == 0 row
+      // to 1-URGENT (~20% of the mass migrates). topK=3 exercises the
+      // __other__ fold over the remaining two priorities; sum of
+      // jsd_term is the Jensen-Shannon divergence between the mixes.
+      val orders = t(s, dir, "orders")
+      graft.operators.Profiler.categoricalDrift(
+          orders.select(col("o_orderpriority")),
+          orders.select(
+            when(col("o_orderkey") % 5 === 0, lit("1-URGENT"))
+              .otherwise(col("o_orderpriority")).as("o_orderpriority")),
+          "o_orderpriority", topK = 3)
+    }),
+
     "q55_fuzzy_link" -> ((s, dir) => {
       // record linkage ACROSS catalogs: the part names vs a second
       // catalog whose keys lost their two leading characters
@@ -3715,6 +3730,31 @@ object SparkEntry {
          SELECT round(max(abs(cumb / nb - cumc / nc)), 6) AS ks,
            CAST(max(nb) AS BIGINT) AS n_base, CAST(max(nc) AS BIGINT) AS n_cur
          FROM r, t""",
+
+    "cur12_cat_drift" ->
+      """WITH d AS (
+           SELECT cat, sum(b) AS cb, sum(c) AS cc FROM (
+             SELECT o_orderpriority AS cat, 1 AS b, 0 AS c FROM orders
+             UNION ALL
+             SELECT CASE WHEN o_orderkey % 5 = 0 THEN '1-URGENT'
+                         ELSE o_orderpriority END, 0, 1 FROM orders) u
+           GROUP BY cat),
+         top AS (SELECT cat FROM d ORDER BY cb DESC, cat ASC LIMIT 3),
+         m AS (
+           SELECT CASE WHEN cat IN (SELECT cat FROM top) THEN cat
+                       ELSE '__other__' END AS category,
+             sum(cb) AS nb, sum(cc) AS nc
+           FROM d GROUP BY 1),
+         t AS (SELECT sum(nb) AS tb, sum(nc) AS tc FROM m)
+         SELECT category,
+           CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_cur,
+           round(nb / tb, 6) AS p_base, round(nc / tc, 6) AS p_cur,
+           round((CASE WHEN nb = 0 THEN 0.0
+                       ELSE (nb / tb) * ln((nb / tb) / ((nb / tb + nc / tc) / 2)) END
+                + CASE WHEN nc = 0 THEN 0.0
+                       ELSE (nc / tc) * ln((nc / tc) / ((nb / tb + nc / tc) / 2)) END)
+                 * 0.5, 6) AS jsd_term
+         FROM m, t ORDER BY category""",
 
     "q55_fuzzy_link" ->
       """WITH l AS (

@@ -208,4 +208,71 @@ object Profiler {
       .agg(round(max(col("__gap")), 6).as("ks"),
         first(col("__nb")).as("n_base"), first(col("__nc")).as("n_cur"))
   }
+
+  /** Categorical frequency drift between two snapshots of a discrete
+    * column — the Jensen–Shannon decomposition over the top-`topK`
+    * categories plus an `__other__` bucket, the companion to
+    * [[psiDrift]]/[[ksDrift]] for string-typed columns (language mix,
+    * source domain, license tag — the distributions an LLM data
+    * pipeline actually tracks between crawls).
+    *
+    * Output: one tidy row per kept category plus `__other__`
+    * (category, n_base, n_cur, p_base, p_cur, jsd_term), ordered by
+    * category; `sum(jsd_term)` is the Jensen–Shannon divergence
+    * (natural log: 0 = identical mixes, ln 2 ≈ 0.693 = disjoint).
+    * jsd_term = ½(p_b·ln(p_b/m) + p_c·ln(p_c/m)) with m = (p_b+p_c)/2
+    * and 0·ln 0 = 0 — no epsilon floor needed (a kept category has
+    * mass on at least one side, so m > 0). p/term are rounded 6dp for
+    * output; counts are exact.
+    *
+    * Scale shape: tag-union → one hash-aggregated `groupBy(category)`
+    * pass (the only full-data scan); top-K selection is by BASE-side
+    * count (categories defined on the base snapshot, the [[psiDrift]]
+    * bin convention — a category newborn in `cur` shows up as
+    * `__other__` mass), a bounded
+    * `orderBy(base count desc, category asc).limit(K)` over the already
+    * aggregated digests (TakeOrdered: per-partition partial top-K,
+    * K·partitions rows to the driver side of the plan — never a
+    * global sort), deterministic under count ties via the category
+    * tie-break; the kept set broadcasts back and the `__other__`
+    * fold re-aggregates to ≤ K+1 rows with map-side combine, so an
+    * unbounded-cardinality column (URLs, domains) stays safe.
+    * Nulls are excluded on both sides ([[columnStats]] reports them);
+    * a real category literally named `__other__` would merge with the
+    * fold bucket. Empty sides refuse with a named error, as in
+    * [[ksDrift]]. */
+  def categoricalDrift(base: DataFrame, cur: DataFrame, catCol: String,
+                       topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"categoricalDrift: topK must be >= 1, got $topK")
+    val cc = col(catCol).cast("string")
+    def side(df: DataFrame, b: Int, name: String) = {
+      val f = df.filter(cc.isNotNull)
+      require(!f.isEmpty,
+        s"categoricalDrift: $name snapshot has no non-null '$catCol' values")
+      f.select(cc.as("__cat"), lit(b.toLong).as("__b"), lit(1L - b).as("__c"))
+    }
+    val digests = side(base, 1, "base").unionAll(side(cur, 0, "cur"))
+      .groupBy(col("__cat"))
+      .agg(sum(col("__b")).as("__cb"), sum(col("__c")).as("__cc"))
+    val top = digests.orderBy(col("__cb").desc, col("__cat").asc).limit(topK)
+      .select(col("__cat"), lit(true).as("__keep"))
+    val mapped = digests.join(broadcast(top), Seq("__cat"), "left")
+      .select(when(col("__keep"), col("__cat")).otherwise(lit("__other__"))
+          .as("category"),
+        col("__cb"), col("__cc"))
+      .groupBy("category")
+      .agg(sum(col("__cb")).as("__nb"), sum(col("__cc")).as("__nc"))
+    val totals = mapped.agg(sum(col("__nb")).as("__tb"), sum(col("__nc")).as("__tc"))
+    val pb = col("__nb") / col("__tb")
+    val pc = col("__nc") / col("__tc")
+    val m = (pb + pc) / 2
+    val term = (when(col("__nb") === 0L, lit(0.0)).otherwise(pb * log(pb / m))
+      + when(col("__nc") === 0L, lit(0.0)).otherwise(pc * log(pc / m))) * 0.5
+    mapped.crossJoin(broadcast(totals))
+      .select(col("category"),
+        col("__nb").as("n_base"), col("__nc").as("n_cur"),
+        round(pb, 6).as("p_base"), round(pc, 6).as("p_cur"),
+        round(term, 6).as("jsd_term"))
+      .orderBy(col("category").asc)
+  }
 }

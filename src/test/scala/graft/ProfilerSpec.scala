@@ -125,4 +125,56 @@ class ProfilerSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("base snapshot"))
   }
+
+  test("categoricalDrift: zero/ln2 endpoints, other-fold conservation, tie-break, refusals") {
+    val base = (1 to 100).map(i => s"cat${i % 5}").toDF("lang")
+    val same = Profiler.categoricalDrift(base, base, "lang").collect()
+    assert(same.length == 5)
+    same.foreach { r =>
+      assert(r.getDouble(5) == 0.0 && r.getDouble(3) == r.getDouble(4))
+    }
+    // disjoint single-category snapshots: JSD = ln 2, split as one
+    // 0.5*ln2 term per side
+    val a = Seq.fill(10)("only_a").toDF("lang")
+    val b = Seq.fill(20)("only_b").toDF("lang")
+    val halfLn2 = BigDecimal(0.5 * math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dis = Profiler.categoricalDrift(a, b, "lang").collect()
+    assert(dis.map(_.getString(0)).toSeq == Seq("only_a", "only_b"))
+    assert(dis.forall(_.getDouble(5) == halfLn2))
+    // topK fold: 5 categories, keep 2 → 3 rows, counts conserved, and
+    // the kept set is the top-2 by BASE-side count (bins defined on
+    // base, the psiDrift convention)
+    val skewed = (Seq.fill(50)("big") ++ Seq.fill(30)("mid") ++
+      Seq.fill(10)("s1") ++ Seq.fill(6)("s2") ++ Seq.fill(4)("s3")).toDF("lang")
+    val folded = Profiler.categoricalDrift(skewed, skewed, "lang", topK = 2)
+      .collect()
+    assert(folded.map(_.getString(0)).toSeq == Seq("__other__", "big", "mid"))
+    assert(folded.map(_.getLong(1)).sum == 100L)
+    assert(folded.find(_.getString(0) == "__other__").get.getLong(1) == 20L)
+    // count ties break lexically: three equal categories, keep 2
+    val tied = (Seq.fill(5)("zz") ++ Seq.fill(5)("aa") ++ Seq.fill(5)("mm"))
+      .toDF("lang")
+    val keptTied = Profiler.categoricalDrift(tied, tied, "lang", topK = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(keptTied == Seq("__other__", "aa", "mm"))
+    // planted remap registers: a fifth of the mass moves to one class
+    val cur = base.select(
+      when(expr("substring(lang, 4, 1) = '0'"), lit("cat1"))
+        .otherwise(col("lang")).as("lang"))
+    val jsd = Profiler.categoricalDrift(base, cur, "lang").collect()
+      .map(_.getDouble(5)).sum
+    assert(jsd > 0.01, s"planted remap not detected: jsd=$jsd")
+    // nulls excluded; empty side refuses with a named error
+    val withNull = Seq(Some("x"), None, Some("y")).toDF("lang")
+    assert(Profiler.categoricalDrift(withNull, withNull, "lang")
+      .collect().map(_.getLong(1)).sum == 2L)
+    val e2 = intercept[IllegalArgumentException] {
+      Profiler.categoricalDrift(base.filter(col("lang") === "nope"), base, "lang")
+    }
+    assert(e2.getMessage.contains("base snapshot"))
+    intercept[IllegalArgumentException] {
+      Profiler.categoricalDrift(base, base, "lang", topK = 0)
+    }
+  }
 }
