@@ -184,6 +184,23 @@ class UsageSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$zdir/lineitem_z").count() == lineitem.count())
   }
 
+  test("usage §7d: profiling and drift gates") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val lastWeek = orders.select(col("o_totalprice"), col("o_orderpriority"))
+    val thisWeek = lastWeek
+    val profile = graft.operators.Profiler.columnStats(orders,
+      Seq("o_orderkey", "o_totalprice", "o_orderdate"), approxDistinct = true)
+    val psi = graft.operators.Profiler.psiDrift(lastWeek, thisWeek, "o_totalprice")
+    val ks = graft.operators.Profiler.ksDrift(lastWeek, thisWeek, "o_totalprice")
+    val jsd = graft.operators.Profiler.categoricalDrift(lastWeek, thisWeek,
+      "o_orderpriority", topK = 10)
+    assert(profile.count() == 3L)
+    // identical snapshots: all three drift gates read exactly zero
+    assert(psi.collect()(0).getDouble(0) == 0.0)
+    assert(ks.collect()(0).getDouble(0) == 0.0)
+    assert(jsd.collect().map(_.getDouble(5)).sum == 0.0)
+  }
+
   test("usage §9a: the documented plan-reading checklist holds on the example") {
     val lineitem = Tables.load(spark, sfDir, "lineitem")
     val q = GraftFrame(lineitem)
