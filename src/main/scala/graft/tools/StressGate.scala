@@ -483,6 +483,39 @@ object StressGate {
           .select("grp", "word", "n"))
         .count())
 
+    // --- drift gates at their worst cases. ksDrift: a NEAR-UNIQUE
+    // numeric column (the liQ value — ~3M distinct per scale unit), so
+    // the digest table is ~input-sized and the distributed prefix-sum
+    // CDF is doing real work; the +1e12 shift pushes every current
+    // value past the base range, so D = 1.0 EXACTLY — closed form,
+    // and the identical pair reads exactly 0. Linearity
+    // asserts the range-partitioned per-partition windows never
+    // degrade to a single-task global sort (which would blow the band
+    // at 10×, not just run slow).
+    def ksVal(cur: DataFrame): Long =
+      (graft.operators.Profiler.ksDrift(liQ.select(col("__val")), cur, "__val")
+        .collect()(0).getDouble(0) * 1e6).toLong
+    run("cur11_ks_disjoint", Some(1000000L))(
+      ksVal(liQ.select((col("__val") + 1e12).as("__val"))))
+    run("cur11_ks_identical", Some(0L))(
+      ksVal(liQ.select(col("__val"))))
+    // categoricalDrift: an UNBOUNDED-cardinality column (the doc words
+    // incl. per-class cls tokens — ~vocab+nClasses categories). The
+    // top-K fold must keep the output at exactly topK+1 rows and the
+    // identical-side JSD at exactly 0 while the full-data groupBy +
+    // bounded TakeOrdered stay linear.
+    val catWords = ghWords.select(col("word"))
+    run("cur12_cat_hi_card", Some(21L))(
+      graft.operators.Profiler.categoricalDrift(
+        catWords, catWords, "word", topK = 20).count())
+    if (scale == oracleScale) {
+      val jsdSum = graft.operators.Profiler.categoricalDrift(
+        catWords, catWords, "word", topK = 20)
+        .agg(sum(col("jsd_term"))).collect()(0).getDouble(0)
+      check("cur12_identical_zero", jsdSum == 0.0,
+        (jsdSum * 1e6).toLong, "0 (identical mixes)")
+    }
+
     def checksum(j: DataFrame): Long = j.agg(
       sum((col("l_quantity") * col("o_totalprice")).cast("long")) + count(lit(1)))
       .collect()(0).getLong(0)
