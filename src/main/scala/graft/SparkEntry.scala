@@ -2195,7 +2195,86 @@ object SparkEntry {
             .filter(col("word") =!= ""),
           groupCols = Seq("source"), itemCol = "word",
           minFraction = 0.005, estimatedGroups = 64)
-        .orderBy(col("source").asc, col("n").desc, col("word").asc))
+        .orderBy(col("source").asc, col("n").desc, col("word").asc)),
+
+    "txt22_contam_spans" -> ((s, dir) => {
+      // span-LOCALIZED decontamination: WHERE each doc leaks the
+      // benchmark (docs 0-4), as maximal merged 8-word-window spans —
+      // the production remedy cuts the quoted window, not the whole
+      // doc (txt10's doc-level ratio can neither keep the clean 95%
+      // of a long doc nor find the leak to cut). Planted leaks: bench
+      // doc 0's text APPENDED to every 20th doc (+20000 ids) and
+      // bench doc 1's PREPENDED to every doc_id%20==7 (+30000 ids) —
+      // spans must land at the tail resp. head word offsets; bench
+      // docs themselves (they are corpus members) must come back as
+      // one full-coverage span. Text never shuffles: bench window
+      // digests broadcast, corpus windows travel as the dd12 digest
+      // pair, the interval merge is a per-doc window. The oracle
+      // groups on raw window TEXT — digest-vs-text agreement is the
+      // 128-bit collision-freedom claim, as in dd12.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") < 5)
+      val b0 = bench.filter(col("doc_id") === 0)
+        .select(col("text").as("bench_text"))
+      val b1 = bench.filter(col("doc_id") === 1)
+        .select(col("text").as("bench_text"))
+      val appended = d.filter(col("doc_id") % 20 === 0 && col("doc_id") >= 20)
+        .crossJoin(broadcast(b0))
+        .select((col("doc_id") + 20000L).as("doc_id"),
+          concat(col("text"), lit(" "), col("bench_text")).as("text"))
+      val prepended = d.filter(col("doc_id") % 20 === 7)
+        .crossJoin(broadcast(b1))
+        .select((col("doc_id") + 30000L).as("doc_id"),
+          concat(col("bench_text"), lit(" "), col("text")).as("text"))
+      Decontam.contaminatedSpans(
+          d.unionByName(appended).unionByName(prepended), bench,
+          "doc_id", "text", windowWords = 8)
+        .orderBy(col("doc_id").asc, col("span_start").asc)
+    }),
+
+    "ann10_margin_mine" -> ((s, dir) => {
+      // margin-based nearest-match mining (ratio margin, Artetxe &
+      // Schwenk 2019): best corpus match per query by cosine
+      // normalized against BOTH endpoints' k-NN neighborhoods — the
+      // hub-suppressing pair miner (bitext mining, cross-dump record
+      // matching) that a raw cosine threshold gets wrong. One corpus
+      // scan: micro-quantized cosines feed per-query forward heaps
+      // AND the per-row backward top-k statistic; the margin is one
+      // double division of exact integers, so DuckDB replays value
+      // and rank order bit-for-bit.
+      val emb = t(s, dir, "embeddings")
+      Ann.marginMine(emb, emb.filter(col("vec_id") < 20), k = 4,
+          minMargin = 1.0)
+        .orderBy(col("query_id").asc)
+    }),
+
+    "q56_merge_snapshot" -> ((s, dir) => {
+      // incremental snapshot maintenance (the crawl-refresh merge):
+      // base = orders snapshot; batch tombstones every %10==0 key,
+      // re-prices every %10==5 key (+1000), inserts fresh keys
+      // (%10==3, shifted +100000000). ONE key-shuffle: left-anti join
+      // against the changed-key set + union of upserts; a typical
+      // small batch broadcasts (AQE), a full-size one degrades to one
+      // sort-merge join — never more.
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+      val deletes = base.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus"), lit("delete").as("op"))
+      val updates = base.filter(col("o_orderkey") % 10 === 5)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          col("o_orderstatus"), lit("upsert").as("op"))
+      val inserts = base.filter(col("o_orderkey") % 10 === 3)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"), col("o_orderstatus"),
+          lit("upsert").as("op"))
+      graft.operators.Snapshot.merge(base,
+          deletes.unionByName(updates).unionByName(inserts),
+          keyCols = Seq("o_orderkey"))
+        .orderBy(col("o_orderkey").asc)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3879,6 +3958,118 @@ object SparkEntry {
              row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
            FROM h)
          SELECT source, doc_id, lang FROM r WHERE rk <= 5
-         ORDER BY source, doc_id"""
+         ORDER BY source, doc_id""",
+
+    // span-level decontamination replays the dd12 window/islands
+    // idiom with the probe side swapped from "≥2 occurrences
+    // corpus-wide" to "occurs in the benchmark docs" — grouping on
+    // raw window text vs the engine's digest pair is the same
+    // collision-freedom claim dd12 makes
+    "txt22_contam_spans" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT d.doc_id + 20000, d.text || ' ' || b.text
+           FROM documents d, (SELECT text FROM documents WHERE doc_id = 0) b
+           WHERE d.doc_id % 20 = 0 AND d.doc_id >= 20
+           UNION ALL
+           SELECT d.doc_id + 30000, b.text || ' ' || d.text
+           FROM documents d, (SELECT text FROM documents WHERE doc_id = 1) b
+           WHERE d.doc_id % 20 = 7),
+         d AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM all_docs),
+         win AS (
+           SELECT doc_id, s, array_to_string(w[(s+1):(s+8)], ' ') AS g
+           FROM (SELECT doc_id, w,
+                   unnest(range(0, greatest(len(w) - 7, 0))) AS s
+                 FROM d)),
+         bw AS (SELECT DISTINCT g FROM win WHERE doc_id < 5),
+         hits AS (
+           SELECT doc_id, s, s + 8 AS e FROM win JOIN bw USING (g)),
+         m AS (
+           SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           FROM hits),
+         isl AS (
+           SELECT doc_id, s, e,
+             sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+           FROM m)
+         SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+           max(e) - min(s) AS span_words
+         FROM isl GROUP BY doc_id, gid
+         ORDER BY doc_id, span_start""",
+
+    // margin mining: the full cosq matrix is quadratic HERE (the
+    // oracle's job is the definition, not the plan); cq is
+    // floor(cos·1e6 + 0.5) — floor, not round, because round-half
+    // semantics differ across engines at negative halves — and the
+    // margin is one double division of exact BIGINTs, so value AND
+    // rank order replay bit-for-bit
+    "ann10_margin_mine" ->
+      """WITH q AS (
+           SELECT vec_id AS qid,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+           FROM embeddings WHERE vec_id < 20),
+         c AS (
+           SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS cv
+           FROM embeddings),
+         cosq AS (
+           SELECT qid, cid,
+             CASE WHEN list_dot_product(cv, cv) = 0 OR list_dot_product(qv, qv) = 0
+                  THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(CAST(list_dot_product(cv, qv) AS DOUBLE)
+                    / (sqrt(CAST(list_dot_product(cv, cv) AS DOUBLE))
+                       * sqrt(CAST(list_dot_product(qv, qv) AS DOUBLE)))
+                    * 1000000.0 + 0.5) AS BIGINT) END AS cq
+           FROM c, q WHERE cid <> qid),
+         fwd AS (
+           SELECT qid, cid, cq,
+             row_number() OVER (PARTITION BY qid ORDER BY cq DESC, cid ASC) AS r
+           FROM cosq),
+         topk AS (SELECT qid, cid, cq FROM fwd WHERE r <= 4),
+         fs AS (SELECT qid, sum(cq) AS fwd_sum, count(*) AS fwd_cnt
+                FROM topk GROUP BY qid),
+         bwd AS (
+           SELECT cid, cq,
+             row_number() OVER (PARTITION BY cid ORDER BY cq DESC, qid ASC) AS r
+           FROM cosq),
+         bs AS (SELECT cid, sum(cq) AS bwd_sum, count(*) AS bwd_cnt
+                FROM bwd WHERE r <= 4 GROUP BY cid),
+         cand AS (
+           SELECT t.qid, t.cid, t.cq,
+             CAST(2 * fs.fwd_cnt * bs.bwd_cnt * t.cq AS DOUBLE)
+               / CAST(bs.bwd_cnt * fs.fwd_sum + fs.fwd_cnt * bs.bwd_sum AS DOUBLE) AS margin
+           FROM topk t
+           JOIN fs ON t.qid = fs.qid
+           JOIN bs ON t.cid = bs.cid
+           WHERE bs.bwd_cnt * fs.fwd_sum + fs.fwd_cnt * bs.bwd_sum > 0),
+         best AS (
+           SELECT qid, cid, cq, margin,
+             row_number() OVER (PARTITION BY qid ORDER BY margin DESC, cid ASC) AS b
+           FROM cand)
+         SELECT qid AS query_id, cid AS match_id,
+           CAST(cq AS DOUBLE) / 1000000.0 AS cos, margin
+         FROM best WHERE b = 1 AND margin >= 1.0
+         ORDER BY query_id""",
+
+    "q56_merge_snapshot" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+           FROM orders)
+         SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+         FROM base WHERE o_orderkey % 10 NOT IN (0, 5)
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_totalprice + 1000.0, o_orderstatus
+         FROM base WHERE o_orderkey % 10 = 5
+         UNION ALL
+         SELECT o_orderkey + 100000000, o_custkey, o_totalprice, o_orderstatus
+         FROM base WHERE o_orderkey % 10 = 3
+         ORDER BY o_orderkey"""
   )
 }

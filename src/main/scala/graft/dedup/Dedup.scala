@@ -1145,9 +1145,16 @@ object Dedup {
       .select("__h1", "__h2")
     val hits = win.join(dup, Seq("__h1", "__h2"))
       .select(col(idCol), col("__s"), (col("__s") + lit(W)).as("__e"))
-    // gaps-and-islands per doc: a window starting at or before the
-    // running max end extends the current span (adjacent coverage is
-    // contiguous word coverage, so it merges too)
+    mergeWordSpans(hits, idCol)
+  }
+
+  /** Gaps-and-islands interval merge over (idCol, __s, __e) hit rows:
+    * a window starting at or before the running max end extends the
+    * current span (adjacent coverage is contiguous word coverage, so
+    * it merges too). Per-doc window — bounded by max doc length,
+    * never a global sort. Shared by [[duplicatedSpans]] and
+    * `Decontam.contaminatedSpans`. */
+  private[graft] def mergeWordSpans(hits: DataFrame, idCol: String): DataFrame = {
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__s").asc)
     val prevMax = max(col("__e"))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
@@ -1165,8 +1172,8 @@ object Dedup {
     * pair): one scan-side projection — the split array never leaves
     * the scan stage, the window string exists only inside the hash
     * evaluation. Docs shorter than `w` words produce no windows. */
-  private def windowDigests(docs: DataFrame, idCol: String,
-                            textCol: String, w: Int): DataFrame = {
+  private[graft] def windowDigests(docs: DataFrame, idCol: String,
+                                   textCol: String, w: Int): DataFrame = {
     val words = split(textfns.normalizeText(col(textCol)), " ")
     docs
       .filter(col(textCol).isNotNull)
@@ -1211,12 +1218,29 @@ object Dedup {
     */
   def dropDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                           windowWords: Int = 8,
-                          minOccurrences: Long = 2L): DataFrame = {
-    val spans = duplicatedSpans(docs, idCol, textCol, windowWords, minOccurrences)
+                          minOccurrences: Long = 2L): DataFrame =
+    removeWordSpans(docs, idCol, textCol,
+      duplicatedSpans(docs, idCol, textCol, windowWords, minOccurrences))
+
+  /** Rewrite `docs` with every word range in `spans` (rows of idCol,
+    * span_start, span_end — 0-based, end exclusive, over the
+    * normalized word split) removed; surviving words rejoin with
+    * single spaces in original order. Same normalization contract as
+    * [[dropDuplicatedSpans]]: output text is `textfns.normalizeText`'s
+    * form (lowercased + whitespace-collapsed). The span list joins
+    * back by id (spans per doc are tiny — bounded interval counts)
+    * and the rewrite is one higher-order filter over the split array;
+    * text never shuffles (the join moves only (id, start, end)
+    * triples to the doc's partition). Shared by
+    * [[dropDuplicatedSpans]] and `Decontam.scrubContaminatedSpans`. */
+  private[graft] def removeWordSpans(docs: DataFrame, idCol: String,
+                                     textCol: String,
+                                     spans: DataFrame): DataFrame = {
+    val spanSets = spans
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(
         col("span_start").as("s"), col("span_end").as("e")))).as("__spans"))
-    docs.join(spans, Seq(idCol), "left")
+    docs.join(spanSets, Seq(idCol), "left")
       .withColumn(textCol,
         when(col(textCol).isNull, lit(null).cast("string"))
           .otherwise(concat_ws(" ",

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
 import graft.functions.hashfns
 
 /** Train/test contamination check: how much of each corpus document is
@@ -153,4 +154,64 @@ object Decontam {
                         fpp: Double = 0.01): DataFrame =
     containmentBloom(corpus, bench, idCol, textCol, shingleN, expectedItems, fpp)
       .filter(col("containment") >= threshold)
+
+  // ---- span-level contamination (scrub the leak, keep the doc) --------
+
+  /** WHERE each document leaks the benchmark: every `windowWords`-word
+    * sliding window (stride 1, whitespace-normalized words) whose text
+    * occurs anywhere in `bench` marks its word range as contaminated;
+    * overlapping/adjacent ranges merge to maximal spans. This is the
+    * span-LOCALIZED view of decontamination that [[containment]]'s
+    * per-doc ratio cannot express — the production remedy for a long
+    * document quoting one benchmark question is to cut the quoted
+    * window, not to drop (or keep!) the whole doc on a global ratio.
+    *
+    * Output: (idCol, span_start, span_end, span_words) — 0-based word
+    * index into the normalized split, end exclusive; spans per doc are
+    * disjoint and sorted. Feed to [[scrubContaminatedSpans]] for the
+    * rewrite, or threshold `span_words` for audit listings.
+    *
+    * Scale shape: the benchmark side is SMALL by definition — its
+    * distinct window digests broadcast (same contract as
+    * [[containment]]'s shingle probe). Corpus text never shuffles:
+    * windows exist only as the 128-bit digest pair of
+    * `Dedup.windowDigests` computed scan-side (two independent
+    * xxhash64s keep the corpus-wide false-hit expectation ≈
+    * n·m/2^128); the broadcast hash join ships no corpus bytes, and
+    * the interval merge is a per-document window — bounded by max doc
+    * length, never a global sort. A 100 TB corpus streams through at
+    * scan speed.
+    */
+  def contaminatedSpans(corpus: DataFrame, bench: DataFrame,
+                        idCol: String, textCol: String,
+                        windowWords: Int = 8): DataFrame = {
+    require(windowWords >= 2,
+      s"contaminatedSpans: windowWords must be >= 2, got $windowWords")
+    val W = windowWords
+    val probe = Dedup.windowDigests(
+        bench.select(monotonically_increasing_id().as("__bid"), col(textCol)),
+        "__bid", textCol, W)
+      .select("__h1", "__h2").distinct()
+    val hits = Dedup.windowDigests(corpus, idCol, textCol, W)
+      .join(broadcast(probe), Seq("__h1", "__h2"))
+      .select(col(idCol), col("__s"), (col("__s") + lit(W.toLong)).as("__e"))
+    Dedup.mergeWordSpans(hits, idCol)
+  }
+
+  /** The rewrite counterpart of [[contaminatedSpans]]: the corpus with
+    * every benchmark-contaminated span's words removed (surviving
+    * words rejoined with single spaces in original order). Surviving
+    * text is the doc's NORMALIZED form — `textfns.normalizeText`'s
+    * full contract, i.e. LOWERCASED as well as whitespace-collapsed
+    * (word offsets only align against the normalization the window
+    * digests were computed over); callers that must preserve casing
+    * should treat [[contaminatedSpans]] as a mask source and re-slice
+    * the original text themselves. A doc that is entirely benchmark
+    * coverage becomes the empty string — deletion is a separate
+    * policy decision, as in `Dedup.dropDuplicatedSpans`. */
+  def scrubContaminatedSpans(corpus: DataFrame, bench: DataFrame,
+                             idCol: String, textCol: String,
+                             windowWords: Int = 8): DataFrame =
+    Dedup.removeWordSpans(corpus, idCol, textCol,
+      contaminatedSpans(corpus, bench, idCol, textCol, windowWords))
 }

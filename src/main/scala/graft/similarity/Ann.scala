@@ -250,6 +250,153 @@ object Ann {
     s
   }
 
+  /** Micro-quantized cosine: floor(cos·10⁶ + 0.5) over the ×1000
+    * integer dots, cos = d / (√na·√nb). Every step (integer dots →
+    * double, sqrt, divide, multiply, +0.5, floor) is one correctly-
+    * rounded IEEE op, so any engine replays the value bit-for-bit —
+    * floor(x+0.5), NOT round(), because round-half semantics differ
+    * across engines at negative halves while floor never does.
+    * Zero-norm vectors score 0 by contract. */
+  private def microCos(d: Long, na: Long, nb: Long): Long =
+    if (na == 0L || nb == 0L) 0L
+    else math.floor(
+      d.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+        * 1000000.0 + 0.5).toLong
+
+  /** Margin-based nearest-match mining (the ratio margin of Artetxe &
+    * Schwenk, "Margin-based Parallel Corpus Mining", ACL 2019): for
+    * each query x, the best corpus match y by
+    *
+    *   margin(x,y) = cos(x,y) / ((avgFwd(x) + avgBwd(y)) / 2)
+    *
+    * where avgFwd(x) = mean cosine over x's k nearest corpus rows and
+    * avgBwd(y) = mean cosine over y's k nearest QUERY rows; matches
+    * with margin below `minMargin` (or a non-positive denominator —
+    * an anti-correlated neighborhood has no meaningful margin) are
+    * dropped. The margin normalizes each pair by how "hubby" both
+    * endpoints are: raw cosine thresholds over-select hub vectors
+    * that are near everything, the classic failure of
+    * cosine-threshold bitext/pair mining.
+    *
+    * Output: (query_id, match_id, cos, margin) — at most one row per
+    * query. Rows whose ids collide across the two sides never match
+    * themselves (the [[bruteForceTopK]] self-exclusion contract).
+    *
+    * Scale shape: `queries` is the SMALL side (the broadcast-join
+    * contract of [[bruteForceTopK]]) — collected once and shipped per
+    * executor; the corpus streams through ONE scan that computes the
+    * Q micro-quantized cosines per row and feeds (a) per-query
+    * forward bounded heaps and (b) that same row's backward top-k
+    * statistic over the query set — the backward pass costs nothing
+    * extra because the Q cosines are already in hand. Only
+    * parts × Q × k candidate tuples ever leave the scan; no N×Q
+    * matrix, no corpus shuffle. For corpus×corpus mining at 100 TB,
+    * run per query-shard — each shard is one scan — or feed ANN
+    * shortlists ([[ivfPqTopK]]) as the candidate source and rescore.
+    *
+    * Exactness: cosines are micro-quantized ([[microCos]]) and the
+    * margin is ONE double division of exactly-represented integers —
+    * margin = 2·nF·nB·cosq / (nB·sumF + nF·sumB), the paper's formula
+    * when both neighbor lists are full (nF = nB = k) and the
+    * count-weighted generalization when the corpus or query side has
+    * fewer than k rows — so a SQL oracle replays result AND rank
+    * order bit-for-bit. */
+  def marginMine(corpus: DataFrame, queries: DataFrame, k: Int,
+                 minMargin: Double = 1.0,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"marginMine: k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    val qRows: Array[(Long, Array[Long])] = queries
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), quantize1000(r.getSeq[Float](1).toArray)))
+    val bc = spark.sparkContext.broadcast(qRows)
+
+    val candidates = corpus
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>")).rdd
+      .mapPartitions { it =>
+        val qs = bc.value
+        val qNb: Array[Long] = qs.map(q => longDot(q._2, q._2))
+        // forward heaps: worst-first (lowest cosq, then largest id at
+        // the head) per query; entries carry the candidate's backward
+        // statistic so it never needs a second corpus pass
+        val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue[(Long, Long, Long, Long)]()(
+          Ordering.by[(Long, Long, Long, Long), (Long, Long)] {
+            case (cq, id, _, _) => (-cq, id)
+          }))
+        val cosRow = new Array[Long](qs.length)
+        it.foreach { r =>
+          val id = r.getLong(0)
+          val qv = quantize1000(r.getSeq[Float](1).toArray)
+          val na = longDot(qv, qv)
+          var qi = 0
+          while (qi < qs.length) {
+            cosRow(qi) =
+              if (qs(qi)._1 == id) Long.MinValue // self: excluded both directions
+              else microCos(longDot(qv, qs(qi)._2), na, qNb(qi))
+            qi += 1
+          }
+          // backward top-k over this row's query cosines (selection by
+          // partial sort of a copy — Q is broadcast-small by contract)
+          val sorted = cosRow.filter(_ != Long.MinValue).sorted(Ordering[Long].reverse)
+          val bCnt = math.min(k, sorted.length)
+          var bSum = 0L; var bi = 0
+          while (bi < bCnt) { bSum += sorted(bi); bi += 1 }
+          qi = 0
+          while (qi < qs.length) {
+            val cq = cosRow(qi)
+            if (cq != Long.MinValue) {
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((cq, id, bSum, bCnt.toLong))
+              else {
+                val (wc, wid, _, _) = h.head
+                if (cq > wc || (cq == wc && id < wid)) {
+                  h.dequeue(); h.enqueue((cq, id, bSum, bCnt.toLong))
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (cq, id, bSum, bCnt) =>
+            Row(qs(qi)._1, id, cq, bSum, bCnt)
+          }
+        }
+      }
+    val schema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("match_id", LongType, nullable = false),
+      StructField("cosq", LongType, nullable = false),
+      StructField("bwd_sum", LongType, nullable = false),
+      StructField("bwd_cnt", LongType, nullable = false)))
+    val candDf = spark.createDataFrame(candidates, schema)
+
+    // global forward top-k (merges the per-partition heaps), then the
+    // forward sums — everything below operates on ≤ parts·Q·k rows
+    val wFwd = Window.partitionBy("query_id")
+      .orderBy(col("cosq").desc, col("match_id").asc)
+    val topk = candDf.withColumn("__r", row_number().over(wFwd))
+      .filter(col("__r") <= k)
+    val fwd = topk.groupBy("query_id")
+      .agg(sum(col("cosq")).as("fwd_sum"), count(lit(1)).as("fwd_cnt"))
+    val num = lit(2L) * col("fwd_cnt") * col("bwd_cnt") * col("cosq")
+    val den = col("bwd_cnt") * col("fwd_sum") + col("fwd_cnt") * col("bwd_sum")
+    val wBest = Window.partitionBy("query_id")
+      .orderBy(col("margin").desc, col("match_id").asc)
+    topk.join(fwd, Seq("query_id"))
+      .filter(den > 0L)
+      .withColumn("margin", num.cast("double") / den.cast("double"))
+      .withColumn("__b", row_number().over(wBest))
+      .filter(col("__b") === 1 && col("margin") >= minMargin)
+      .select(col("query_id"), col("match_id"),
+        (col("cosq").cast("double") / lit(1000000.0)).as("cos"),
+        col("margin"))
+  }
+
   /** Exact top-k, fully declarative: broadcast-nested-loop score +
     * window rank. Scores are computed on integer-quantized vectors
     * (x→round(1000x)) so the ranking key sign(d)·d²/(|a|²|b|²) is an

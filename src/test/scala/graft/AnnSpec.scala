@@ -469,4 +469,95 @@ class AnnSpec extends AnyFunSuite {
         nCells = 8, nProbe = 3, m = 8, ksub = 16, seed = 7L)
     }
   }
+
+  // ---- margin-based mining (ann10) -------------------------------------
+
+  test("marginMine equals a declarative window-rank replay of the definition") {
+    import spark.implicits._
+    val k = 3
+    val q = emb.filter(col("vec_id") < 10)
+    // replay: micro-quantized cosq matrix → fwd/bwd top-k sums → the
+    // same exact-integer margin — the declarative twin of the heap path
+    def quant(c: org.apache.spark.sql.Column) =
+      transform(c, x => round(x.cast("double") * 1000.0, 0).cast("long"))
+    def idot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val c = emb.select(col("vec_id").as("cid"), quant(col("embedding")).as("cv"))
+    val qq = q.select(col("vec_id").as("qid"), quant(col("embedding")).as("qv"))
+    val cosq = c.join(qq, col("cid") =!= col("qid"))
+      .withColumn("d", idot(col("cv"), col("qv")))
+      .withColumn("na", idot(col("cv"), col("cv")))
+      .withColumn("nb", idot(col("qv"), col("qv")))
+      .withColumn("cq",
+        when(col("na") === 0 || col("nb") === 0, lit(0L))
+          .otherwise(floor(col("d").cast("double")
+            / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+            * lit(1000000.0) + lit(0.5)).cast("long")))
+      .select("qid", "cid", "cq")
+    val wF = Window.partitionBy("qid").orderBy(col("cq").desc, col("cid").asc)
+    val topk = cosq.withColumn("r", row_number().over(wF)).filter(col("r") <= k)
+    val fs = topk.groupBy("qid")
+      .agg(sum("cq").as("fwd_sum"), count(lit(1)).as("fwd_cnt"))
+    val wB = Window.partitionBy("cid").orderBy(col("cq").desc, col("qid").asc)
+    val bs = cosq.withColumn("r", row_number().over(wB)).filter(col("r") <= k)
+      .groupBy("cid").agg(sum("cq").as("bwd_sum"), count(lit(1)).as("bwd_cnt"))
+    val den = col("bwd_cnt") * col("fwd_sum") + col("fwd_cnt") * col("bwd_sum")
+    val wBest = Window.partitionBy("qid").orderBy(col("margin").desc, col("cid").asc)
+    val expected = topk.join(fs, "qid").join(bs, "cid")
+      .filter(den > 0L)
+      .withColumn("margin",
+        (lit(2L) * col("fwd_cnt") * col("bwd_cnt") * col("cq")).cast("double")
+          / den.cast("double"))
+      .withColumn("b", row_number().over(wBest))
+      .filter(col("b") === 1 && col("margin") >= 1.0)
+      .select(col("qid").as("query_id"), col("cid").as("match_id"),
+        (col("cq").cast("double") / lit(1000000.0)).as("cos"), col("margin"))
+      .orderBy("query_id")
+    val got = Ann.marginMine(emb, q, k = k, minMargin = 1.0).orderBy("query_id")
+    assert(got.collect().toSeq == expected.collect().toSeq)
+  }
+
+  test("marginMine suppresses hub matches that raw cosine ranks first") {
+    import spark.implicits._
+    // dim 5: queries on axes 0-3; the hub leans toward ALL queries
+    // (cos 0.8 to q0, 0.346 to the rest), the specific match s0 points
+    // at q0 only (cos 0.75, residual in dim 4). Raw cosine picks the
+    // hub for q0; the margin denominates by both endpoints' k-NN
+    // neighborhoods and flips the choice.
+    val qs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (100L, Array(0.8f, 0.3464f, 0.3464f, 0.3464f, 0f)), // hub
+      (101L, Array(0.75f, 0f, 0f, 0f, 0.6614f))           // q0-specific
+    ).toDF("vec_id", "embedding")
+    val rawBest = Ann.bruteForceTopK(corpus, qs, k = 1, quantized = true)
+      .filter(col("query_id") === 0).select("neighbor_id").head().getLong(0)
+    assert(rawBest == 100L, "fixture: raw cosine must prefer the hub")
+    val mined = Ann.marginMine(corpus, qs, k = 2, minMargin = 0.0)
+      .filter(col("query_id") === 0).select("match_id").head().getLong(0)
+    assert(mined == 101L, "margin must prefer the specific match")
+  }
+
+  test("marginMine edges: self-exclusion, null vectors, tiny corpus, empty inputs") {
+    import spark.implicits._
+    // ids shared across sides never match themselves; null vectors drop
+    // (non-orthogonal pair: a zero cosine would zero the margin
+    // denominator, which drops the candidate by contract)
+    val side = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.6f, 0.8f)),
+      (2L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val got = Ann.marginMine(side, side, k = 5, minMargin = -10.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(0L, 1L))
+    assert(got(0L) == 1L && got(1L) == 0L) // the only non-self candidate
+    // corpus smaller than k: counts weight the margin, no crash
+    assert(Ann.marginMine(side.filter(col("vec_id") === 0),
+      side.filter(col("vec_id") === 1), k = 50, minMargin = -10.0).count() == 1L)
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Ann.marginMine(empty, side, k = 3).isEmpty)
+    assert(Ann.marginMine(side, empty, k = 3).isEmpty)
+  }
 }

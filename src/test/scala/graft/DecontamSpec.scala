@@ -67,4 +67,58 @@ class DecontamSpec extends AnyFunSuite {
         "an exchange partitions on the text column")
     }
   }
+
+  // ---- span-level contamination (txt22) --------------------------------
+
+  test("contaminatedSpans: full copy = full coverage, middle splice localized, clean doc none") {
+    // benchText is 10 words; windowWords = 4
+    val corpus = Seq(
+      (1L, benchText),                                       // full coverage [0,10)
+      (2L, "one two three four five six seven eight"),       // clean
+      (3L, s"one two three four $benchText nine ten eleven twelve"), // middle splice [4,14)
+      (4L, "tiny doc")                                       // shorter than the window
+    ).toDF("doc_id", "text")
+    val got = Decontam.contaminatedSpans(corpus, bench, "doc_id", "text",
+        windowWords = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((1L, 0L, 10L, 10L), (3L, 4L, 14L, 10L)))
+  }
+
+  test("scrubContaminatedSpans removes exactly the leaked words (normalized form)") {
+    val corpus = Seq(
+      (1L, s"One Two THREE four $benchText"), // tail splice; casing must normalize
+      (2L, "clean doc stays put here")
+    ).toDF("doc_id", "text")
+    val got = Decontam.scrubContaminatedSpans(corpus, bench, "doc_id", "text",
+        windowWords = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "one two three four")
+    assert(got(2L) == "clean doc stays put here")
+  }
+
+  test("contaminatedSpans edges: empty bench, null text, full-leak doc") {
+    val corpus = Seq((1L, benchText), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val emptyBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Decontam.contaminatedSpans(corpus, emptyBench, "doc_id", "text",
+      windowWords = 4).isEmpty)
+    val scrub = Decontam.scrubContaminatedSpans(corpus, bench, "doc_id", "text",
+        windowWords = 4)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(scrub(1L) == Some("")) // entirely benchmark coverage → empty string
+    assert(scrub(2L) == None)     // null text passes through as null
+  }
+
+  test("txt22 plan: bench window digests broadcast; corpus text never shuffles") {
+    val q = SparkEntry.queries("txt22_contam_spans")(spark, SparkT.sfDir)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), "bench digest probe must broadcast")
+    val shuffles = p.split("Exchange hashpartitioning").drop(1)
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { s =>
+      assert(!s.takeWhile(_ != ')').contains("text"),
+        "an exchange partitions on the text column")
+    }
+  }
 }

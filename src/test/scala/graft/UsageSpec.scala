@@ -306,4 +306,40 @@ class UsageSpec extends AnyFunSuite {
     // distinct synthetic videos: pipeline runs, no spurious pairs
     assert(videoDups.count() == 0)
   }
+
+  test("usage §3e: span-level decontamination + scrub") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val bench = docs.filter(col("doc_id") < 5)
+    val leaks = graft.operators.Decontam.contaminatedSpans(
+      docs, bench, "doc_id", "text", windowWords = 8)
+    val cleaned = graft.operators.Decontam.scrubContaminatedSpans(
+      docs, bench, "doc_id", "text", windowWords = 8)
+    assert(leaks.columns.toSeq ==
+      Seq("doc_id", "span_start", "span_end", "span_words"))
+    assert(leaks.count() > 0) // the bench docs themselves, at least
+    assert(cleaned.count() == docs.count())
+  }
+
+  test("usage §3f: CDC snapshot merge") {
+    import spark.implicits._
+    val snapshot = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val changes = Seq(
+      (0L, "recrawled page", "upsert", 2L),
+      (1L, null.asInstanceOf[String], "delete", 2L))
+      .toDF("doc_id", "text", "op", "crawl_version")
+    val next = graft.operators.Snapshot.merge(snapshot, changes,
+      keyCols = Seq("doc_id"), versionCol = Some("crawl_version"))
+    assert(next.columns.toSeq == snapshot.columns.toSeq)
+    assert(next.count() == snapshot.count() - 1)
+  }
+
+  test("usage §4d: margin-based pair mining") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.limit(8)
+    val mined = graft.similarity.Ann.marginMine(emb, queries, k = 4,
+      minMargin = 1.0)
+    assert(mined.columns.toSeq == Seq("query_id", "match_id", "cos", "margin"))
+    assert(mined.count() <= 8) // at most one row per query
+  }
 }
