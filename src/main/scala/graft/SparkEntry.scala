@@ -2248,6 +2248,46 @@ object SparkEntry {
         .orderBy(col("query_id").asc)
     }),
 
+    "cur13_group_drift" -> ((s, dir) => {
+      // per-SOURCE language-mix drift: the planted shift (lang → 'xx'
+      // for every 4th doc) is confined to src3 — a corpus-wide JSD
+      // (cur12) averages it away; the grouped gate isolates it.
+      // topK=3 exercises the per-group __other__ fold; the extra
+      // 'srcnew' rows exist ONLY in the current snapshot, so that
+      // group is excluded by the defined-on-both-sides contract (a
+      // newborn source is a cur9 profiling event, not a drift score).
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        col("source"), col("lang"))
+      val cur = d.select(col("source"),
+          when(col("doc_id") % 4 === 0 && col("source") === "src3", lit("xx"))
+            .otherwise(col("lang")).as("lang"))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select(lit("srcnew").as("source"), col("lang")))
+      graft.operators.Profiler.categoricalDriftBy(
+          d.select("source", "lang"), cur, "lang",
+          groupCols = Seq("source"), topK = 3)
+    }),
+
+    "q57_interval_join" -> ((s, dir) => {
+      // interval×interval OVERLAP join (concurrent validity windows):
+      // bucketed equi-join with exactly-once emission from the cell
+      // containing max(lo_l, lo_r) — no distinct pass, no BNL or
+      // cartesian (plan spec-asserted). Windows: left [100k, 100k+149],
+      // right [100k+120, 100k+260] — each left window overlaps its own
+      // and the two preceding right windows.
+      val o = t(s, dir, "orders")
+      val l = o.select(col("o_orderkey").as("l_id"),
+        (col("o_orderkey") * 100L).as("l_lo"),
+        (col("o_orderkey") * 100L + 149L).as("l_hi"))
+      val r = o.select(col("o_orderkey").as("r_id"),
+        (col("o_orderkey") * 100L + 120L).as("r_lo"),
+        (col("o_orderkey") * 100L + 260L).as("r_hi"))
+      graft.operators.RangeJoin.intervalOverlap(l, r, "l_lo", "l_hi",
+          "r_lo", "r_hi", bucketWidth = 100.0)
+        .select("l_id", "l_lo", "l_hi", "r_id", "r_lo", "r_hi")
+        .orderBy(col("l_id").asc, col("r_id").asc)
+    }),
+
     "q56_merge_snapshot" -> ((s, dir) => {
       // incremental snapshot maintenance (the crawl-refresh merge):
       // base = orders snapshot; batch tombstones every %10==0 key,
@@ -4057,6 +4097,66 @@ object SparkEntry {
            CAST(cq AS DOUBLE) / 1000000.0 AS cos, margin
          FROM best WHERE b = 1 AND margin >= 1.0
          ORDER BY query_id""",
+
+    // the grouped replay of cur12's arithmetic: per-group top-K via
+    // window rank, per-group totals, same ln-chain and 6dp rounds;
+    // the cur-only 'srcnew' group drops at the HAVING (the
+    // defined-on-both-snapshots contract)
+    "cur13_group_drift" ->
+      """WITH d AS (
+           SELECT source, cat, sum(b) AS cb, sum(c) AS cc FROM (
+             SELECT source, lang AS cat, 1 AS b, 0 AS c FROM documents
+             UNION ALL
+             SELECT source,
+               CASE WHEN doc_id % 4 = 0 AND source = 'src3' THEN 'xx'
+                    ELSE lang END, 0, 1 FROM documents
+             UNION ALL
+             SELECT 'srcnew', lang, 0, 1 FROM documents
+             WHERE doc_id % 7 = 0) u
+           WHERE cat IS NOT NULL
+           GROUP BY source, cat),
+         top AS (
+           SELECT source, cat FROM (
+             SELECT source, cat,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY cb DESC, cat ASC) AS rk
+             FROM d)
+           WHERE rk <= 3),
+         m AS (
+           SELECT d.source,
+             CASE WHEN t.cat IS NOT NULL THEN d.cat
+                  ELSE '__other__' END AS category,
+             sum(cb) AS nb, sum(cc) AS nc
+           FROM d LEFT JOIN top t ON d.source = t.source AND d.cat = t.cat
+           GROUP BY 1, 2),
+         tt AS (
+           SELECT source, sum(nb) AS tb, sum(nc) AS tc FROM m GROUP BY 1
+           HAVING sum(nb) > 0 AND sum(nc) > 0)
+         SELECT m.source, category,
+           CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_cur,
+           round(nb / tb, 6) AS p_base, round(nc / tc, 6) AS p_cur,
+           round((CASE WHEN nb = 0 THEN 0.0
+                       ELSE (nb / tb) * ln((nb / tb) / ((nb / tb + nc / tc) / 2)) END
+                + CASE WHEN nc = 0 THEN 0.0
+                       ELSE (nc / tc) * ln((nc / tc) / ((nb / tb + nc / tc) / 2)) END)
+                 * 0.5, 6) AS jsd_term
+         FROM m JOIN tt ON m.source = tt.source
+         ORDER BY m.source, category""",
+
+    // the quadratic definition IS the oracle's job (DuckDB plans it
+    // as an IEJoin); the engine's bucketed exactly-once plan must
+    // reproduce it row-for-row
+    "q57_interval_join" ->
+      """WITH l AS (
+           SELECT o_orderkey AS l_id, o_orderkey * 100 AS l_lo,
+             o_orderkey * 100 + 149 AS l_hi FROM orders),
+         r AS (
+           SELECT o_orderkey AS r_id, o_orderkey * 100 + 120 AS r_lo,
+             o_orderkey * 100 + 260 AS r_hi FROM orders)
+         SELECT l_id, l_lo, l_hi, r_id, r_lo, r_hi
+         FROM l, r
+         WHERE l_lo <= r_hi AND r_lo <= l_hi
+         ORDER BY l_id, r_id""",
 
     "q56_merge_snapshot" ->
       """WITH base AS (

@@ -275,4 +275,85 @@ object Profiler {
         round(term, 6).as("jsd_term"))
       .orderBy(col("category").asc)
   }
+
+  /** Per-GROUP [[categoricalDrift]]: one JSD decomposition per group
+    * key — "which SOURCE's language mix moved", not just whether the
+    * global mix did (a 5-point shift confined to one domain vanishes
+    * into a corpus-wide average; segment-level drift is the gate that
+    * catches it).
+    *
+    * Same arithmetic as [[categoricalDrift]] per group (top-K
+    * categories by the group's BASE counts, `__other__` fold, exact
+    * integer ratios, 0·ln 0 = 0), so Σ jsd_term within a group is
+    * that group's JSD. Differences forced by the grouping:
+    *  - top-K runs as a per-group window rank over the AGGREGATED
+    *    (group, category) digests (the ungrouped TakeOrdered cannot
+    *    express per-group limits); digest cardinality = distinct
+    *    pairs, so the window never sees raw rows;
+    *  - the kept set joins back by (group, category) — Spark
+    *    broadcasts it when small, and it is ≤ groups·(K+1) rows;
+    *  - groups present in only ONE snapshot are EXCLUDED (JSD against
+    *    an absent distribution is undefined; a newborn/vanished group
+    *    is a schema-level event — catch it with [[profile]] counts,
+    *    not a drift score). Null group keys are a group (the
+    *    groupedHeavyHitters contract); null categories are excluded
+    *    per side, as in [[categoricalDrift]].
+    *
+    * Output: groupCols ++ (category, n_base, n_cur, p_base, p_cur,
+    * jsd_term), ≤ K+1 category rows per group. */
+  def categoricalDriftBy(base: DataFrame, cur: DataFrame, catCol: String,
+                         groupCols: Seq[String],
+                         topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"categoricalDriftBy: topK must be >= 1, got $topK")
+    require(groupCols.nonEmpty,
+      "categoricalDriftBy: groupCols must be non-empty (use categoricalDrift)")
+    val cc = col(catCol).cast("string")
+    val gs = groupCols.map(col)
+    def side(df: DataFrame, b: Int, name: String) = {
+      val missing = (groupCols :+ catCol).filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"categoricalDriftBy: $name snapshot is missing column(s): ${missing.mkString(", ")}")
+      df.filter(cc.isNotNull)
+        .select(gs :+ cc.as("__cat") :+ lit(b.toLong).as("__b")
+          :+ lit(1L - b).as("__c"): _*)
+    }
+    val digests = side(base, 1, "base").unionAll(side(cur, 0, "cur"))
+      .groupBy(gs :+ col("__cat"): _*)
+      .agg(sum(col("__b")).as("__cb"), sum(col("__c")).as("__cc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("__cb").desc, col("__cat").asc)
+    // null-safe group joins throughout: a null group key is a group
+    // (the groupedHeavyHitters contract) — a plain equi-join would
+    // silently fold its kept categories and then DROP the group at
+    // the totals join
+    val top = digests.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topK)
+      .select(groupCols.map(c => col(c).as(s"__tg_$c"))
+        :+ col("__cat").as("__tcat") :+ lit(true).as("__keep"): _*)
+    val keepCond = groupCols.map(c => col(c) <=> col(s"__tg_$c"))
+      .reduce(_ && _) && col("__cat") === col("__tcat")
+    val mapped = digests.join(top, keepCond, "left")
+      .select(gs :+
+        when(col("__keep"), col("__cat")).otherwise(lit("__other__"))
+          .as("category") :+ col("__cb") :+ col("__cc"): _*)
+      .groupBy(gs :+ col("category"): _*)
+      .agg(sum(col("__cb")).as("__nb"), sum(col("__cc")).as("__nc"))
+    val totals = mapped.groupBy(gs: _*)
+      .agg(sum(col("__nb")).as("__tb"), sum(col("__nc")).as("__tc"))
+      .filter(col("__tb") > 0L && col("__tc") > 0L)
+      .select(groupCols.map(c => col(c).as(s"__gg_$c"))
+        :+ col("__tb") :+ col("__tc"): _*)
+    val totCond = groupCols.map(c => col(c) <=> col(s"__gg_$c")).reduce(_ && _)
+    val pb = col("__nb") / col("__tb")
+    val pc = col("__nc") / col("__tc")
+    val m = (pb + pc) / 2
+    val term = (when(col("__nb") === 0L, lit(0.0)).otherwise(pb * log(pb / m))
+      + when(col("__nc") === 0L, lit(0.0)).otherwise(pc * log(pc / m))) * 0.5
+    mapped.join(totals, totCond)
+      .select(gs ++ Seq(col("category"),
+        col("__nb").as("n_base"), col("__nc").as("n_cur"),
+        round(pb, 6).as("p_base"), round(pc, 6).as("p_cur"),
+        round(term, 6).as("jsd_term")): _*)
+      .orderBy(gs :+ col("category").asc: _*)
+  }
 }

@@ -293,6 +293,22 @@ object StressGate {
       expIds.except(txt15.select("doc_id")).count()
     check("txt15_planted_idset", diff == 0, diff, "0 (symmetric diff)")
 
+    // --- span-level decontamination: ONE benchmark member of the
+    // boilerplate class contaminates the WHOLE class (the probe
+    // fan-out hot case — every member's every window hits) and one
+    // singleton bench doc contaminates only itself. Closed form:
+    // seg + 1 docs, each ONE full-width 30-word span (5 header + 1
+    // cls + 24 body words; a class-0 member's normalized windows are
+    // exactly doc 0's). The linearity band is the claim that hits
+    // travel as digest pairs and the merge partitions per doc.
+    val spanBench = d.filter(col("doc_id") === 0 ||
+      col("doc_id") === p.firstSingleton)
+    def txt22 = Decontam.contaminatedSpans(d, spanBench, "doc_id", "text",
+      windowWords = 8)
+    run("txt22_contam_spans", Some(p.seg + 1))(txt22.count())
+    run("txt22_span_words", Some((p.seg + 1) * 30))(
+      txt22.agg(sum(col("span_words"))).collect()(0).getLong(0))
+
     // --- ANN: planted exact twins pin the invariant; IVF-PQ recall is
     // measured against the brute-force exact list ---
     val queries = emb.filter(col("vec_id") < p.nTwins)
@@ -300,6 +316,14 @@ object StressGate {
     run("ann1_bruteforce", Some(p.nTwins))(
       ann1.filter(col("rank") === 1 &&
         col("neighbor_id") === col("query_id") + p.nEmb).count())
+    // margin mining: every query has a planted exact twin — the
+    // best-margin match must be exactly that twin (cos 1.0 plus a
+    // hub-normalized margin no random neighbor beats on this
+    // fixture). The band asserts the backward statistic rides the
+    // SAME corpus scan — a second pass would double the slope.
+    def ann10 = Ann.marginMine(emb, queries, k = 4, minMargin = 0.0)
+    run("ann10_margin_mine", Some(p.nTwins))(
+      ann10.filter(col("match_id") === col("query_id") + p.nEmb).count())
     def ann5 = Ann.ivfPqTopK(emb, queries, k = 10, nCells = 64, nProbe = 8,
       m = 8, ksub = 32)
     run("ann5_ivfpq", None)(ann5.count())
@@ -341,6 +365,26 @@ object StressGate {
     run("ann9_indexed_query", None)(ann9.count())
     val idxDiff = ann9.exceptAll(ann5).count() + ann5.exceptAll(ann9).count()
     check("ann9_route_equality", idxDiff == 0, idxDiff, "0 (symmetric diff)")
+
+    // --- CDC snapshot merge: the batch is 30% of the base (tombstone
+    // every id%10==0, re-text every id%10==5, insert total/10 fresh
+    // keys) — far beyond any broadcast threshold, so the band
+    // measures the degraded-to-sort-merge shape, the worst the
+    // operator's one-key-shuffle contract permits. Closed form:
+    // deletes and inserts cancel, result = total rows, total/10 of
+    // them re-texted.
+    val delB = d.filter(pmod(col("doc_id"), lit(10L)) === 0)
+      .select(col("doc_id"), col("text"), lit("delete").as("op"))
+    val updB = d.filter(pmod(col("doc_id"), lit(10L)) === 5)
+      .select(col("doc_id"), lit("UPDATED").as("text"), lit("upsert").as("op"))
+    val insB = d.filter(pmod(col("doc_id"), lit(10L)) === 3)
+      .select((col("doc_id") + p.total * 100).as("doc_id"), col("text"),
+        lit("upsert").as("op"))
+    def q56 = graft.operators.Snapshot.merge(d,
+      delB.unionByName(updB).unionByName(insB), keyCols = Seq("doc_id"))
+    run("q56_merge_count", Some(p.total))(q56.count())
+    run("q56_merge_updated", Some(p.total / 10))(
+      q56.filter(col("text") === "UPDATED").count())
 
     // --- skew mitigation: salted aggregation and split-route join must
     // be bit-equal to the plain plans (exact integer-valued doubles) ---

@@ -53,4 +53,40 @@ class ExtensionsSpec extends AnyFunSuite {
     val p = q.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(800))
   }
+
+  test("interval overlap join: exactly-once vs the naive relation, incl. touching endpoints") {
+    import spark.implicits._
+    val l = Seq((1L, 0L, 10L), (2L, 5L, 7L), (3L, 100L, 100L), (4L, 20L, 30L))
+      .toDF("l_id", "l_lo", "l_hi")
+    val r = Seq((10L, 10L, 12L),   // touches l1 at exactly 10 (closed: match)
+                (11L, 6L, 6L),     // inside l1 and l2
+                (12L, 31L, 40L),   // adjacent to l4 but disjoint
+                (13L, 0L, 200L))   // spans everything
+      .toDF("r_id", "r_lo", "r_hi")
+    val got = RangeJoin.intervalOverlap(l, r, "l_lo", "l_hi", "r_lo", "r_hi",
+        bucketWidth = 4.0)
+      .select("l_id", "r_id")
+    val naive = l.join(r, col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+      .select("l_id", "r_id")
+    // exceptAll both ways: catches duplicate emissions, not just set drift
+    assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0)
+    assert(got.count() == naive.count())
+  }
+
+  test("interval overlap join: equi-join plan, giant-interval guard, collision require") {
+    import spark.implicits._
+    val l = Seq((1L, 0L, 10L)).toDF("l_id", "l_lo", "l_hi")
+    val r = Seq((2L, 5L, 2000000L)).toDF("r_id", "r_lo", "r_hi")
+    val q = RangeJoin.intervalOverlap(l, r, "l_lo", "l_hi", "r_lo", "r_hi",
+      bucketWidth = 1.0, maxCellsPerInterval = 100L)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(800))
+    // the 2M-bucket interval must raise loudly, not explode silently
+    val e = intercept[Exception] { q.collect() }
+    assert(e.getMessage != null || e.getCause != null)
+    // shared column names are a corrupted join waiting to happen
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(l, l, "l_lo", "l_hi", "l_lo", "l_hi", 1.0)
+    }
+  }
 }

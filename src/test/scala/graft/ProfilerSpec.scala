@@ -177,4 +177,59 @@ class ProfilerSpec extends AnyFunSuite {
       Profiler.categoricalDrift(base, base, "lang", topK = 0)
     }
   }
+
+  test("categoricalDriftBy: per-group isolation, ungrouped agreement, exclusions, null group") {
+    val base = (1 to 100).map(i => (s"g${i % 2}", s"cat${i % 5}"))
+      .toDF("src", "lang")
+    // planted remap confined to group g1 — g0's terms must ALL be zero
+    // and g1's must sum positive (the shift a global JSD averages away)
+    val cur = base.select(col("src"),
+      when(col("src") === "g1" && col("lang") === "cat0", lit("xx"))
+        .otherwise(col("lang")).as("lang"))
+    val by = Profiler.categoricalDriftBy(base, cur, "lang", Seq("src"))
+      .collect()
+    val g0 = by.filter(_.getString(0) == "g0")
+    val g1 = by.filter(_.getString(0) == "g1")
+    assert(g0.nonEmpty && g0.forall(_.getDouble(6) == 0.0))
+    assert(g1.map(_.getDouble(6)).sum > 0.01)
+    // each group's rows must equal the ungrouped drift computed on
+    // that group alone — the grouped plan is a partitioned twin
+    for (g <- Seq("g0", "g1")) {
+      val solo = Profiler.categoricalDrift(
+        base.filter(col("src") === g).select("lang"),
+        cur.filter(col("src") === g).select("lang"), "lang")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+      val grouped = by.filter(_.getString(0) == g)
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+      assert(grouped == solo, s"group $g disagrees with the ungrouped twin")
+    }
+    // a group present in only one snapshot is excluded, both ways
+    val curPlus = cur.unionByName(
+      Seq(("gnew", "en")).toDF("src", "lang"))
+    val basePlus = base.unionByName(
+      Seq(("ggone", "en")).toDF("src", "lang"))
+    val excl = Profiler.categoricalDriftBy(basePlus, curPlus, "lang", Seq("src"))
+      .select("src").distinct().collect().map(_.getString(0)).toSet
+    assert(excl == Set("g0", "g1"))
+    // a null group key is a group (null-safe joins throughout)
+    val withNullG = base.select(
+      when(col("src") === "g0", lit(null).cast("string"))
+        .otherwise(col("src")).as("src"), col("lang"))
+    val ng = Profiler.categoricalDriftBy(withNullG, withNullG, "lang", Seq("src"))
+      .collect()
+    assert(ng.exists(_.isNullAt(0)), "null group dropped")
+    assert(ng.forall(_.getDouble(6) == 0.0))
+    // per-group fold: topK=2 keeps each group's own top-2 + __other__
+    val fold = Profiler.categoricalDriftBy(base, base, "lang", Seq("src"),
+      topK = 2).collect()
+    assert(fold.count(_.getString(1) == "__other__") == 2)
+    intercept[IllegalArgumentException] {
+      Profiler.categoricalDriftBy(base, base, "lang", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Profiler.categoricalDriftBy(base, base, "nope", Seq("src"))
+    }
+  }
 }

@@ -334,6 +334,30 @@ class UsageSpec extends AnyFunSuite {
     assert(next.count() == snapshot.count() - 1)
   }
 
+  test("usage §7d2: per-group categorical drift") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val lastWeek = docs.select("source", "lang")
+    val thisWeek = docs.select("source", "lang")
+    val bySource = graft.operators.Profiler.categoricalDriftBy(
+      lastWeek, thisWeek, "lang", groupCols = Seq("source"), topK = 10)
+    val rows = bySource.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(6) == 0.0)) // identical snapshots
+  }
+
+  test("usage §2b: interval overlap join") {
+    val o = Tables.load(spark, sfDir, "orders")
+    val l = o.select(col("o_orderkey").as("l_id"),
+      (col("o_orderkey") * 100L).as("l_lo"),
+      (col("o_orderkey") * 100L + 149L).as("l_hi"))
+    val r = o.select(col("o_orderkey").as("r_id"),
+      (col("o_orderkey") * 100L + 120L).as("r_lo"),
+      (col("o_orderkey") * 100L + 260L).as("r_hi"))
+    val overlaps = graft.operators.RangeJoin.intervalOverlap(
+      l, r, "l_lo", "l_hi", "r_lo", "r_hi", bucketWidth = 100.0)
+    assert(overlaps.count() > o.count()) // ~3 matches per window
+  }
+
   test("usage §4d: margin-based pair mining") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val queries = emb.limit(8)
