@@ -2268,6 +2268,22 @@ object SparkEntry {
           groupCols = Seq("source"), topK = 3)
     }),
 
+    "cur14_pagerank" -> ((s, dir) => {
+      // domain-authority ranking over a 1000-node citation graph
+      // derived from orders (orderkey-bucket → custkey-bucket):
+      // FIXED-POINT integer PageRank, 3 iterations. The scaled-
+      // integer recursion is deterministic to the last bit at any
+      // partitioning — integer sums are order-free where float sums
+      // are not — which is exactly what lets DuckDB replay all three
+      // iterations and hash-compare (float PageRank cannot be
+      // hash-compared across engines, or even across reruns).
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_orderkey") % 1000).as("src"),
+        (col("o_custkey") % 1000).as("dst"))
+      graft.operators.Graph.pageRankFp(edges, "src", "dst", numIter = 3)
+        .orderBy(col("id").asc)
+    }),
+
     "q57_interval_join" -> ((s, dir) => {
       // interval×interval OVERLAP join (concurrent validity windows):
       // bucketed equi-join with exactly-once emission from the cell
@@ -4142,6 +4158,51 @@ object SparkEntry {
                  * 0.5, 6) AS jsd_term
          FROM m JOIN tt ON m.source = tt.source
          ORDER BY m.source, category""",
+
+    // three unrolled iterations of the exact integer recursion —
+    // every DIV floors a positive BIGINT, so the replay is bit-exact
+    // by construction (the fixed-point design exists FOR this)
+    "cur14_pagerank" ->
+      """WITH e AS (
+           SELECT DISTINCT o_orderkey % 1000 AS src, o_custkey % 1000 AS dst
+           FROM orders WHERE o_orderkey % 1000 <> o_custkey % 1000),
+         n AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+         dg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+         p AS (SELECT count(*) AS nn FROM n),
+         r0 AS (SELECT id, 1000000000000 // (SELECT nn FROM p) AS r FROM n),
+         d1 AS (SELECT coalesce(sum(r), 0) AS dang
+                FROM r0 LEFT JOIN dg USING (id) WHERE deg IS NULL),
+         i1 AS (SELECT e.dst AS id, sum(r0.r // dg.deg) AS inflow
+                FROM e JOIN r0 ON e.src = r0.id JOIN dg ON dg.id = e.src
+                GROUP BY 1),
+         r1 AS (SELECT n.id,
+                  ((1000000000000 // (SELECT nn FROM p)) * 15) // 100
+                  + ((coalesce(i1.inflow, 0)
+                      + ((SELECT dang FROM d1) // (SELECT nn FROM p))) * 85) // 100 AS r
+                FROM n LEFT JOIN i1 ON n.id = i1.id),
+         d2 AS (SELECT coalesce(sum(r), 0) AS dang
+                FROM r1 LEFT JOIN dg USING (id) WHERE deg IS NULL),
+         i2 AS (SELECT e.dst AS id, sum(r1.r // dg.deg) AS inflow
+                FROM e JOIN r1 ON e.src = r1.id JOIN dg ON dg.id = e.src
+                GROUP BY 1),
+         r2 AS (SELECT n.id,
+                  ((1000000000000 // (SELECT nn FROM p)) * 15) // 100
+                  + ((coalesce(i2.inflow, 0)
+                      + ((SELECT dang FROM d2) // (SELECT nn FROM p))) * 85) // 100 AS r
+                FROM n LEFT JOIN i2 ON n.id = i2.id),
+         d3 AS (SELECT coalesce(sum(r), 0) AS dang
+                FROM r2 LEFT JOIN dg USING (id) WHERE deg IS NULL),
+         i3 AS (SELECT e.dst AS id, sum(r2.r // dg.deg) AS inflow
+                FROM e JOIN r2 ON e.src = r2.id JOIN dg ON dg.id = e.src
+                GROUP BY 1),
+         r3 AS (SELECT n.id,
+                  ((1000000000000 // (SELECT nn FROM p)) * 15) // 100
+                  + ((coalesce(i3.inflow, 0)
+                      + ((SELECT dang FROM d3) // (SELECT nn FROM p))) * 85) // 100 AS r
+                FROM n LEFT JOIN i3 ON n.id = i3.id)
+         SELECT id, r AS rank_fp,
+           CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+         FROM r3 ORDER BY id""",
 
     // the quadratic definition IS the oracle's job (DuckDB plans it
     // as an IEJoin); the engine's bucketed exactly-once plan must

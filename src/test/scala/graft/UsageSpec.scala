@@ -345,6 +345,19 @@ class UsageSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(6) == 0.0)) // identical snapshots
   }
 
+  test("usage §7d3: fixed-point PageRank authority") {
+    import spark.implicits._
+    val hostEdges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src_host", "dst_host")
+    val authority = graft.operators.Graph.pageRankFp(
+      hostEdges, "src_host", "dst_host", numIter = 10)
+    val rows = authority.collect()
+    assert(rows.length == 3)
+    // mass stays ~1 (floor losses only shrink it)
+    val mass = rows.map(_.getDouble(2)).sum
+    assert(mass > 0.99 && mass <= 1.000001)
+  }
+
   test("usage §2b: interval overlap join") {
     val o = Tables.load(spark, sfDir, "orders")
     val l = o.select(col("o_orderkey").as("l_id"),
