@@ -1452,6 +1452,19 @@ object SparkEntry {
           windowLen = "1 hour", minFraction = 0.25)
         .orderBy(col("window_start").asc, col("event_type").asc)),
 
+    "ev13_drift_stream" -> ((s, dir) =>
+      // CONTINUOUS data-quality: per-window categorical drift vs the
+      // static full-history baseline, through the engine's chained
+      // stateful aggregates (the ev12 shape) with the whole JSD as a
+      // stateless projection over the collected category list —
+      // cur12's exact arithmetic per sealed window, so the oracle
+      // replays every term under the append-mode cutoff. topK=3 over
+      // ~5 event types keeps a live __other__ fold.
+      Streams.categoricalDriftStreamOnce(s, s"$dir/events.parquet",
+          baseline = t(s, dir, "events").select("event_type"),
+          catCol = "event_type", windowLen = "1 hour", topK = 3)
+        .orderBy(col("window_start").asc, col("category").asc)),
+
     "ev8_stream_static_join" -> ((s, dir) => {
       // stream-static enrichment executed BY the streaming engine:
       // events stream in, a static per-type dimension (derived from
@@ -4158,6 +4171,61 @@ object SparkEntry {
                  * 0.5, 6) AS jsd_term
          FROM m JOIN tt ON m.source = tt.source
          ORDER BY m.source, category""",
+
+    // the ev12 sealed-window cutoff + cur12's JSD arithmetic, per
+    // window: kept categories cross-join every sealed window (a
+    // baseline category absent from a window emits with n_cur = 0),
+    // the __other__ fold rides the per-window kept sum
+    "ev13_drift_stream" ->
+      """WITH bc AS (
+           SELECT event_type AS c, count(*) AS nb FROM events
+           WHERE event_type IS NOT NULL GROUP BY 1),
+         tbq AS (SELECT sum(nb) AS tb FROM bc),
+         kept AS (SELECT c, nb FROM bc ORDER BY nb DESC, c ASC LIMIT 3),
+         oth AS (SELECT (SELECT sum(nb) FROM bc)
+                      - (SELECT sum(nb) FROM kept) AS nbo),
+         wm AS (SELECT (max(epoch_ns(ts)) // 1000000) - 7200000 AS wm_ms
+                FROM events),
+         e AS (
+           SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS ws,
+             event_type
+           FROM events WHERE event_type IS NOT NULL),
+         wc AS (SELECT ws, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+         wt AS (SELECT ws, CAST(sum(n) AS BIGINT) AS window_total
+                FROM wc GROUP BY 1),
+         sealed AS (
+           SELECT wt.ws, wt.window_total FROM wt, wm
+           WHERE (wt.ws + 3600) * 1000 <= wm.wm_ms),
+         keptrows AS (
+           SELECT s.ws, k.c AS category, k.nb AS n_base,
+             coalesce(wc.n, 0) AS n_cur, s.window_total
+           FROM sealed s CROSS JOIN kept k
+           LEFT JOIN wc ON wc.ws = s.ws AND wc.event_type = k.c),
+         ko AS (SELECT ws, sum(n_cur) AS nck FROM keptrows GROUP BY 1),
+         otherrows AS (
+           SELECT k.ws, '__other__' AS category, o.nbo AS n_base,
+             s.window_total - k.nck AS n_cur, s.window_total
+           FROM ko k JOIN sealed s ON s.ws = k.ws, oth o
+           WHERE o.nbo > 0 OR s.window_total - k.nck > 0),
+         allrows AS (
+           SELECT * FROM keptrows UNION ALL SELECT * FROM otherrows)
+         SELECT ws AS window_start, category,
+           CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+           window_total,
+           round(n_base / (SELECT tb FROM tbq), 6) AS p_base,
+           round(n_cur / window_total, 6) AS p_cur,
+           round((CASE WHEN n_base = 0 THEN 0.0
+                       ELSE (n_base / (SELECT tb FROM tbq))
+                         * ln((n_base / (SELECT tb FROM tbq))
+                           / ((n_base / (SELECT tb FROM tbq)
+                               + n_cur / window_total) / 2)) END
+                + CASE WHEN n_cur = 0 THEN 0.0
+                       ELSE (n_cur / window_total)
+                         * ln((n_cur / window_total)
+                           / ((n_base / (SELECT tb FROM tbq)
+                               + n_cur / window_total) / 2)) END)
+                 * 0.5, 6) AS jsd_term
+         FROM allrows ORDER BY window_start, category""",
 
     // three unrolled iterations of the exact integer recursion —
     // every DIV floors a positive BIGINT, so the replay is bit-exact

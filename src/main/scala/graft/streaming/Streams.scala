@@ -568,6 +568,117 @@ object Streams {
     detachedTable(spark, qn)
   }
 
+  /** CONTINUOUS categorical drift: per event-time window, the
+    * Jensen–Shannon decomposition of the window's category mix
+    * against a STATIC baseline distribution — the streaming form of
+    * `Profiler.categoricalDrift`, alerting "this hour's event mix
+    * shifted from history" while the data is still arriving, instead
+    * of after the next batch profile run.
+    *
+    * Shape: the ev12 chained-stateful discipline — a per-(window,
+    * category) count aggregate feeds a SECOND stateful windowed
+    * aggregate (category list re-windowed via `window_time`), both
+    * append-mode with watermark-bounded O(windows × categories)
+    * state — then the whole JSD is ONE STATELESS projection: the
+    * baseline's top-K categories ship as a literal array (category
+    * distributions are broadcast-small by definition — the
+    * Decontam/ANN small-side contract), per-category window counts
+    * come from higher-order functions over the collected list, and
+    * the arithmetic is exactly `categoricalDrift`'s (integer counts,
+    * pb·ln(pb/m) with zero guards, 6 dp) so the DuckDB oracle
+    * replays every term bit-for-bit under the append-mode
+    * finalization cutoff.
+    *
+    * Output per SEALED window: one row per kept baseline category
+    * (plus `__other__` when either side has folded mass):
+    * (window_start, category, n_base, n_cur, window_total, p_base,
+    * p_cur, jsd_term). A baseline category ABSENT from a window
+    * still emits (p_cur = 0 — a vanishing category is drift); Σ
+    * jsd_term over a window = that window's JSD vs baseline.
+    */
+  def categoricalDriftStreamOnce(spark: SparkSession, sourcePath: String,
+                                 baseline: DataFrame, catCol: String,
+                                 windowLen: String = "1 hour",
+                                 topK: Int = 20,
+                                 watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    require(topK >= 1, s"categoricalDriftStreamOnce: topK must be >= 1, got $topK")
+    // baseline distribution, collected once (small-side contract)
+    val baseCounts = baseline.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("c")).agg(count(lit(1)).as("nb"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(baseCounts.nonEmpty,
+      s"categoricalDriftStreamOnce: baseline has no non-null '$catCol' values")
+    val kept = baseCounts.sortBy { case (c, nb) => (-nb, c) }.take(topK)
+    val nbOther = baseCounts.map(_._2).sum - kept.map(_._2).sum
+    val tb = baseCounts.map(_._2).sum
+
+    val schema = spark.read.parquet(sourcePath).schema
+    val inputPath = asStreamDir(sourcePath)
+    val qn = "graft_drift_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val raw = spark.readStream.schema(schema).parquet(inputPath)
+    val src = raw.withColumn("__evt", eventTs(raw, "ts"))
+      .withWatermark("__evt", watermark)
+      .filter(col(catCol).isNotNull)
+    val counts = src
+      .groupBy(window(col("__evt"), windowLen).as("w"),
+        col(catCol).cast("string").as("__cat"))
+      .agg(count(lit(1)).as("n"))
+    val perWindow = counts
+      .groupBy(window(window_time(col("w")), windowLen).as("w2"))
+      .agg(collect_list(struct(col("__cat"), col("n"))).as("types"))
+
+    val keptLit = array(kept.map { case (c, nb) =>
+      struct(lit(c).as("category"), lit(nb).as("n_base")) }: _*)
+    val withTerms = perWindow
+      .select(unix_timestamp(col("w2.start")).as("window_start"), col("types"))
+      .withColumn("window_total",
+        aggregate(col("types"), lit(0L), (a, t) => a + t.getField("n")))
+      .withColumn("terms", transform(keptLit, k => struct(
+        k.getField("category").as("category"),
+        k.getField("n_base").as("n_base"),
+        aggregate(filter(col("types"),
+            t => t.getField("__cat") === k.getField("category")),
+          lit(0L), (a, t) => a + t.getField("n")).as("n_cur"))))
+      .withColumn("__nck",
+        aggregate(col("terms"), lit(0L), (a, x) => a + x.getField("n_cur")))
+      .withColumn("terms",
+        when(lit(nbOther) > 0L || col("window_total") - col("__nck") > 0L,
+          concat(col("terms"), array(struct(
+            lit("__other__").as("category"), lit(nbOther).as("n_base"),
+            (col("window_total") - col("__nck")).as("n_cur")))))
+          .otherwise(col("terms")))
+    val pb = col("n_base") / lit(tb)
+    val pc = col("n_cur") / col("window_total")
+    val m = (pb + pc) / 2
+    val term = (when(col("n_base") === 0L, lit(0.0)).otherwise(pb * log(pb / m))
+      + when(col("n_cur") === 0L, lit(0.0)).otherwise(pc * log(pc / m))) * 0.5
+    val out = withTerms
+      .select(col("window_start"), col("window_total"),
+        explode(col("terms")).as("t"))
+      .select(col("window_start"), col("t.category").as("category"),
+        col("t.n_base").as("n_base"), col("t.n_cur").as("n_cur"),
+        col("window_total"))
+      .select(col("window_start"), col("category"), col("n_base"),
+        col("n_cur"), col("window_total"),
+        round(pb, 6).as("p_base"), round(pc, 6).as("p_cur"),
+        round(term, 6).as("jsd_term"))
+    withBackfillStatePartitions(spark) {
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        val plan = org.apache.spark.sql.graftbridge.Bridge
+          .lastStreamingExecutedPlan(q).map(_.toString).getOrElse("")
+        require("StateStoreSave".r.findAllIn(plan).length >= 2,
+          "categoricalDriftStreamOnce: engine did not plan two chained " +
+            s"stateful aggregates:\n${plan.take(1500)}")
+      } finally if (q.isActive) q.stop()
+    }
+    detachedTable(spark, qn)
+  }
+
   /** Streaming exact dedup — the continuous form of [[graft.dedup.Dedup.exact]]
     * for at-least-once sources that redeliver records.
     * `dropDuplicatesWithinWatermark` keeps the first arrival per key and

@@ -343,4 +343,38 @@ class StreamsSpec extends AnyFunSuite {
       graft.streaming.Streams.trendingAgg(events, "1 hour", minFraction = 0.0)
     }
   }
+
+  test("streaming drift: per-window JSD structure, absent-category rows, refusals") {
+    val src = s"${SparkT.sfDir}/events.parquet"
+    val events = spark.read.parquet(src)
+    val got = graft.streaming.Streams.categoricalDriftStreamOnce(spark, src,
+      baseline = events.select("event_type"), catCol = "event_type",
+      windowLen = "1 hour", topK = 2)
+    val rows = got.collect()
+    assert(rows.nonEmpty, "no sealed windows — fixture too short")
+    // exactly topK kept + __other__ rows per sealed window (5 types
+    // at topK=2 ⇒ folded baseline mass is always > 0)
+    val byWindow = rows.groupBy(_.getLong(0))
+    byWindow.foreach { case (ws, rs) =>
+      assert(rs.length == 3, s"window $ws: ${rs.length} rows")
+      assert(rs.count(_.getString(1) == "__other__") == 1)
+      // per-window counts reconcile: sum of n_cur = window_total
+      assert(rs.map(_.getLong(3)).sum == rs.head.getLong(4), s"window $ws")
+      // a kept category absent from the window still emits (n_cur=0
+      // rows are legal and meaningful — vanishing IS drift)
+      rs.foreach(r => assert(r.getLong(2) > 0 || r.getString(1) == "__other__"))
+    }
+    // all terms finite and >= 0 up to the 6dp round
+    assert(rows.forall(r => !r.getDouble(7).isNaN && r.getDouble(7) >= -1e-9))
+    intercept[IllegalArgumentException] {
+      graft.streaming.Streams.categoricalDriftStreamOnce(spark, src,
+        baseline = events.select("event_type").limit(0),
+        catCol = "event_type")
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.Streams.categoricalDriftStreamOnce(spark, src,
+        baseline = events.select("event_type"), catCol = "event_type",
+        topK = 0)
+    }
+  }
 }

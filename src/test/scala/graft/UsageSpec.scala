@@ -345,6 +345,17 @@ class UsageSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(6) == 0.0)) // identical snapshots
   }
 
+  test("usage §6c: streaming categorical drift vs static baseline") {
+    val events = Tables.load(spark, sfDir, "events")
+    val drift = Streams.categoricalDriftStreamOnce(spark,
+      s"$sfDir/events.parquet",
+      baseline = events.select("event_type"), catCol = "event_type",
+      windowLen = "1 hour", topK = 5)
+    val rows = drift.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => !r.getDouble(7).isNaN))
+  }
+
   test("usage §7d3: fixed-point PageRank authority") {
     import spark.implicits._
     val hostEdges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
