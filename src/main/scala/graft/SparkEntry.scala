@@ -2281,6 +2281,20 @@ object SparkEntry {
           groupCols = Seq("source"), topK = 3)
     }),
 
+    "cur15_group_ks" -> ((s, dir) => {
+      // per-SOURCE numeric drift: +10% n_chars inflation confined to
+      // src5 — a corpus-wide KS dilutes the shift ~20x; the grouped
+      // gate reads it at full strength in src5 and exactly 0.0 in
+      // every other source (identical sides per group). Exact
+      // integer-ratio CDF gaps per group, so the oracle replays
+      // bit-for-bit.
+      val d = t(s, dir, "documents").select(col("source"), col("n_chars"))
+      val cur = d.select(col("source"),
+        when(col("source") === "src5", col("n_chars") * 1.1)
+          .otherwise(col("n_chars").cast("double")).as("n_chars"))
+      graft.operators.Profiler.ksDriftBy(d, cur, "n_chars", Seq("source"))
+    }),
+
     "cur14_pagerank" -> ((s, dir) => {
       // domain-authority ranking over a 1000-node citation graph
       // derived from orders (orderkey-bucket → custkey-bucket):
@@ -4226,6 +4240,36 @@ object SparkEntry {
                                + n_cur / window_total) / 2)) END)
                  * 0.5, 6) AS jsd_term
          FROM allrows ORDER BY window_start, category""",
+
+    // per-group KS: cumulative BIGINT counts over the per-group value
+    // digests divided by per-group totals — the cur11 integer-ratio
+    // discipline, windowed per source instead of range-partitioned
+    "cur15_group_ks" ->
+      """WITH u AS (
+           SELECT source, CAST(n_chars AS DOUBLE) AS v, 1 AS b, 0 AS c
+           FROM documents WHERE n_chars IS NOT NULL
+           UNION ALL
+           SELECT source,
+             CASE WHEN source = 'src5' THEN CAST(n_chars AS DOUBLE) * 1.1
+                  ELSE CAST(n_chars AS DOUBLE) END AS v, 0, 1
+           FROM documents WHERE n_chars IS NOT NULL),
+         d AS (SELECT source, v, sum(b) AS cb, sum(c) AS cc
+               FROM u GROUP BY 1, 2),
+         t AS (SELECT source, CAST(sum(cb) AS BIGINT) AS nb,
+                 CAST(sum(cc) AS BIGINT) AS nc
+               FROM d GROUP BY 1 HAVING sum(cb) > 0 AND sum(cc) > 0),
+         r AS (SELECT source, v,
+                 sum(cb) OVER (PARTITION BY source ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rb,
+                 sum(cc) OVER (PARTITION BY source ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc
+               FROM d)
+         SELECT r.source,
+           round(max(abs(CAST(rb AS DOUBLE) / CAST(nb AS DOUBLE)
+             - CAST(rc AS DOUBLE) / CAST(nc AS DOUBLE))), 6) AS ks,
+           max(nb) AS n_base, max(nc) AS n_cur
+         FROM r JOIN t ON r.source = t.source
+         GROUP BY r.source ORDER BY r.source""",
 
     // three unrolled iterations of the exact integer recursion —
     // every DIV floors a positive BIGINT, so the replay is bit-exact

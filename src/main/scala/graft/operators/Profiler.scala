@@ -209,6 +209,64 @@ object Profiler {
         first(col("__nb")).as("n_base"), first(col("__nc")).as("n_cur"))
   }
 
+  /** Per-GROUP [[ksDrift]]: one exact two-sample KS statistic per
+    * group key — WHICH source's length/score distribution moved, not
+    * just whether the global one did (the numeric companion of
+    * [[categoricalDriftBy]]).
+    *
+    * Same exact arithmetic as [[ksDrift]] per group: D =
+    * sup|F_base − F_cur| over cumulative integer counts divided by
+    * integer totals — every term replayable bit-for-bit. The PLAN
+    * differs, deliberately: [[ksDrift]]'s range-partitioned
+    * prefix-sum machinery exists because ONE distribution's running
+    * sums must never collapse into a single task; here the group IS
+    * the parallelism unit, so the running sums are one window
+    * partitioned by group over the AGGREGATED (group, value) digest
+    * table — bounded by per-group distinct values, the q20 histogram
+    * discipline, spillable and shard-parallel. Groups with non-null
+    * values on only one side are EXCLUDED (KS against an absent
+    * sample is undefined — the [[categoricalDriftBy]] contract);
+    * null group keys are a group (null-safe totals join).
+    *
+    * Output: groupCols ++ (ks, n_base, n_cur), one row per common
+    * group, ordered by group. */
+  def ksDriftBy(base: DataFrame, cur: DataFrame, valueCol: String,
+                groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "ksDriftBy: groupCols must be non-empty (use ksDrift)")
+    val v = col(valueCol).cast("double")
+    val gs = groupCols.map(col)
+    def side(df: DataFrame, b: Int, name: String) = {
+      val missing = (groupCols :+ valueCol).filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"ksDriftBy: $name snapshot is missing column(s): ${missing.mkString(", ")}")
+      df.filter(v.isNotNull)
+        .select(gs :+ v.as("__v") :+ lit(b.toLong).as("__b")
+          :+ lit(1L - b).as("__c"): _*)
+    }
+    val digests = side(base, 1, "base").unionAll(side(cur, 0, "cur"))
+      .groupBy(gs :+ col("__v"): _*)
+      .agg(sum(col("__b")).as("__cb"), sum(col("__c")).as("__cc"))
+    val totals = digests.groupBy(gs: _*)
+      .agg(sum(col("__cb")).as("__nb"), sum(col("__cc")).as("__nc"))
+      .filter(col("__nb") > 0L && col("__nc") > 0L)
+      .select(groupCols.map(c => col(c).as(s"__gg_$c"))
+        :+ col("__nb") :+ col("__nc"): _*)
+    val totCond = groupCols.map(c => col(c) <=> col(s"__gg_$c")).reduce(_ && _)
+    val wRun = Window.partitionBy(gs: _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = digests
+      .withColumn("__rb", sum(col("__cb")).over(wRun))
+      .withColumn("__rc", sum(col("__cc")).over(wRun))
+    run.join(totals, totCond)
+      .select(gs :+ abs(col("__rb") / col("__nb") - col("__rc") / col("__nc"))
+        .as("__gap") :+ col("__nb") :+ col("__nc"): _*)
+      .groupBy(gs: _*)
+      .agg(round(max(col("__gap")), 6).as("ks"),
+        first(col("__nb")).as("n_base"), first(col("__nc")).as("n_cur"))
+      .orderBy(gs: _*)
+  }
+
   /** Categorical frequency drift between two snapshots of a discrete
     * column — the Jensen–Shannon decomposition over the top-`topK`
     * categories plus an `__other__` bucket, the companion to

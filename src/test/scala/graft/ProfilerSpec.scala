@@ -178,6 +178,47 @@ class ProfilerSpec extends AnyFunSuite {
     }
   }
 
+  test("ksDriftBy: per-group isolation, ungrouped agreement, exclusions, null group") {
+    val base = (1 to 60).map(i => (s"g${i % 2}", i.toDouble)).toDF("src", "v")
+    // +100 shift confined to g1: disjoint supports there (ks = 1.0),
+    // identical in g0 (ks = 0.0) — the shift a global KS dilutes
+    val cur = base.select(col("src"),
+      when(col("src") === "g1", col("v") + 100.0).otherwise(col("v")).as("v"))
+    val by = Profiler.ksDriftBy(base, cur, "v", Seq("src")).collect()
+    assert(by.map(_.getString(0)).toSeq == Seq("g0", "g1"))
+    assert(by.find(_.getString(0) == "g0").get.getDouble(1) == 0.0)
+    assert(by.find(_.getString(0) == "g1").get.getDouble(1) == 1.0)
+    // each group equals the ungrouped twin computed on it alone
+    for (g <- Seq("g0", "g1")) {
+      val solo = Profiler.ksDrift(
+        base.filter(col("src") === g).select("v"),
+        cur.filter(col("src") === g).select("v"), "v").collect()(0)
+      val row = by.find(_.getString(0) == g).get
+      assert((row.getDouble(1), row.getLong(2), row.getLong(3)) ==
+        (solo.getDouble(0), solo.getLong(1), solo.getLong(2)),
+        s"group $g disagrees with the ungrouped twin")
+    }
+    // groups with values on only one side are excluded, both ways
+    val curPlus = cur.unionByName(Seq(("gnew", 1.0)).toDF("src", "v"))
+    val basePlus = base.unionByName(Seq(("ggone", 1.0)).toDF("src", "v"))
+    val excl = Profiler.ksDriftBy(basePlus, curPlus, "v", Seq("src"))
+      .collect().map(_.getString(0)).toSet
+    assert(excl == Set("g0", "g1"))
+    // a null group key is a group
+    val withNullG = base.select(
+      when(col("src") === "g0", lit(null).cast("string"))
+        .otherwise(col("src")).as("src"), col("v"))
+    val ng = Profiler.ksDriftBy(withNullG, withNullG, "v", Seq("src")).collect()
+    assert(ng.exists(_.isNullAt(0)), "null group dropped")
+    assert(ng.forall(_.getDouble(1) == 0.0))
+    intercept[IllegalArgumentException] {
+      Profiler.ksDriftBy(base, base, "v", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Profiler.ksDriftBy(base, base, "nope", Seq("src"))
+    }
+  }
+
   test("categoricalDriftBy: per-group isolation, ungrouped agreement, exclusions, null group") {
     val base = (1 to 100).map(i => (s"g${i % 2}", s"cat${i % 5}"))
       .toDF("src", "lang")

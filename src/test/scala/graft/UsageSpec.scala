@@ -343,6 +343,11 @@ class UsageSpec extends AnyFunSuite {
     val rows = bySource.collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getDouble(6) == 0.0)) // identical snapshots
+    val docs2 = Tables.load(spark, sfDir, "documents")
+    val ksBySource = graft.operators.Profiler.ksDriftBy(
+      docs2.select("source", "n_chars"), docs2.select("source", "n_chars"),
+      "n_chars", groupCols = Seq("source"))
+    assert(ksBySource.collect().forall(_.getDouble(1) == 0.0))
   }
 
   test("usage §6c: streaming categorical drift vs static baseline") {
