@@ -2281,6 +2281,24 @@ object SparkEntry {
           groupCols = Seq("source"), topK = 3)
     }),
 
+    "cur16_cusum" -> ((s, dir) => {
+      // CUSUM changepoint monitoring on the hourly event-rate series
+      // per event type — the sequential shift detector the drift
+      // gates feed (a small persistent rate change crosses the CUSUM
+      // threshold long before any single hour looks anomalous).
+      // Metric = per-(type, hour) counts; micro-quantized integer
+      // prefix sums make every cusum value bit-replayable.
+      val ev = t(s, dir, "events")
+      val metric = ev
+        .select(col("event_type"), Streams.eventTsMs(ev, "ts").as("__ms"))
+        .groupBy(col("event_type"),
+          (expr("__ms DIV 3600000") * 3600L).as("hour"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      graft.operators.Profiler.cusum(metric, "hour", "n",
+          Seq("event_type"), target = 12.0, threshold = 40.0, slack = 1.0)
+        .orderBy(col("event_type").asc, col("hour").asc)
+    }),
+
     "cur15_group_ks" -> ((s, dir) => {
       // per-SOURCE numeric drift: +10% n_chars inflation confined to
       // src5 — a corpus-wide KS dilutes the shift ~20x; the grouped
@@ -4240,6 +4258,34 @@ object SparkEntry {
                                + n_cur / window_total) / 2)) END)
                  * 0.5, 6) AS jsd_term
          FROM allrows ORDER BY window_start, category""",
+
+    // CUSUM via the prefix-sum identity S_t = P_t − min(0, min P_j):
+    // micro-quantized BIGINT deviations make both running windows
+    // order-free exact; the dq secondary sort pins duplicate periods
+    "cur16_cusum" ->
+      """WITH m AS (
+           SELECT event_type,
+             ((epoch_ns(ts) // 1000000) // 3600000) * 3600 AS hour,
+             CAST(count(*) AS DOUBLE) AS n
+           FROM events GROUP BY 1, 2),
+         q AS (
+           SELECT event_type, hour, n,
+             CAST(floor((n - 12.0 - 1.0) * 1000000.0 + 0.5) AS BIGINT) AS dq
+           FROM m),
+         p1 AS (
+           SELECT event_type, hour, n, dq,
+             sum(dq) OVER (PARTITION BY event_type ORDER BY hour, dq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+           FROM q),
+         p2 AS (
+           SELECT event_type, hour, n, pp,
+             min(pp) OVER (PARTITION BY event_type ORDER BY hour, dq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+           FROM p1)
+         SELECT event_type, hour, n,
+           CAST(pp - least(CAST(0 AS BIGINT), mn) AS DOUBLE) / 1000000.0 AS cusum,
+           pp - least(CAST(0 AS BIGINT), mn) > 40000000 AS alarm
+         FROM p2 ORDER BY event_type, hour""",
 
     // per-group KS: cumulative BIGINT counts over the per-group value
     // digests divided by per-group totals — the cur11 integer-ratio

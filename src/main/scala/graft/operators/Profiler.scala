@@ -209,6 +209,61 @@ object Profiler {
         first(col("__nb")).as("n_base"), first(col("__nc")).as("n_cur"))
   }
 
+  /** CUSUM changepoint detection (Page 1954, one-sided upper chart)
+    * over an ordered metric series: S_t = max(0, S_{t-1} + x_t − μ −
+    * k), alarm when S_t crosses `threshold` — the sequential shift
+    * detector that catches a small persistent level change long
+    * before any per-point rule fires (the monitoring layer the drift
+    * gates feed: run it on per-batch quality means, per-hour event
+    * rates, per-crawl containment ratios).
+    *
+    * The recurrence looks inherently sequential, but has the exact
+    * prefix-sum form S_t = P_t − min(0, min_{j≤t} P_j) with P the
+    * running sum of deviations — two per-series windows, shard-
+    * parallel by group. Deviations are micro-quantized
+    * (floor((x−μ−k)·10⁶ + 0.5), one independent per-row op) so every
+    * running sum is an order-free BIGINT and the result replays
+    * bit-for-bit in any engine — a float cumulative sum would differ
+    * between Spark's sequential frame accumulation and a
+    * segment-tree windowed sum in the last ulp. 10⁻⁶ metric
+    * resolution is the documented quantization contract.
+    *
+    * Input is a METRIC table (one row per group per period — already
+    * aggregated from the corpus by the caller), so per-group windows
+    * over it are bounded by the series length, never corpus size.
+    * Duplicate periods within a group order deterministically by
+    * (period, deviation); null period/value rows are excluded
+    * ([[columnStats]] reports them). `target`/`slack` come from the
+    * in-control baseline (e.g. a [[columnStats]] profile of it).
+    *
+    * Output: groupCols ++ (orderCol, valueCol, cusum, alarm), one
+    * row per input point. */
+  def cusum(df: DataFrame, orderCol: String, valueCol: String,
+            groupCols: Seq[String], target: Double, threshold: Double,
+            slack: Double = 0.0): DataFrame = {
+    require(threshold > 0, s"cusum: threshold must be > 0, got $threshold")
+    require(slack >= 0, s"cusum: slack must be >= 0, got $slack")
+    val missing = (groupCols ++ Seq(orderCol, valueCol))
+      .filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"cusum: input is missing column(s): ${missing.mkString(", ")}")
+    val gs = groupCols.map(col)
+    val dq = floor((col(valueCol).cast("double") - lit(target) - lit(slack))
+      * lit(1000000.0) + lit(0.5)).cast("long")
+    val base = df.filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(gs ++ Seq(col(orderCol), col(valueCol), dq.as("__dq")): _*)
+    val w = Window.partitionBy(gs: _*)
+      .orderBy(col(orderCol).asc, col("__dq").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thrQ = math.floor(threshold * 1000000.0 + 0.5).toLong
+    val s = col("__p") - least(lit(0L), col("__m"))
+    base.withColumn("__p", sum(col("__dq")).over(w))
+      .withColumn("__m", min(col("__p")).over(w))
+      .select(gs ++ Seq(col(orderCol), col(valueCol),
+        (s.cast("double") / lit(1000000.0)).as("cusum"),
+        (s > lit(thrQ)).as("alarm")): _*)
+  }
+
   /** Per-GROUP [[ksDrift]]: one exact two-sample KS statistic per
     * group key — WHICH source's length/score distribution moved, not
     * just whether the global one did (the numeric companion of

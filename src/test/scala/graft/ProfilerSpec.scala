@@ -178,6 +178,54 @@ class ProfilerSpec extends AnyFunSuite {
     }
   }
 
+  test("cusum: hand case, recurrence equivalence, group isolation, refusals") {
+    // target 12, slack 1 → dev = v-13: [1,1,-3,7]; P=[1,2,-1,6];
+    // min(0,minP)=[0,0,-1,-1]; S=[1,2,0,7]; threshold 5 → last alarms
+    val series = Seq(("a", 1L, 14.0), ("a", 2L, 14.0), ("a", 3L, 10.0),
+      ("a", 4L, 20.0)).toDF("g", "t", "v")
+    val got = Profiler.cusum(series, "t", "v", Seq("g"),
+        target = 12.0, threshold = 5.0, slack = 1.0)
+      .orderBy("t").collect()
+    assert(got.map(_.getDouble(3)).toSeq == Seq(1.0, 2.0, 0.0, 7.0))
+    assert(got.map(_.getBoolean(4)).toSeq == Seq(false, false, false, true))
+    // random series: prefix-sum form == the textbook recurrence
+    // S_t = max(0, S_{t-1} + d_t), in exact micro-units
+    val rnd = (1 to 200).map(i =>
+      ("s", i.toLong, ((i * 7919) % 23 - 11).toDouble))
+    val gotR = Profiler.cusum(rnd.toDF("g", "t", "v"), "t", "v", Seq("g"),
+        target = 0.5, threshold = 30.0)
+      .orderBy("t").collect().map(_.getDouble(3))
+    var sQ = 0L
+    val expR = rnd.map { case (_, _, v) =>
+      val dq = math.floor((v - 0.5 - 0.0) * 1000000.0 + 0.5).toLong
+      sQ = math.max(0L, sQ + dq)
+      sQ.toDouble / 1000000.0
+    }
+    assert(gotR.toSeq == expR)
+    // groups are independent series
+    val two = Seq(("a", 1L, 100.0), ("b", 1L, 0.0), ("b", 2L, 0.0))
+      .toDF("g", "t", "v")
+    val byG = Profiler.cusum(two, "t", "v", Seq("g"),
+        target = 0.0, threshold = 50.0)
+      .collect().map(r => (r.getString(0), r.getBoolean(4)))
+    assert(byG.toSet == Set(("a", true), ("b", false)))
+    // null period/value rows are excluded
+    val withNull = Seq(("a", Some(1L), Some(1.0)), ("a", None, Some(2.0)),
+      ("a", Some(3L), None)).toDF("g", "t", "v")
+    assert(Profiler.cusum(withNull, "t", "v", Seq("g"),
+      target = 0.0, threshold = 1.0).count() == 1L)
+    intercept[IllegalArgumentException] {
+      Profiler.cusum(series, "t", "v", Seq("g"), target = 0.0, threshold = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Profiler.cusum(series, "t", "v", Seq("g"), target = 0.0,
+        threshold = 1.0, slack = -1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Profiler.cusum(series, "t", "nope", Seq("g"), target = 0.0, threshold = 1.0)
+    }
+  }
+
   test("ksDriftBy: per-group isolation, ungrouped agreement, exclusions, null group") {
     val base = (1 to 60).map(i => (s"g${i % 2}", i.toDouble)).toDF("src", "v")
     // +100 shift confined to g1: disjoint supports there (ks = 1.0),

@@ -348,6 +348,13 @@ class UsageSpec extends AnyFunSuite {
       docs2.select("source", "n_chars"), docs2.select("source", "n_chars"),
       "n_chars", groupCols = Seq("source"))
     assert(ksBySource.collect().forall(_.getDouble(1) == 0.0))
+    import spark.implicits._
+    val hourlyRates = Seq(("click", 1L, 12.0), ("click", 2L, 60.0))
+      .toDF("event_type", "hour", "n")
+    val chart = graft.operators.Profiler.cusum(hourlyRates, "hour", "n",
+      groupCols = Seq("event_type"), target = 12.0, threshold = 40.0,
+      slack = 1.0)
+    assert(chart.filter(col("alarm")).count() == 1L)
   }
 
   test("usage §6c: streaming categorical drift vs static baseline") {
