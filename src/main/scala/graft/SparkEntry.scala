@@ -2281,6 +2281,23 @@ object SparkEntry {
           groupCols = Seq("source"), topK = 3)
     }),
 
+    "q58_resample" -> ((s, dir) => {
+      // time-grid resampling with forward fill: each user's irregular
+      // event series projected onto a 15-minute grid, latest value
+      // carried forward — the regularization step between raw event
+      // tables and anything assuming aligned periods (drift gates,
+      // CUSUM charts, feature windows). Bucket floor, latest-per-
+      // bucket tie-break, and the per-key fill window all replay
+      // exactly in the oracle.
+      val ev = t(s, dir, "events").filter(col("user_id") < 5)
+      val secs = ev.select(col("user_id"),
+        Streams.eventTsMs(ev, "ts").as("__ms"), col("value"))
+        .select(col("user_id"), expr("__ms DIV 1000").as("tsec"), col("value"))
+      graft.operators.Resample.timeGrid(secs, Seq("user_id"), "tsec",
+          "value", stepSeconds = 900L)
+        .orderBy(col("user_id").asc, col("grid_ts").asc)
+    }),
+
     "cur16_cusum" -> ((s, dir) => {
       // CUSUM changepoint monitoring on the hourly event-rate series
       // per event type — the sequential shift detector the drift
@@ -4258,6 +4275,38 @@ object SparkEntry {
                                + n_cur / window_total) / 2)) END)
                  * 0.5, 6) AS jsd_term
          FROM allrows ORDER BY window_start, category""",
+
+    // latest-per-bucket via row_number (tsec DESC, value DESC) — the
+    // deterministic twin of the engine's max(struct(ts, value));
+    // forward fill via last_value IGNORE NULLS over the grid
+    "q58_resample" ->
+      """WITH e AS (
+           SELECT user_id, (epoch_ns(ts) // 1000000) // 1000 AS tsec, value
+           FROM events WHERE user_id < 5 AND value IS NOT NULL),
+         eb AS (
+           SELECT user_id, tsec - ((tsec % 900) + 900) % 900 AS b,
+             tsec, value
+           FROM e),
+         o AS (
+           SELECT user_id, b, value FROM (
+             SELECT user_id, b, value,
+               row_number() OVER (PARTITION BY user_id, b
+                 ORDER BY tsec DESC, value DESC) AS rn
+             FROM eb)
+           WHERE rn = 1),
+         g AS (
+           SELECT user_id, unnest(generate_series(lo, hi, 900)) AS gts
+           FROM (SELECT user_id, min(b) AS lo, max(b) AS hi
+                 FROM o GROUP BY 1)),
+         f AS (
+           SELECT g.user_id, g.gts, o.value AS vraw
+           FROM g LEFT JOIN o ON o.user_id = g.user_id AND o.b = g.gts)
+         SELECT user_id, gts AS grid_ts,
+           last_value(vraw IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY gts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           vraw IS NOT NULL AS observed
+         FROM f ORDER BY user_id, grid_ts""",
 
     // CUSUM via the prefix-sum identity S_t = P_t − min(0, min P_j):
     // micro-quantized BIGINT deviations make both running windows

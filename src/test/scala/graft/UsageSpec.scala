@@ -355,6 +355,12 @@ class UsageSpec extends AnyFunSuite {
       groupCols = Seq("event_type"), target = 12.0, threshold = 40.0,
       slack = 1.0)
     assert(chart.filter(col("alarm")).count() == 1L)
+    val readings = Seq((1L, 0L, 20.5), (1L, 1850L, 21.0))
+      .toDF("sensor_id", "ts_seconds", "reading")
+    val aligned = graft.operators.Resample.timeGrid(readings,
+      Seq("sensor_id"), "ts_seconds", "reading", stepSeconds = 900L)
+    assert(aligned.count() == 3L) // cells 0, 900 (carried), 1800
+    assert(aligned.filter(!col("observed")).count() == 1L)
   }
 
   test("usage §6c: streaming categorical drift vs static baseline") {
