@@ -386,6 +386,54 @@ object StressGate {
     run("q56_merge_updated", Some(p.total / 10))(
       q56.filter(col("text") === "UPDATED").count())
 
+    // --- fixed-point PageRank: the bit-identity claim AT SCALE. The
+    // hashed-destination graph over the skewed lineitem keys gives
+    // ~10k nodes with multi-million-edge in-degrees after dedupe;
+    // two different edge partitionings must produce IDENTICAL
+    // integer ranks (floats could not), and the per-iteration inflow
+    // shuffle stays edge-linear.
+    val prEdges = li.select(pmod(col("l_orderkey"), lit(10000L)).as("src"),
+      pmod(xxhash64(col("l_orderkey"), lit(11L)), lit(10000L)).as("dst"))
+    def pr(e: DataFrame) =
+      graft.operators.Graph.pageRankFp(e, "src", "dst", numIter = 3)
+    // pageRankFp is an ITERATIVE operator — it executes at
+    // construction (localCheckpoint per round), so the whole call
+    // must sit INSIDE the timed thunk
+    var prBase: DataFrame = null
+    val prNodes = run("cur14_pagerank", None) {
+      prBase = pr(prEdges); prBase.count()
+    }
+    val prAlt = pr(prEdges.repartition(17))
+    val prDiff = prAlt.exceptAll(prBase).count()
+    check("cur14_bit_identity",
+      prDiff == 0 && prAlt.count() == prNodes, prDiff,
+      "0 (integer ranks identical across partitionings)")
+
+    // --- time-grid resample: ids ≡ k (mod K) give every key exactly
+    // one observation per K-wide bucket — a gapless grid, so output
+    // rows == input rows and every row is observed (closed form);
+    // the fill window is grid-bounded per key.
+    val gridK = 1000L
+    val series = spark.range(p.nLineitem).select(
+      pmod(col("id"), lit(gridK)).as("k"), col("id").as("t"),
+      pmod(col("id"), lit(97L)).cast("double").as("v"))
+    def q58 = graft.operators.Resample.timeGrid(series, Seq("k"), "t", "v",
+      stepSeconds = gridK)
+    run("q58_resample_grid", Some(p.nLineitem))(q58.count())
+    run("q58_resample_observed", Some(p.nLineitem))(
+      q58.filter(col("observed")).count())
+
+    // --- CUSUM over a corpus-scale metric table: ~1001 series ×
+    // (rows/7000) periods; exact output row count (one per metric
+    // row), integer prefix sums deterministic by construction; the
+    // band asserts the two per-series windows stay series-linear.
+    val met = li.select(col("grp"), expr("l_orderkey DIV 1000").as("period"))
+      .groupBy("grp", "period").agg(count(lit(1)).cast("double").as("n"))
+    val metRows = met.count()
+    run("cur16_cusum", Some(metRows))(
+      graft.operators.Profiler.cusum(met, "period", "n", Seq("grp"),
+        target = 100.0, threshold = 1000.0, slack = 10.0).count())
+
     // --- skew mitigation: salted aggregation and split-route join must
     // be bit-equal to the plain plans (exact integer-valued doubles) ---
     def plainAgg = li.groupBy("grp").agg(
