@@ -2281,6 +2281,29 @@ object SparkEntry {
           groupCols = Seq("source"), topK = 3)
     }),
 
+    "q59_snapshot_diff" -> ((s, dir) => {
+      // the inverse of q56: recover the minimal CDC batch between two
+      // snapshots — upserts for repriced and fresh keys, tombstones
+      // for vanished ones, NOTHING for the untouched 70% (a
+      // mostly-unchanged snapshot ships a diff proportional to the
+      // change, not the table). merge(base, diff(base, next)) == next
+      // is the SnapshotSpec round-trip law.
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+      val next = base.filter(col("o_orderkey") % 10 =!= 0 &&
+          col("o_orderkey") % 10 =!= 5)
+        .unionByName(base.filter(col("o_orderkey") % 10 === 5)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") + 1000.0).as("o_totalprice"),
+            col("o_orderstatus")))
+        .unionByName(base.filter(col("o_orderkey") % 10 === 3)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"), col("o_orderstatus")))
+      graft.operators.Snapshot.diff(base, next, keyCols = Seq("o_orderkey"))
+        .orderBy(col("o_orderkey").asc, col("op").asc)
+    }),
+
     "q58_resample" -> ((s, dir) => {
       // time-grid resampling with forward fill: each user's irregular
       // event series projected onto a 15-minute grid, latest value
@@ -4275,6 +4298,36 @@ object SparkEntry {
                                + n_cur / window_total) / 2)) END)
                  * 0.5, 6) AS jsd_term
          FROM allrows ORDER BY window_start, category""",
+
+    // upserts = next rows new-or-changed vs base (null-safe per-column
+    // compare), deletes = vanished base keys; the untouched majority
+    // emits nothing
+    "q59_snapshot_diff" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+           FROM orders),
+         nxt AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+           FROM base WHERE o_orderkey % 10 NOT IN (0, 5)
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_totalprice + 1000.0, o_orderstatus
+           FROM base WHERE o_orderkey % 10 = 5
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, o_totalprice, o_orderstatus
+           FROM base WHERE o_orderkey % 10 = 3)
+         SELECT n.o_orderkey, n.o_custkey, n.o_totalprice, n.o_orderstatus,
+           'upsert' AS op
+         FROM nxt n LEFT JOIN base b ON n.o_orderkey = b.o_orderkey
+         WHERE b.o_orderkey IS NULL
+            OR NOT (n.o_custkey IS NOT DISTINCT FROM b.o_custkey
+                AND n.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
+                AND n.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus)
+         UNION ALL
+         SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, b.o_orderstatus,
+           'delete' AS op
+         FROM base b LEFT JOIN nxt n ON b.o_orderkey = n.o_orderkey
+         WHERE n.o_orderkey IS NULL
+         ORDER BY o_orderkey, op""",
 
     // latest-per-bucket via row_number (tsec DESC, value DESC) — the
     // deterministic twin of the engine's max(struct(ts, value));

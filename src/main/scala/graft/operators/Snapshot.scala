@@ -81,4 +81,51 @@ object Snapshot {
       .select(payload.map(col): _*)
     base.join(changedKeys, keyCols, "left_anti").unionByName(upserts)
   }
+
+  /** The inverse of [[merge]]: the minimal changes batch that turns
+    * `base` into `next` — `"upsert"` rows for keys that are new or
+    * whose payload changed, `"delete"` tombstones for keys that
+    * vanished; untouched rows emit NOTHING. The round-trip law
+    * `merge(base, diff(base, next)) == next` holds exactly (it is
+    * the SnapshotSpec property), which makes this the
+    * snapshot-to-incremental bridge: compute a full refresh however
+    * you like, ship only the diff.
+    *
+    * Column sets must match; comparison is null-safe per column
+    * (NULL == NULL for change detection); null key rows pair up
+    * null-safely, the library's grouped-operator contract. At most
+    * one row per key per side is assumed (snapshots, not logs —
+    * [[merge]]'s output satisfies this when keys are unique).
+    *
+    * Scale shape: ONE null-safe key join for the upsert side (full
+    * outer semantics expressed as left join + presence marker — the
+    * payload comparison rides the join row, no second shuffle) plus
+    * one anti-join for tombstones; both on the same key, so AQE
+    * plans them together and a mostly-unchanged snapshot ships a
+    * diff proportional to the CHANGE, not the table. */
+  def diff(base: DataFrame, next: DataFrame, keyCols: Seq[String],
+           opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty, "Snapshot.diff: keyCols must be non-empty")
+    require(base.columns.toSet == next.columns.toSet,
+      s"Snapshot.diff: column sets differ — base has ${base.columns.mkString(", ")}; " +
+        s"next has ${next.columns.mkString(", ")}")
+    val missingKey = keyCols.filterNot(base.columns.contains)
+    require(missingKey.isEmpty,
+      s"Snapshot.diff: key column(s) ${missingKey.mkString(", ")} not in the snapshots")
+    require(!base.columns.contains(opCol),
+      s"Snapshot.diff: snapshots already contain the op column '$opCol'")
+    val payload = base.columns.toSeq
+    val b = base.select(payload.map(c => col(c).as(s"__b_$c"))
+      :+ lit(true).as("__b_present"): _*)
+    val keyCond = keyCols.map(c => col(c) <=> col(s"__b_$c")).reduce(_ && _)
+    val samePayload = payload.map(c => col(c) <=> col(s"__b_$c")).reduce(_ && _)
+    val upserts = next.join(b, keyCond, "left")
+      .filter(col("__b_present").isNull || !samePayload)
+      .select(payload.map(col) :+ lit("upsert").as(opCol): _*)
+    val n = next.select(keyCols.map(c => col(c).as(s"__n_$c")): _*)
+    val delCond = keyCols.map(c => col(c) <=> col(s"__n_$c")).reduce(_ && _)
+    val deletes = base.join(n, delCond, "left_anti")
+      .select(payload.map(col) :+ lit("delete").as(opCol): _*)
+    upserts.unionByName(deletes)
+  }
 }

@@ -71,6 +71,38 @@ class SnapshotSpec extends AnyFunSuite {
       Seq((5L, "e", 5.0)))
   }
 
+  test("diff: minimal batch, null-safe change detection, merge round-trip law") {
+    val next = Seq(
+      (1L, "a", 10.0),   // untouched → no diff row
+      (2L, "b2", 25.0),  // changed → upsert
+      (4L, "d", 40.0)    // new → upsert;  key 3 vanished → delete
+    ).toDF("id", "name", "price")
+    val d = Snapshot.diff(base, next, Seq("id")).orderBy("id")
+    assert(d.collect().map(r =>
+      (r.getLong(0), r.getString(3))).toSeq ==
+      Seq((2L, "upsert"), (3L, "delete"), (4L, "upsert")))
+    // the round-trip law: merge(base, diff(base, next)) == next
+    val rt = Snapshot.merge(base, Snapshot.diff(base, next, Seq("id")), Seq("id"))
+    assert(rt.orderBy("id").collect().toSeq == next.orderBy("id").collect().toSeq)
+    // null payloads compare null-safely: a null staying null is NOT a
+    // change; null keys pair up as their own key
+    val bn = Seq((Some(1L), null.asInstanceOf[String], 1.0),
+      (None, "nk", 2.0)).toDF("id", "name", "price")
+    assert(Snapshot.diff(bn, bn, Seq("id")).isEmpty)
+    val nn = Seq((Some(1L), null.asInstanceOf[String], 1.0),
+      (None, "nk2", 2.0)).toDF("id", "name", "price")
+    val dn = Snapshot.diff(bn, nn, Seq("id")).collect()
+    assert(dn.length == 1 && dn(0).isNullAt(0) && dn(0).getString(3) == "upsert")
+    // refusals
+    intercept[IllegalArgumentException] {
+      Snapshot.diff(base, base.drop("price"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.diff(base.withColumn("op", lit("x")),
+        base.withColumn("op", lit("x")), Seq("id"))
+    }
+  }
+
   test("q56 plan: a small changes batch broadcasts the anti-join") {
     val q = SparkEntry.queries("q56_merge_snapshot")(spark, SparkT.sfDir)
     // materialize so AQE finalizes join strategies from runtime stats

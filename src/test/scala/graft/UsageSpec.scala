@@ -332,6 +332,9 @@ class UsageSpec extends AnyFunSuite {
       keyCols = Seq("doc_id"), versionCol = Some("crawl_version"))
     assert(next.columns.toSeq == snapshot.columns.toSeq)
     assert(next.count() == snapshot.count() - 1)
+    val batch = graft.operators.Snapshot.diff(snapshot, next,
+      keyCols = Seq("doc_id"))
+    assert(batch.count() == 2L) // one re-crawl, one tombstone — nothing else
   }
 
   test("usage §7d2: per-group categorical drift") {
