@@ -2281,6 +2281,37 @@ object SparkEntry {
           groupCols = Seq("source"), topK = 3)
     }),
 
+    "q60_rows_verbs" -> ((s, dir) => {
+      // the dplyr rows_* verb family over a keyed frame, composed:
+      // PATCH fills planted-null statuses from a reference (fill-only
+      // — existing values win), UPDATE reprices with a PARTIAL
+      // payload (only o_totalprice travels), UPSERT appends fresh
+      // keys with full payload, DELETE drops a tranche. Null-safe
+      // keys throughout; the oracle replays each verb as its CASE /
+      // UNION / filter definition in sequence.
+      val base0 = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      val base = GraftFrame(base0.withColumn("o_orderstatus",
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderstatus"))))
+      val patch = GraftFrame(base0.filter(col("o_orderkey") % 14 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus")))
+      val upd = GraftFrame(base0.filter(col("o_orderkey") % 10 === 5)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice")))
+      val ups = GraftFrame(base0.filter(col("o_orderkey") % 10 === 3)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"), col("o_orderstatus")))
+      val del = GraftFrame(base0.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey")))
+      base.rowsPatch(patch, Seq("o_orderkey"))
+        .rowsUpdate(upd, Seq("o_orderkey"))
+        .rowsUpsert(ups, Seq("o_orderkey"))
+        .rowsDelete(del, Seq("o_orderkey"))
+        .arrange(asc("o_orderkey"))
+        .df
+    }),
+
     "q59_snapshot_diff" -> ((s, dir) => {
       // the inverse of q56: recover the minimal CDC batch between two
       // snapshots — upserts for repriced and fresh keys, tombstones
@@ -4298,6 +4329,40 @@ object SparkEntry {
                                + n_cur / window_total) / 2)) END)
                  * 0.5, 6) AS jsd_term
          FROM allrows ORDER BY window_start, category""",
+
+    // each rows_* verb replayed in sequence: patch = fill-only CASE,
+    // update = overwrite CASE from the partial payload, upsert = pure
+    // insert here (fresh keys), delete = tranche filter (inserted
+    // keys end in 3, so %10<>0 removes exactly the original tranche)
+    "q60_rows_verbs" ->
+      """WITH base0 AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+           FROM orders),
+         base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderstatus END AS o_orderstatus
+           FROM base0),
+         p1 AS (
+           SELECT o_orderkey, o_custkey, o_totalprice,
+             CASE WHEN o_orderkey % 14 = 0 AND o_orderstatus IS NULL
+                  THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+           FROM base),
+         p2 AS (
+           SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+           FROM p1),
+         p3 AS (
+           SELECT * FROM p2
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, o_totalprice,
+             o_orderstatus
+           FROM base0 WHERE o_orderkey % 10 = 3)
+         SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+         FROM p3 WHERE o_orderkey % 10 <> 0
+         ORDER BY o_orderkey""",
 
     // upserts = next rows new-or-changed vs base (null-safe per-column
     // compare), deletes = vanished base keys; the untouched majority

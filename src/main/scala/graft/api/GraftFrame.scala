@@ -867,6 +867,78 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
   def antiJoin(other: GraftFrame, by: Seq[String]): GraftFrame =
     existenceJoin(other, by, "left_anti")
 
+  // ---- dplyr rows_* family (keyed row modification) ---------------------
+
+  /** Shared machinery of the `rows_*` verbs: left join `other` by key
+    * (null-safe, the join contract) with a match marker; `other` may
+    * carry a SUBSET of this frame's columns (dplyr allows partial
+    * payloads) but nothing outside it. At most one `other` row per
+    * key is the dplyr contract — duplicate patch keys fan out, a
+    * data error on the caller. */
+  private def rowsJoined(verb: String, other: GraftFrame,
+                         by: Seq[String]): (DataFrame, Seq[String]) = {
+    require(by.nonEmpty, s"$verb: 'by' must be non-empty")
+    val missing = by.filterNot(df.columns.contains) ++
+      by.filterNot(other.df.columns.contains)
+    require(missing.isEmpty,
+      s"$verb: key column(s) ${missing.distinct.mkString(", ")} missing")
+    val extra = other.df.columns.filterNot(df.columns.contains)
+    require(extra.isEmpty,
+      s"$verb: column(s) ${extra.mkString(", ")} do not exist in the target frame")
+    val yCols = other.df.columns.toSeq
+    val r = other.df.select(yCols.map(c => col(c).as(s"__y_$c"))
+      :+ lit(true).as("__m"): _*)
+    val cond = by.map(k => col(k) <=> col(s"__y_$k")).reduce(_ && _)
+    (df.join(r, cond, "left"), yCols.filterNot(by.contains))
+  }
+
+  /** dplyr `rows_insert(conflict = "ignore")` — append `other` rows
+    * whose keys are absent here; same-key rows are left untouched. */
+  def rowsInsert(other: GraftFrame, by: Seq[String]): GraftFrame = {
+    require(by.nonEmpty, "rows_insert: 'by' must be non-empty")
+    val fresh = other.antiJoin(GraftFrame(df.select(by.map(col): _*)), by)
+    bindRows(fresh)
+  }
+
+  /** dplyr `rows_update(unmatched = "ignore")` — for keys present in
+    * `other`, its payload values REPLACE this frame's (nulls
+    * included: an explicit null in the patch overwrites — use
+    * [[rowsPatch]] for fill-only); keys absent here are dropped. */
+  def rowsUpdate(other: GraftFrame, by: Seq[String]): GraftFrame = {
+    val (joined, payload) = rowsJoined("rows_update", other, by)
+    finishRows(joined, payload, patchOnly = false)
+  }
+
+  /** dplyr `rows_patch(unmatched = "ignore")` — like [[rowsUpdate]]
+    * but a patch value only fills where this frame is NULL; existing
+    * values win. */
+  def rowsPatch(other: GraftFrame, by: Seq[String]): GraftFrame = {
+    val (joined, payload) = rowsJoined("rows_patch", other, by)
+    finishRows(joined, payload, patchOnly = true)
+  }
+
+  /** dplyr `rows_upsert` — [[rowsUpdate]] for existing keys plus
+    * [[rowsInsert]] for new ones; columns `other` lacks stay
+    * untouched on updates and null on inserts, as in dplyr. */
+  def rowsUpsert(other: GraftFrame, by: Seq[String]): GraftFrame =
+    rowsUpdate(other, by).rowsInsert(other, by)
+
+  /** dplyr `rows_delete(unmatched = "ignore")` — drop rows whose key
+    * appears in `other`. */
+  def rowsDelete(other: GraftFrame, by: Seq[String]): GraftFrame =
+    antiJoin(GraftFrame(other.df.select(by.map(col): _*)), by)
+
+  private def finishRows(joined: DataFrame, payload: Seq[String],
+                         patchOnly: Boolean): GraftFrame =
+    copy(df = joined.select(df.columns.toSeq.map { c =>
+      if (payload.contains(c)) {
+        val pick =
+          if (patchOnly) col("__m").isNotNull && col(c).isNull
+          else col("__m").isNotNull
+        when(pick, col(s"__y_$c")).otherwise(col(c)).as(c)
+      } else col(c)
+    }: _*))
+
   // ---- binds ------------------------------------------------------------
 
   /** `bind_rows` (reference: R/bind.R, src/ops_bind.cpp) — by-name

@@ -547,4 +547,48 @@ class GraftFrameSpec extends AnyFunSuite {
       s"duplicate output names: ${bound.names}")
     assert(bound.names.toSet == Set("x", "y", "x_rhs", "x_rhs_rhs"))
   }
+
+  test("rows_* family: update vs patch semantics, insert/upsert/delete, null keys") {
+    val x = GraftFrame(Seq(
+      (Some(1L), Some("a"), Some(10.0)),
+      (Some(2L), None, Some(20.0)),
+      (None, Some("nk"), Some(30.0))).toDF("id", "nm", "p"))
+    // UPDATE overwrites, explicit nulls included; partial payload
+    // leaves the untouched column alone
+    val upd = GraftFrame(Seq((Some(1L), None: Option[String]),
+      (Some(99L), Some("ghost"))).toDF("id", "nm"))
+    val afterUpd = x.rowsUpdate(upd, Seq("id")).df
+      .orderBy(col("id").asc_nulls_first).collect()
+    assert(afterUpd.map(r => Option(r.getString(1))).toSeq ==
+      Seq(Some("nk"), None, None)) // null-key row kept; id=1 nulled
+    assert(afterUpd.map(_.getDouble(2)).toSeq == Seq(30.0, 10.0, 20.0))
+    // PATCH fills only nulls (id=2's nm), never overwrites (id=1's nm)
+    val patch = GraftFrame(Seq((1L, "zzz"), (2L, "filled")).toDF("id", "nm"))
+    val afterPatch = x.rowsPatch(patch, Seq("id")).df
+      .orderBy(col("id").asc_nulls_first).collect()
+    assert(afterPatch.map(r => Option(r.getString(1))).toSeq ==
+      Seq(Some("nk"), Some("a"), Some("filled")))
+    // INSERT appends only fresh keys (incl. vs the null key), missing
+    // columns become null; UPSERT = update + insert
+    val ins = GraftFrame(Seq((Some(2L), 99.0), (Some(5L), 50.0),
+      (None, 77.0)).toDF("id", "p"))
+    val afterIns = x.rowsInsert(ins, Seq("id")).df
+    assert(afterIns.count() == 4L) // only id=5 is new
+    assert(afterIns.filter(col("id") === 5L).collect()(0).isNullAt(1))
+    val afterUps = x.rowsUpsert(ins, Seq("id")).df
+    assert(afterUps.count() == 4L)
+    assert(afterUps.filter(col("id") === 2L).collect()(0).getDouble(2) == 99.0)
+    assert(afterUps.filter(col("id").isNull).collect()(0).getDouble(2) == 77.0)
+    // DELETE drops by key, null-safely
+    val del = GraftFrame(Seq(Option(2L), None).toDF("id"))
+    assert(x.rowsDelete(del, Seq("id")).df.collect().map(_.getLong(0)).toSeq ==
+      Seq(1L))
+    // refusals: columns outside the target, empty keys
+    intercept[IllegalArgumentException] {
+      x.rowsUpdate(GraftFrame(Seq((1L, "v")).toDF("id", "nope")), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      x.rowsUpdate(upd, Seq())
+    }
+  }
 }

@@ -335,6 +335,12 @@ class UsageSpec extends AnyFunSuite {
     val batch = graft.operators.Snapshot.diff(snapshot, next,
       keyCols = Seq("doc_id"))
     assert(batch.count() == 2L) // one re-crawl, one tombstone — nothing else
+    val statusFixes = Seq((2L, "fixed text")).toDF("doc_id", "text")
+    val takedownKeys = Seq(Tuple1(3L)).toDF("doc_id")
+    val corrected = GraftFrame(snapshot)
+      .rowsPatch(GraftFrame(statusFixes), by = Seq("doc_id"))
+      .rowsDelete(GraftFrame(takedownKeys), by = Seq("doc_id"))
+    assert(corrected.df.count() == snapshot.count() - 1)
   }
 
   test("usage §7d2: per-group categorical drift") {
