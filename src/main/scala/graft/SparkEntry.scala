@@ -2281,6 +2281,22 @@ object SparkEntry {
           groupCols = Seq("source"), topK = 3)
     }),
 
+    "q61_rolling" -> ((s, dir) => {
+      // trailing-window feature engineering: every event carries its
+      // user's LAST-HOUR count/sum/mean/min/max as of that instant —
+      // the slider/rollapply step between raw events and any model
+      // consuming trailing features. RANGE frame (same-second peers
+      // always share a frame), cents-quantized BIGINT rolling sums,
+      // sum/mean produced by one double division each — bit-replayable.
+      val ev = t(s, dir, "events").filter(col("user_id") < 20)
+      val secs = ev.select(col("user_id"),
+        Streams.eventTsMs(ev, "ts").as("__ms"), col("value"))
+        .select(col("user_id"), expr("__ms DIV 1000").as("tsec"), col("value"))
+      graft.operators.Roll.timeStats(secs, Seq("user_id"), "tsec", "value",
+          windowSeconds = 3600L)
+        .orderBy(col("user_id").asc, col("tsec").asc, col("value").asc)
+    }),
+
     "q60_rows_verbs" -> ((s, dir) => {
       // the dplyr rows_* verb family over a keyed frame, composed:
       // PATCH fills planted-null statuses from a reference (fill-only
@@ -4329,6 +4345,30 @@ object SparkEntry {
                                + n_cur / window_total) / 2)) END)
                  * 0.5, 6) AS jsd_term
          FROM allrows ORDER BY window_start, category""",
+
+    // trailing-hour RANGE frame per user: cents-quantized BIGINT
+    // rolling sum (order-free exact), count/min/max exact, sum/mean
+    // via one double division each — the Roll.timeStats contract
+    "q61_rolling" ->
+      """WITH e AS (
+           SELECT user_id, (epoch_ns(ts) // 1000000) // 1000 AS tsec, value,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+           FROM events
+           WHERE user_id < 20 AND ts IS NOT NULL AND value IS NOT NULL),
+         r AS (
+           SELECT user_id, tsec, value,
+             count(*) OVER w AS roll_n,
+             sum(vc) OVER w AS sc,
+             min(value) OVER w AS roll_min,
+             max(value) OVER w AS roll_max
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW))
+         SELECT user_id, tsec, value, roll_n,
+           CAST(sc AS DOUBLE) / 100.0 AS roll_sum,
+           CAST(sc AS DOUBLE) / CAST(roll_n * 100 AS DOUBLE) AS roll_mean,
+           roll_min, roll_max
+         FROM r ORDER BY user_id, tsec, value""",
 
     // each rows_* verb replayed in sequence: patch = fill-only CASE,
     // update = overwrite CASE from the partial payload, upsert = pure

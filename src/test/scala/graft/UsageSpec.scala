@@ -370,6 +370,12 @@ class UsageSpec extends AnyFunSuite {
       Seq("sensor_id"), "ts_seconds", "reading", stepSeconds = 900L)
     assert(aligned.count() == 3L) // cells 0, 900 (carried), 1800
     assert(aligned.filter(!col("observed")).count() == 1L)
+    val events6c = Seq((7L, 100L, 1.25), (7L, 3000L, 2.50), (7L, 9000L, 4.00))
+      .toDF("user_id", "ts_seconds", "amount")
+    val feats = graft.operators.Roll.timeStats(events6c, Seq("user_id"),
+      "ts_seconds", "amount", windowSeconds = 3600L)
+    val at3000 = feats.filter(col("ts_seconds") === 3000L).collect()(0)
+    assert(at3000.getLong(3) == 2L && at3000.getDouble(4) == 3.75)
   }
 
   test("usage §6c: streaming categorical drift vs static baseline") {
