@@ -2281,6 +2281,32 @@ object SparkEntry {
           groupCols = Seq("source"), topK = 3)
     }),
 
+    "q62_nest_join" -> ((s, dir) => {
+      // dplyr nest_join: each order carries its lineitems as a nested
+      // list-column (sorted structs, key dropped from them, unmatched
+      // = EMPTY array). The declared projection reduces the array to
+      // scalars — match count, first struct's line number, cents-exact
+      // quantity total via functions.aggregate — so the oracle replays
+      // as a left-join aggregate; the nesting structure itself is
+      // spec-pinned (sorted order, empty-array unmatched, the
+      // unnest∘nestJoin ≡ innerJoin law).
+      val o = GraftFrame(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")))
+      val li = GraftFrame(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_linenumber"), col("l_quantity")))
+      val nested = o.nestJoin(li, Seq("o_orderkey"), "items")
+      nested.df.select(col("o_orderkey"), col("o_custkey"),
+          size(col("items")).cast("long").as("n_items"),
+          when(size(col("items")) > 0,
+            element_at(col("items"), 1).getField("l_linenumber"))
+            .as("first_line"),
+          (aggregate(col("items"), lit(0L), (acc, x) =>
+            acc + floor(x.getField("l_quantity") * 100.0 + 0.5).cast("long"))
+            .cast("double") / 100.0).as("qty_sum"))
+        .orderBy(col("o_orderkey").asc)
+    }),
+
     "q61_rolling" -> ((s, dir) => {
       // trailing-window feature engineering: every event carries its
       // user's LAST-HOUR count/sum/mean/min/max as of that instant —
@@ -4345,6 +4371,25 @@ object SparkEntry {
                                + n_cur / window_total) / 2)) END)
                  * 0.5, 6) AS jsd_term
          FROM allrows ORDER BY window_start, category""",
+
+    // nest_join reduced to scalars = a left-join aggregate: count,
+    // min line number (the sorted array's first struct), cents-exact
+    // quantity sum; unmatched orders coalesce to 0 matches
+    "q62_nest_join" ->
+      """WITH li AS (
+           SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qc
+           FROM lineitem),
+         a AS (
+           SELECT l_orderkey, count(*) AS n_items,
+             min(l_linenumber) AS first_line, sum(qc) AS sqc
+           FROM li GROUP BY 1)
+         SELECT o.o_orderkey, o.o_custkey,
+           coalesce(a.n_items, 0) AS n_items,
+           a.first_line AS first_line,
+           CAST(coalesce(a.sqc, 0) AS DOUBLE) / 100.0 AS qty_sum
+         FROM orders o LEFT JOIN a ON a.l_orderkey = o.o_orderkey
+         ORDER BY o.o_orderkey""",
 
     // trailing-hour RANGE frame per user: cents-quantized BIGINT
     // rolling sum (order-free exact), count/min/max exact, sum/mean

@@ -849,6 +849,41 @@ final case class GraftFrame(df: DataFrame, groupCols: Seq[String] = Nil) {
   def fullJoin(other: GraftFrame, by: Seq[String]): GraftFrame =
     join(other, sameName(by), "full")
 
+  /** dplyr `nest_join` — every left row, plus one array-of-struct
+    * column holding the matching right rows (key columns dropped from
+    * the nested structs, dplyr's `keep = FALSE`); an unmatched left
+    * row gets an EMPTY array, dplyr's 0-row tibble. Null keys match
+    * null keys, the library's join contract.
+    *
+    * Shape: the right side aggregates to one (key, sorted array) row
+    * per key FIRST — one shuffle on the right keys, partial
+    * map-side combine — then a plain left equi-join attaches the
+    * array; matching left rows share one nested value, and no row of
+    * the left ever fans out. A key's whole match set becomes one
+    * array value, so a pathologically hot right key must fit its
+    * matches in one aggregation buffer — same contract as `nest`;
+    * cap or pre-filter such keys upstream. `sorted` orders each
+    * array by the struct's field order (collect_list order is not
+    * deterministic); keep it on anywhere results are compared. */
+  def nestJoin(other: GraftFrame, by: Seq[String], as: String,
+               sorted: Boolean = true): GraftFrame = {
+    validateJoinKeys("nest_join", other, sameName(by))
+    require(!df.columns.contains(as),
+      s"nest_join: output column '$as' collides with an existing column")
+    val rightNonKey = other.df.columns.filterNot(by.contains)
+    require(rightNonKey.nonEmpty,
+      "nest_join: right frame has no non-key columns to nest")
+    val arr = collect_list(struct(rightNonKey.map(col): _*))
+    val nested = other.df.groupBy(by.map(col): _*)
+      .agg((if (sorted) sort_array(arr) else arr).as(as))
+      .select(by.map(k => col(k).as(s"__nk_$k")) :+ col(as): _*)
+    val arrType = nested.schema(as).dataType
+    val cond = by.map(k => df(k) <=> nested(s"__nk_$k")).reduce(_ && _)
+    val joined = df.join(nested, cond, "left")
+    copy(df = joined.select(df.columns.map(df(_)) :+
+      coalesce(nested(as), array().cast(arrType)).as(as): _*))
+  }
+
   /** dplyr `semi_join` / `anti_join` — existence joins; Spark plans
     * these without materializing right-side columns. Conditions use
     * `<=>` so null keys match, consistent with join()'s

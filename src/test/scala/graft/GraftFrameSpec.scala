@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.api.GraftFrame
+import graft.api.{GraftFrame, GraftVerbError}
 import graft.api.GraftFrame.{asc, desc}
 
 /** dplyr-semantic fidelity of the verb layer (reference behaviors:
@@ -329,6 +329,40 @@ class GraftFrameSpec extends AnyFunSuite {
     assert(back.toSeq == Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0)))
     // nesting requires a grouping, like tidyr
     intercept[IllegalArgumentException] { GraftFrame(d).nest("data", Seq("k")) }
+  }
+
+  test("nestJoin attaches matching right rows as a sorted array; unmatched = empty") {
+    val left = Seq(("a", 1), ("b", 2), ("c", 3), (null, 4))
+      .toDF("k", "x")
+    val right = Seq(("a", 20, "q"), ("a", 10, "p"), ("b", 30, "r"), (null, 40, "s"))
+      .toDF("k", "y", "z")
+    val got = GraftFrame(left).nestJoin(GraftFrame(right), Seq("k"), "items").df
+      .orderBy("x").collect()
+    // left shape preserved: one output row per left row, columns + array
+    assert(got.length == 4)
+    val aItems = got(0).getSeq[Row](2)
+    assert(aItems.map(r => (r.getInt(0), r.getString(1))) == Seq((10, "p"), (20, "q")),
+      "nested structs sorted, key column dropped from them")
+    assert(got(1).getSeq[Row](2).length == 1)
+    assert(got(2).getSeq[Row](2).isEmpty, "unmatched left row gets an EMPTY array")
+    assert(got(3).getSeq[Row](2).map(_.getInt(0)) == Seq(40),
+      "null key matches null key (the join contract)")
+    // law: unnest(nestJoin) == innerJoin rows (unmatched vanish, like tidyr)
+    val viaNest = GraftFrame(left).nestJoin(GraftFrame(right), Seq("k"), "items")
+      .unnest("items").df.select("k", "x", "y", "z")
+    val viaJoin = GraftFrame(left).innerJoin(GraftFrame(right), Seq("k"))
+      .df.select("k", "x", "y", "z")
+    assert(viaNest.exceptAll(viaJoin).isEmpty && viaJoin.exceptAll(viaNest).isEmpty)
+    // refusals: colliding output column, nothing to nest, missing key
+    intercept[IllegalArgumentException] {
+      GraftFrame(left).nestJoin(GraftFrame(right), Seq("k"), "x")
+    }
+    intercept[IllegalArgumentException] {
+      GraftFrame(left).nestJoin(GraftFrame(right.select("k")), Seq("k"), "items")
+    }
+    intercept[GraftVerbError] {
+      GraftFrame(left).nestJoin(GraftFrame(right), Seq("nope"), "items")
+    }
   }
 
   test("complete fills the missing grid combinations; expand is the grid") {

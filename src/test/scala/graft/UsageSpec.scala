@@ -41,6 +41,15 @@ class UsageSpec extends AnyFunSuite {
     // arranged descending by total
     val totals = rows.map(_.getDouble(rows.head.fieldIndex("total"))).toSeq
     assert(totals == totals.sortBy(-_))
+    // nest_join row of the mapping table: matches nest as an array
+    // column, unmatched rows carry an empty array
+    import spark.implicits._
+    val x = Seq(("a", 1), ("c", 2)).toDF("key", "v")
+    val y = Seq(("a", 9.0)).toDF("key", "w")
+    val nj = GraftFrame(x).nestJoin(GraftFrame(y), Seq("key"), "items")
+      .df.orderBy("key").collect()
+    assert(nj(0).getSeq[org.apache.spark.sql.Row](2).length == 1 &&
+      nj(1).getSeq[org.apache.spark.sql.Row](2).isEmpty)
   }
 
   test("usage §3: dedup pipeline") {
