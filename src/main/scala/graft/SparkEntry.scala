@@ -2245,6 +2245,20 @@ object SparkEntry {
         .orderBy(col("doc_id").asc, col("span_start").asc)
     }),
 
+    "ann11_sem_decontam" -> ((s, dir) => {
+      // EMBEDDING-level decontamination: training vectors whose best
+      // quantized cosine against the benchmark set (vec_id < 20)
+      // clears the threshold — the semantic screen that catches
+      // paraphrased test leakage n-gram probes (txt10/txt15/txt22)
+      // cannot see. Benchmark broadcasts, corpus streams through one
+      // shuffle-free scan, output is flagged-only; the ann1 quantized
+      // arithmetic makes every (id, best bench, score) row replay.
+      val emb = t(s, dir, "embeddings")
+      Decontam.semantic(emb.filter(col("vec_id") >= 20),
+          emb.filter(col("vec_id") < 20), threshold = 0.1)
+        .orderBy(col("vec_id").asc)
+    }),
+
     "ann10_margin_mine" -> ((s, dir) => {
       // margin-based nearest-match mining (ratio margin, Artetxe &
       // Schwenk 2019): best corpus match per query by cosine
@@ -4223,6 +4237,35 @@ object SparkEntry {
     // floor(cos·1e6 + 0.5) — floor, not round, because round-half
     // semantics differ across engines at negative halves — and the
     // margin is one double division of exact BIGINTs, so value AND
+    // best-benchmark-match per corpus vector (score DESC, bench ASC
+    // row_number), threshold filter — the ann1 quantized arithmetic
+    "ann11_sem_decontam" ->
+      """WITH q AS (
+           SELECT vec_id AS bench_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qq
+           FROM embeddings WHERE vec_id < 20),
+         c AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+           FROM embeddings WHERE vec_id >= 20),
+         scored AS (
+           SELECT c.vec_id, q.bench_id,
+             CAST(list_dot_product(qv, qq) AS DOUBLE) AS d,
+             CAST(list_dot_product(qv, qv) AS DOUBLE) AS na,
+             CAST(list_dot_product(qq, qq) AS DOUBLE) AS nb
+           FROM c, q),
+         ranked AS (
+           SELECT vec_id, bench_id,
+             CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                  ELSE sign(d) * d * d / (na * nb) END AS score,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                 ELSE sign(d) * d * d / (na * nb) END DESC,
+                 bench_id ASC) AS rn
+           FROM scored)
+         SELECT vec_id, bench_id, score FROM ranked
+         WHERE rn = 1 AND score >= 0.1 ORDER BY vec_id""",
+
     // rank order replay bit-for-bit
     "ann10_margin_mine" ->
       """WITH q AS (

@@ -214,4 +214,75 @@ object Decontam {
                              windowWords: Int = 8): DataFrame =
     Dedup.removeWordSpans(corpus, idCol, textCol,
       contaminatedSpans(corpus, bench, idCol, textCol, windowWords))
+
+  /** EMBEDDING-level decontamination — the semantic sibling of the
+    * n-gram probes above: flag corpus rows whose best cosine against
+    * any benchmark embedding reaches `threshold` (paraphrased or
+    * re-worded test questions leak PAST every n-gram screen; their
+    * embeddings do not). Output: (idCol, bench_id, score) for flagged
+    * rows only — score is the QUANTIZED signed-cos² of the exact ANN
+    * tiers (×1000 BigDecimal HALF_UP integer vectors, integer dots,
+    * sign(d)·d²/(na·nb) in double — `Ann.bruteForceTopK`'s
+    * `quantized=true` arithmetic to the bit), bench_id the argmax
+    * with min-id tie-break, so DuckDB replays every row. Note the
+    * scale: cos² 0.25 ≈ |cos| 0.5.
+    *
+    * Scale shape: the benchmark side is SMALL by definition (eval
+    * sets) — it collects and broadcasts under the same small-side
+    * contract as the exact ANN query side; the corpus streams through
+    * ONE scan with zero shuffles (the flag is scan-side, the output
+    * already filtered). Null ids/vectors on either side are excluded
+    * (the trainSample discipline); an empty benchmark returns the
+    * empty frame, not a crash. Mixed dimensions fail fast. */
+  def semantic(corpus: DataFrame, bench: DataFrame, threshold: Double,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    import graft.similarity.Ann.{longDot, quantize1000}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = corpus.sparkSession
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("bench_id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    val benchRows: Array[(Long, Array[Long], Double)] = bench
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect()
+      .map { r =>
+        val q = quantize1000(r.getSeq[Float](1).toArray)
+        (r.getLong(0), q, longDot(q, q).toDouble)
+      }
+    if (benchRows.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val bc = spark.sparkContext.broadcast(benchRows)
+    val out = corpus
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>")).rdd
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val qv = quantize1000(r.getSeq[Float](1).toArray)
+          val na = longDot(qv, qv).toDouble
+          var best = Double.NegativeInfinity
+          var bestId = Long.MaxValue
+          var i = 0
+          while (i < qs.length) {
+            val (bid, bq, nb) = qs(i)
+            require(bq.length == qv.length,
+              s"semantic: corpus vector dim ${qv.length} != benchmark " +
+                s"vector dim ${bq.length} — mixed-dimension data is a " +
+                "pipeline bug; failing fast beats a silent prefix dot product")
+            val d = longDot(qv, bq).toDouble
+            val s = if (na == 0 || nb == 0) 0.0
+                    else math.signum(d) * d * d / (na * nb)
+            if (s > best || (s == best && bid < bestId)) { best = s; bestId = bid }
+            i += 1
+          }
+          if (best >= threshold) Some(Row(id, bestId, best)) else None
+        }
+      }
+    spark.createDataFrame(out, schema)
+  }
 }

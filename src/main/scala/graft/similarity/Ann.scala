@@ -233,7 +233,7 @@ object Ann {
     * BigDecimal.valueOf (Double.toString repr) + HALF_UP — the exact
     * semantics of Catalyst's Round, so quantized heap scores match the
     * SQL twin bit-for-bit. */
-  private def quantize1000(v: Array[Float]): Array[Long] = {
+  private[graft] def quantize1000(v: Array[Float]): Array[Long] = {
     val out = new Array[Long](v.length)
     var i = 0
     while (i < v.length) {
@@ -244,7 +244,7 @@ object Ann {
     out
   }
 
-  private def longDot(a: Array[Long], b: Array[Long]): Long = {
+  private[graft] def longDot(a: Array[Long], b: Array[Long]): Long = {
     var s = 0L; var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
     s

@@ -121,4 +121,43 @@ class DecontamSpec extends AnyFunSuite {
         "an exchange partitions on the text column")
     }
   }
+
+  test("semantic: planted copy flags at 1.0, paraphrase-near flags, orthogonal survives") {
+    val bench = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(2.0f, 0.0f, 0.0f)),    // scaled copy of bench 0 → cos 1
+      (11L, Array(0.9f, 0.1f, 0.0f)),    // near bench 0
+      (12L, Array(0.0f, 0.0f, 1.0f)),    // orthogonal to both
+      (13L, Array(-1.0f, 0.0f, 0.0f)))   // anti-parallel: signed score −1
+      .toDF("vec_id", "embedding")
+    val got = Decontam.semantic(corpus, bench, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(10L, 11L))
+    assert(got(0)._2 == 0L && got(0)._3 == 1.0)
+    assert(got(1)._2 == 0L && got(1)._3 > 0.5)
+  }
+
+  test("semantic: min-bench-id tie-break, empty bench, null vectors, dim mismatch") {
+    val corpus = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // two identical bench vectors: the tie goes to the smaller id
+    val tied = Seq((5L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val t1 = Decontam.semantic(corpus, tied, threshold = 0.5).collect()
+    assert(t1.length == 1 && t1(0).getLong(1) == 2L)
+    // empty benchmark → empty result, not a crash
+    assert(Decontam.semantic(corpus, tied.filter(col("vec_id") < 0), 0.0).count() == 0L)
+    // null vectors drop on both sides
+    val nullCorpus = Seq((10L, Some(Array(1.0f, 0.0f))), (11L, None))
+      .toDF("vec_id", "embedding")
+    assert(Decontam.semantic(nullCorpus, tied, threshold = 0.5).count() == 1L)
+    // mixed dimensions fail fast, not a silent prefix dot
+    val badBench = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Decontam.semantic(corpus, badBench, threshold = 0.0).collect()
+    }
+    assert(e.getMessage != null || e.getCause != null)
+  }
 }

@@ -327,6 +327,13 @@ class UsageSpec extends AnyFunSuite {
       Seq("doc_id", "span_start", "span_end", "span_words"))
     assert(leaks.count() > 0) // the bench docs themselves, at least
     assert(cleaned.count() == docs.count())
+    // semantic sibling: benchmark embeddings broadcast, one scan
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val semLeaks = graft.operators.Decontam.semantic(
+      emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20),
+      threshold = 0.25)
+    assert(semLeaks.columns.toSeq == Seq("vec_id", "bench_id", "score"))
+    assert(semLeaks.filter(col("score") < 0.25).count() == 0L)
   }
 
   test("usage §3f: CDC snapshot merge") {
