@@ -2408,6 +2408,18 @@ object SparkEntry {
         .orderBy(col("user_id").asc, col("grid_ts").asc)
     }),
 
+    "cur17_linfit" -> ((s, dir) => {
+      // corpus-scale calibration fit: price ~ quantity per return
+      // flag — the chars→tokens / rows→bytes cost-model shape, ONE
+      // aggregate pass over exact integer sufficient statistics (no
+      // solver, no iteration). slope/intercept/r² are single IEEE
+      // steps over exact integers, so DuckDB replays every bit.
+      graft.operators.Profiler.linearFitBy(
+          t(s, dir, "lineitem"), "l_quantity", "l_extendedprice",
+          Seq("l_returnflag"))
+        .orderBy(col("l_returnflag").asc)
+    }),
+
     "cur16_cusum" -> ((s, dir) => {
       // CUSUM changepoint monitoring on the hourly event-rate series
       // per event type — the sequential shift detector the drift
@@ -4553,6 +4565,39 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
            vraw IS NOT NULL AS observed
          FROM f ORDER BY user_id, grid_ts""",
+
+    // exact integer sufficient statistics (HUGEINT in DuckDB,
+    // decimal(38,0) in the engine), routed through BIGINT before the
+    // double casts; slope/intercept/r² replay as single IEEE steps
+    "cur17_linfit" ->
+      """WITH q AS (
+           SELECT l_returnflag,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS xi,
+             CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS yi
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         a AS (
+           SELECT l_returnflag, count(*) AS n, sum(xi) AS sx, sum(yi) AS sy,
+             sum(xi*xi) AS sxx, sum(yi*yi) AS syy, sum(xi*yi) AS sxy
+           FROM q GROUP BY 1),
+         s AS (
+           SELECT l_returnflag, n,
+             CAST(n*sxy - sx*sy AS BIGINT) AS cov,
+             CAST(n*sxx - sx*sx AS BIGINT) AS varx,
+             CAST(n*syy - sy*sy AS BIGINT) AS vary,
+             CAST(sx AS BIGINT) AS sxl, CAST(sy AS BIGINT) AS syl
+           FROM a)
+         SELECT l_returnflag, n,
+           CASE WHEN varx = 0 THEN NULL
+                ELSE CAST(cov AS DOUBLE) / CAST(varx AS DOUBLE) END AS slope,
+           CASE WHEN varx = 0 THEN NULL
+                ELSE (CAST(syl AS DOUBLE) / CAST(n AS DOUBLE))
+                   - (CAST(cov AS DOUBLE) / CAST(varx AS DOUBLE))
+                   * (CAST(sxl AS DOUBLE) / CAST(n AS DOUBLE)) END AS intercept,
+           CASE WHEN varx = 0 OR vary = 0 THEN NULL
+                ELSE (CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE))
+                   / (CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)) END AS r2
+         FROM s ORDER BY l_returnflag""",
 
     // CUSUM via the prefix-sum identity S_t = P_t − min(0, min P_j):
     // micro-quantized BIGINT deviations make both running windows

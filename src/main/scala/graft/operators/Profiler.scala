@@ -469,4 +469,74 @@ object Profiler {
         round(term, 6).as("jsd_term")): _*)
       .orderBy(gs :+ col("category").asc: _*)
   }
+
+  /** Per-group simple linear regression y ≈ intercept + slope·x via
+    * EXACT sufficient statistics — the corpus-scale calibration fit
+    * (tokens ~ chars for budget models, bytes ~ rows, price ~
+    * quantity) in ONE aggregate pass: no solver, no iteration, no
+    * per-group collect.
+    *
+    * Exactness: x and y quantize to integers at 1/scaleX, 1/scaleY
+    * (`floor(v·scale+½)` — the library-wide discipline) and the five
+    * sufficient statistics accumulate as decimal(38,0) — integer
+    * sums, order-free exact where float sums are not. slope =
+    * cov·scaleX / (varx·scaleY) and the r² factors are each ONE
+    * IEEE-double step over exact integers, so DuckDB replays every
+    * output bit (route the oracle casts through BIGINT; statistics
+    * stay far under 10³⁸ — n·Σxy at 10¹² rows × 10⁸-scale products
+    * is ~10³², and both engines' integer→double casts are
+    * round-to-nearest).
+    *
+    * Degenerate groups by contract: constant x (varx = 0) → null
+    * slope/intercept/r²; constant y (vary = 0) → slope 0 exactly
+    * (cov is 0), r² null. Null x/y rows are excluded; null group
+    * keys are a group. Output: groupCols ++ (n, slope, intercept,
+    * r2), one row per group.
+    *
+    * Scale shape: one hash aggregate with map-side partial combine —
+    * the only pass over the data; a handful of decimal columns per
+    * group reach the final projection. Skewed group sizes are
+    * irrelevant (partial aggregation), and 10⁶ groups are as cheap
+    * as 3. */
+  def linearFitBy(df: DataFrame, xCol: String, yCol: String,
+                  groupCols: Seq[String], scaleX: Long = 1L,
+                  scaleY: Long = 1L): DataFrame = {
+    require(groupCols.nonEmpty, "linearFitBy: need at least one group column")
+    require(scaleX >= 1 && scaleY >= 1,
+      s"linearFitBy: scales must be >= 1, got ($scaleX, $scaleY)")
+    val missing = (groupCols ++ Seq(xCol, yCol)).filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"linearFitBy: input is missing column(s): ${missing.mkString(", ")}")
+    val dec = "decimal(38,0)"
+    val gs = groupCols.map(col)
+    val xi = floor(col(xCol).cast("double") * lit(scaleX.toDouble) + lit(0.5))
+      .cast("long").cast(dec)
+    val yi = floor(col(yCol).cast("double") * lit(scaleY.toDouble) + lit(0.5))
+      .cast("long").cast(dec)
+    val agg = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(gs ++ Seq(xi.as("__x"), yi.as("__y")): _*)
+      .groupBy(gs: _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+    val nD = col("__n").cast(dec)
+    val cov = nD * col("__sxy") - col("__sx") * col("__sy")
+    val varx = nD * col("__sxx") - col("__sx") * col("__sx")
+    val vary = nD * col("__syy") - col("__sy") * col("__sy")
+    val slope = (cov * lit(scaleX).cast(dec)).cast("double") /
+      (varx * lit(scaleY).cast(dec)).cast("double")
+    val meanX = col("__sx").cast("double") /
+      (col("__n") * lit(scaleX)).cast("double")
+    val meanY = col("__sy").cast("double") /
+      (col("__n") * lit(scaleY)).cast("double")
+    val intercept = meanY - slope * meanX
+    val r2 = (cov.cast("double") * cov.cast("double")) /
+      (varx.cast("double") * vary.cast("double"))
+    agg.select(gs ++ Seq(col("__n").as("n"),
+      when(varx === 0, lit(null)).otherwise(slope).as("slope"),
+      when(varx === 0, lit(null)).otherwise(intercept).as("intercept"),
+      when(varx === 0 || vary === 0, lit(null)).otherwise(r2).as("r2")): _*)
+  }
 }

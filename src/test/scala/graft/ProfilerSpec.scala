@@ -321,4 +321,41 @@ class ProfilerSpec extends AnyFunSuite {
       Profiler.categoricalDriftBy(base, base, "nope", Seq("src"))
     }
   }
+
+  test("linearFitBy: exact fit, noisy fit, degenerate groups, nulls, scales") {
+    import spark.implicits._
+    val d = Seq(
+      // g "exact": y = 1 + 2x exactly → slope 2, intercept 1, r² 1
+      ("exact", 1.0, 3.0), ("exact", 2.0, 5.0), ("exact", 3.0, 7.0),
+      // g "noisy": (0,0), (1,1), (2,1) → slope 0.5, r² = 0.75
+      ("noisy", 0.0, 0.0), ("noisy", 1.0, 1.0), ("noisy", 2.0, 1.0),
+      // g "constx": x constant → null slope/intercept/r²
+      ("constx", 4.0, 1.0), ("constx", 4.0, 9.0),
+      // g "consty": y constant → slope 0, intercept = y, r² null
+      ("consty", 1.0, 5.0), ("consty", 3.0, 5.0),
+      // a null y row must be excluded, not poison the group
+      ("exact", 9.0, Double.NaN)).toDF("g", "x", "y")
+      .select(col("g"), col("x"),
+        when(isnan(col("y")), lit(null)).otherwise(col("y")).as("y"))
+    val got = Profiler.linearFitBy(d, "x", "y", Seq("g"))
+      .orderBy("g").collect()
+    val m = got.map(r => r.getString(0) ->
+      ((r.getLong(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(m("exact") == ((3L, Some(2.0), Some(1.0), Some(1.0))))
+    assert(m("noisy")._2 == Some(0.5) && m("noisy")._4 == Some(0.75))
+    assert(m("constx") == ((2L, None, None, None)))
+    assert(m("consty") == ((2L, Some(0.0), Some(5.0), None)))
+    // scales: y in fractional units quantizes exactly at scaleY
+    val frac = Seq(("s", 1.0, 0.25), ("s", 2.0, 0.45), ("s", 3.0, 0.65))
+      .toDF("g", "x", "y")
+    val f = Profiler.linearFitBy(frac, "x", "y", Seq("g"), scaleY = 100L)
+      .collect()(0)
+    assert(math.abs(f.getDouble(2) - 0.2) < 1e-12 && f.getDouble(4) == 1.0)
+    intercept[IllegalArgumentException] {
+      Profiler.linearFitBy(d, "x", "y", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Profiler.linearFitBy(d, "nope", "y", Seq("g"))
+    }
+  }
 }

@@ -208,6 +208,16 @@ class UsageSpec extends AnyFunSuite {
     assert(psi.collect()(0).getDouble(0) == 0.0)
     assert(ks.collect()(0).getDouble(0) == 0.0)
     assert(jsd.collect().map(_.getDouble(5)).sum == 0.0)
+    // calibration fit: one aggregate pass, (n, slope, intercept, r2)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("n_chars"),
+        (col("n_chars") * 0.25).as("n_tokens"))
+    val fit = graft.operators.Profiler.linearFitBy(docs, "n_chars",
+      "n_tokens", groupCols = Seq("source"), scaleY = 100L)
+    val rows = fit.collect()
+    assert(rows.nonEmpty &&
+      fit.columns.toSeq.drop(1) == Seq("n", "slope", "intercept", "r2"))
+    assert(rows.forall(r => math.abs(r.getDouble(2) - 0.25) < 0.01))
   }
 
   test("usage §9a: the documented plan-reading checklist holds on the example") {
