@@ -2408,6 +2408,19 @@ object SparkEntry {
         .orderBy(col("user_id").asc, col("grid_ts").asc)
     }),
 
+    "cur18_mad_outliers" -> ((s, dir) => {
+      // robust per-type metric anomaly gate: median/MAD flags (Hampel
+      // identifier) that heavy tails cannot hijack — one pathological
+      // batch inflates a z-score's σ enough to hide itself, the MAD
+      // barely moves. Quantized-integer medians interpolate to exact
+      // dyadic steps, so the flag comparison and both quantile passes
+      // replay bit-for-bit through DuckDB's quantile_cont.
+      graft.operators.Profiler.madOutliers(
+          t(s, dir, "events").select("event_id", "event_type", "value"),
+          "value", Seq("event_type"), k = 3.0)
+        .orderBy(col("event_id").asc)
+    }),
+
     "cur17_linfit" -> ((s, dir) => {
       // corpus-scale calibration fit: price ~ quantity per return
       // flag — the chars→tokens / rows→bytes cost-model shape, ONE
@@ -4565,6 +4578,30 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
            vraw IS NOT NULL AS observed
          FROM f ORDER BY user_id, grid_ts""",
+
+    // median and MAD over cents-quantized integers via quantile_cont
+    // (the q20 bit-parity precedent); the outlier comparison runs on
+    // the quantized scale where every term is exact dyadic
+    "cur18_mad_outliers" ->
+      """WITH e AS (
+           SELECT event_id, event_type, value,
+             CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS DOUBLE) AS vq
+           FROM events WHERE value IS NOT NULL),
+         m AS (
+           SELECT event_type, quantile_cont(vq, 0.5) AS medq
+           FROM e GROUP BY 1),
+         d AS (
+           SELECT e.event_id, e.event_type, e.value, e.vq, m.medq,
+             abs(e.vq - m.medq) AS dev
+           FROM e JOIN m ON e.event_type IS NOT DISTINCT FROM m.event_type),
+         m2 AS (
+           SELECT event_type, quantile_cont(dev, 0.5) AS madq
+           FROM d GROUP BY 1)
+         SELECT d.event_id, d.event_type, d.value,
+           d.medq / 100.0 AS med, m2.madq / 100.0 AS mad,
+           d.dev > 3.0 * m2.madq AS outlier
+         FROM d JOIN m2 ON d.event_type IS NOT DISTINCT FROM m2.event_type
+         ORDER BY d.event_id""",
 
     // exact integer sufficient statistics (HUGEINT in DuckDB,
     // decimal(38,0) in the engine), routed through BIGINT before the

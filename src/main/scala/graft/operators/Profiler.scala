@@ -498,6 +498,60 @@ object Profiler {
     * group reach the final projection. Skewed group sizes are
     * irrelevant (partial aggregation), and 10⁶ groups are as cheap
     * as 3. */
+  /** Per-group ROBUST outlier gate: median/MAD instead of mean/σ —
+    * the metric-anomaly screen that heavy tails cannot hijack (one
+    * pathological batch inflates a z-score's σ enough to hide
+    * itself; the median absolute deviation barely moves — Hampel's
+    * identifier, the robust-statistics standard).
+    *
+    * Every input row returns annotated with its group's med, mad and
+    * an `outlier` flag (|v − med| > k·mad, evaluated on the QUANTIZED
+    * integer scale where medians interpolate to exact dyadic steps —
+    * the comparison is bit-deterministic and DuckDB-replayable via
+    * `quantile_cont`, the q20 bit-parity precedent; reported med/mad
+    * convert to user units by one double division each). A group
+    * with mad = 0 (over half its values identical) flags ANY
+    * deviation — the sensible degenerate reading, pinned in the
+    * spec. Null metric rows are excluded; null group keys are a
+    * group (null-safe joins).
+    *
+    * Scale shape: two `Quantile.exactGrouped` passes (bounded
+    * per-row state, the histogram-digest plan — no per-group value
+    * buffering) plus two broadcast-size joins of the per-group med/
+    * mad tables back to the rows; the raw rows shuffle once per
+    * annotate join at most, and a skewed group is as safe as q20's
+    * 15M-distinct hot group. */
+  def madOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  k: Double = 3.0, scale: Long = 100L): DataFrame = {
+    require(groupCols.nonEmpty, "madOutliers: need at least one group column")
+    require(k > 0, s"madOutliers: k must be > 0, got $k")
+    require(scale >= 1, s"madOutliers: scale must be >= 1, got $scale")
+    val missing = (groupCols :+ valueCol).filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"madOutliers: input is missing column(s): ${missing.mkString(", ")}")
+    val gs = groupCols.map(col)
+    val vq = floor(col(valueCol).cast("double") * lit(scale.toDouble) + lit(0.5))
+      .cast("long").cast("double")
+    val in = df.filter(col(valueCol).isNotNull).withColumn("__vq", vq)
+    val med = Quantile.exactGrouped(in, groupCols, "__vq",
+        Seq(("__medq", 0.5)))
+      .select(groupCols.map(c => col(c).as(s"__mg_$c")) :+ col("__medq"): _*)
+    val medCond = groupCols.map(c => in(c) <=> med(s"__mg_$c")).reduce(_ && _)
+    val withMed = in.join(med, medCond, "left")
+      .select(in.columns.map(in(_)) ++ Seq(col("__medq"),
+        abs(in("__vq") - col("__medq")).as("__dev")): _*)
+    val mad = Quantile.exactGrouped(withMed, groupCols, "__dev",
+        Seq(("__madq", 0.5)))
+      .select(groupCols.map(c => col(c).as(s"__ag_$c")) :+ col("__madq"): _*)
+    val madCond = groupCols.map(c => withMed(c) <=> mad(s"__ag_$c")).reduce(_ && _)
+    val outCols = df.columns.map(withMed(_))
+    withMed.join(mad, madCond, "left")
+      .select(outCols ++ Seq(
+        (col("__medq") / lit(scale.toDouble)).as("med"),
+        (col("__madq") / lit(scale.toDouble)).as("mad"),
+        (col("__dev") > lit(k) * col("__madq")).as("outlier")): _*)
+  }
+
   def linearFitBy(df: DataFrame, xCol: String, yCol: String,
                   groupCols: Seq[String], scaleX: Long = 1L,
                   scaleY: Long = 1L): DataFrame = {

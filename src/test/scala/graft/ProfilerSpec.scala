@@ -322,6 +322,35 @@ class ProfilerSpec extends AnyFunSuite {
     }
   }
 
+  test("madOutliers: hand case, mad=0 degenerate, group isolation, nulls") {
+    import spark.implicits._
+    // g1 = {1..7, 100}: med interpolates to 4.5; deviations sorted are
+    // {0.5,0.5,1.5,1.5,2.5,2.5,3.5,95.5} → MAD interpolates to 2.0;
+    // only the spike's dev 95.5 clears 3·2.0
+    val g1 = (1 to 7).map(v => ("g1", v.toDouble)) :+ (("g1", 100.0))
+    // g2: over half identical → mad 0: ANY deviation flags
+    val g2 = Seq(("g2", 5.0), ("g2", 5.0), ("g2", 5.0), ("g2", 5.01))
+    val d = (g1 ++ g2).toDF("g", "v")
+      .withColumn("id", monotonically_increasing_id())
+    val got = Profiler.madOutliers(d, "v", Seq("g"), k = 3.0)
+    val flagged = got.filter(col("outlier")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._2)
+    assert(flagged.toSeq == Seq(("g2", 5.01), ("g1", 100.0)),
+      "exactly the spike and the mad=0 deviator flag")
+    val g1row = got.filter(col("g") === "g1" && col("v") === 1.0).collect()(0)
+    assert(g1row.getDouble(g1row.fieldIndex("med")) == 4.5)
+    assert(g1row.getDouble(g1row.fieldIndex("mad")) == 2.0)
+    // null metric rows excluded; output row count = non-null rows
+    val withNull = d.unionByName(Seq(("g1", Double.NaN)).toDF("g", "v")
+      .select(col("g"), lit(null).cast("double").as("v"))
+      .withColumn("id", lit(999L)))
+    assert(Profiler.madOutliers(withNull, "v", Seq("g")).count() == d.count())
+    // refusals
+    intercept[IllegalArgumentException] { Profiler.madOutliers(d, "v", Seq.empty) }
+    intercept[IllegalArgumentException] { Profiler.madOutliers(d, "v", Seq("g"), k = 0.0) }
+    intercept[IllegalArgumentException] { Profiler.madOutliers(d, "nope", Seq("g")) }
+  }
+
   test("linearFitBy: exact fit, noisy fit, degenerate groups, nulls, scales") {
     import spark.implicits._
     val d = Seq(

@@ -218,6 +218,12 @@ class UsageSpec extends AnyFunSuite {
     assert(rows.nonEmpty &&
       fit.columns.toSeq.drop(1) == Seq("n", "slope", "intercept", "r2"))
     assert(rows.forall(r => math.abs(r.getDouble(2) - 0.25) < 0.01))
+    // robust outlier gate: identical values → nothing flags
+    val metrics = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), lit(1.0).as("value"))
+    val gated = graft.operators.Profiler.madOutliers(metrics, "value",
+      groupCols = Seq("event_type"), k = 3.0)
+    assert(gated.filter(col("outlier")).count() == 0L)
   }
 
   test("usage §9a: the documented plan-reading checklist holds on the example") {
