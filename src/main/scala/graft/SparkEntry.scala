@@ -113,6 +113,26 @@ object SparkEntry {
         path, Seq("l_returnflag"))
     }
 
+  /** q63 setup, once per (JVM, sf dir): events written partitioned by
+    * event_type with 16 files per partition directory (the small-file
+    * mess a streaming sink or per-task writer leaves behind), then
+    * compacted per-directory toward 64 MB files — every directory
+    * collapses to one file at these sizes. Returns the COMPACTED
+    * directory; the declared query aggregates it against the
+    * original-table oracle (content must survive both rewrites
+    * exactly). */
+  private[graft] def ensureCompactedWritten(s: SparkSession, dir: String): String = {
+    val small = ensureWrittenOnce("graft_q63_small", dir) { path =>
+      t(s, dir, "events").select("event_id", "event_type", "value")
+        .repartition(16)
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    }
+    ensureWrittenOnce("graft_q63_compact", dir) { path =>
+      graft.operators.Layout.compact(s, small, path,
+        targetFileBytes = 1L << 26, partitionCols = Seq("event_type"))
+    }
+  }
+
   /** Write `documents` as line-oriented text (`doc_id \t text`, one doc
     * per line — the raw-corpus/JSONL-ish ingestion layout) once per
     * (JVM, sf dir) — the q49 setup. The corpus text contains no tabs
@@ -2295,6 +2315,23 @@ object SparkEntry {
           groupCols = Seq("source"), topK = 3)
     }),
 
+    "q63_compact" -> ((s, dir) => {
+      // small-file compaction gate: events → 16-files-per-partition
+      // mess → per-directory byte-targeted rewrite (the lakehouse
+      // OPTIMIZE pass), then aggregated FROM THE COMPACTED COPY
+      // against the original-table oracle — content must survive both
+      // rewrites exactly. LayoutSpec pins the file-count mechanics
+      // (per-directory counts incl. the skewed case, identity-routed
+      // exchange); cents-quantized sum keeps the replay exact.
+      s.read.parquet(ensureCompactedWritten(s, dir))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100.0 + 0.5).cast("long")).cast("double")
+            / 100.0).as("value_sum"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type").asc)
+    }),
+
     "q62_nest_join" -> ((s, dir) => {
       // dplyr nest_join: each order carries its lineitems as a nested
       // list-column (sorted structs, key dropped from them, unmatched
@@ -4439,6 +4476,15 @@ object SparkEntry {
                                + n_cur / window_total) / 2)) END)
                  * 0.5, 6) AS jsd_term
          FROM allrows ORDER BY window_start, category""",
+
+    // the compacted copy must agree with the ORIGINAL table on every
+    // aggregate — the round-trip-exactness claim of the compaction
+    "q63_compact" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS value_sum,
+           min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     // nest_join reduced to scalars = a left-join aggregate: count,
     // min line number (the sorted array's first struct), cents-exact

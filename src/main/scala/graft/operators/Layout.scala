@@ -125,4 +125,131 @@ object Layout {
       .drop("__zkey")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Before/after accounting of a [[compact]] run. `filesBefore`/
+    * `bytesBefore` count only DATA files (hidden/metadata excluded). */
+  final case class CompactStats(filesBefore: Long, bytesBefore: Long,
+                                filesAfter: Long)
+
+  /** Small-file compaction — the table-maintenance pass every
+    * long-lived dataset needs: streaming sinks, incremental CDC
+    * merges and per-task writers leave thousands of KB-scale files
+    * whose per-file open/footer/listing overhead eventually dominates
+    * scan cost at 100 TB (the lakehouse engines expose this as
+    * `OPTIMIZE`/`rewrite_data_files`). Rewrites `inDir` (parquet)
+    * into `outDir` with files sized toward `targetFileBytes`,
+    * preserving content exactly and, when `partitionCols` is given,
+    * preserving the hive partition layout.
+    *
+    *  - Unpartitioned: output file count = ceil(input data bytes /
+    *    target) — ONE round-robin exchange, no skew risk.
+    *  - Partitioned: each partition directory gets its OWN file
+    *    count from its OWN bytes (a skewed partition compacts to
+    *    many files, a tiny one to exactly one — a global average
+    *    would do neither). The per-partition counts come from the
+    *    driver-side file listing (pure metadata, no data read); each
+    *    row gets a global file index = its partition's offset + a
+    *    deterministic xxhash64 salt modulo its partition's count,
+    *    and ONE exchange under an IDENTITY partitioner routes index
+    *    i to task i — exactly one output file per (directory, salt),
+    *    each ~targetFileBytes. (A plain hash `repartition` cannot
+    *    express identity routing: two salt groups of one directory
+    *    colliding into a task would merge into a double-size file —
+    *    this is the narrow case where dropping to an RDD partitioner
+    *    is the right tool, for one IO-bound write exchange.)
+    *
+    * Compression can change written sizes (target governs INPUT bytes
+    * per file, the scan-cost unit); null partition values follow
+    * hive's default-partition convention through the listing parse.
+    * Output overwrites `outDir`. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+              outDir: String, targetFileBytes: Long,
+              partitionCols: Seq[String] = Seq.empty): CompactStats = {
+    require(targetFileBytes >= 1,
+      s"compact: targetFileBytes must be >= 1, got $targetFileBytes")
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    def dataFiles(dir: String): Seq[(String, Long)] = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return Seq.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (f.isFile && f.getLen > 0 && !name.startsWith("_") && !name.startsWith("."))
+          out += ((f.getPath.toUri.getPath, f.getLen))
+      }
+      out.toSeq
+    }
+    val before = dataFiles(inDir)
+    require(before.nonEmpty, s"compact: no data files under $inDir")
+    val bytes = before.map(_._2).sum
+    def nFilesFor(b: Long) = math.max(1L, (b + targetFileBytes - 1) / targetFileBytes)
+
+    if (partitionCols.isEmpty) {
+      val n = nFilesFor(bytes).toInt
+      spark.read.parquet(inDir)
+        .repartition(n)
+        .write.mode("overwrite").parquet(outDir)
+    } else {
+      // per-partition byte totals from the listing's col=value path
+      // segments (hive layout; URI-unescaped, so escaped values and
+      // the null-partition default round-trip)
+      val baseLen = new Path(inDir).toUri.getPath.stripSuffix("/").length
+      val byPart: Map[Seq[String], Long] = before.groupBy { case (path, _) =>
+        val rel = path.substring(math.min(baseLen + 1, path.length))
+        val segs = rel.split('/').dropRight(1).filter(_.contains('='))
+        require(segs.length == partitionCols.length,
+          s"compact: file $path has ${segs.length} partition segment(s), " +
+            s"expected ${partitionCols.length} (${partitionCols.mkString(", ")})")
+        segs.toSeq.map(s => java.net.URLDecoder.decode(
+          s.substring(s.indexOf('=') + 1), "UTF-8"))
+      }.map { case (k, fs0) => k -> fs0.map(_._2).sum }
+      // (partition values, file count, global file-index offset)
+      val parts = byPart.toSeq.sortBy(_._1.mkString(" "))
+      val offsets = parts.map(p => nFilesFor(p._2)).scanLeft(0L)(_ + _)
+      val totalFiles = offsets.last
+      require(totalFiles <= Int.MaxValue,
+        s"compact: $totalFiles output files — raise targetFileBytes")
+      val kRows = parts.zip(offsets).map { case ((vals, b), off) =>
+        org.apache.spark.sql.Row.fromSeq(vals ++ Seq(nFilesFor(b), off))
+      }
+      val kSchema = org.apache.spark.sql.types.StructType(
+        partitionCols.map(c => org.apache.spark.sql.types.StructField(
+          s"__pv_$c", org.apache.spark.sql.types.StringType)) ++ Seq(
+          org.apache.spark.sql.types.StructField("__k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__off",
+            org.apache.spark.sql.types.LongType)))
+      val kDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(kRows, 1), kSchema)
+      val df = spark.read.parquet(inDir)
+      val missing = partitionCols.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"compact: partition column(s) not in the data: ${missing.mkString(", ")}")
+      val hiveDefault = "__HIVE_DEFAULT_PARTITION__"
+      val joinCond = partitionCols.map { c =>
+        coalesce(col(c).cast("string"), lit(hiveDefault)) <=> col(s"__pv_$c")
+      }.reduce(_ && _)
+      val dataCols = df.columns.filterNot(partitionCols.contains)
+      val fidx = col("__off") + pmod(xxhash64(dataCols.map(col): _*), col("__k"))
+      val routed = df.join(broadcast(kDf), joinCond)
+        .select(df.columns.map(col) :+ fidx.as("__fidx"): _*)
+      val width = routed.schema.length - 1
+      val rdd = routed.rdd
+        .map(r => (r.getLong(width), org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.take(width))))
+        .partitionBy(new org.apache.spark.Partitioner {
+          override def numPartitions: Int = totalFiles.toInt
+          override def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
+        })
+        .map(_._2)
+      spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(
+          df.schema.fields))
+        .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outDir)
+    }
+    CompactStats(before.length.toLong, bytes, dataFiles(outDir).length.toLong)
+  }
 }

@@ -125,4 +125,63 @@ class LayoutSpec extends AnyFunSuite {
     val out = spark.read.parquet(s"$tmp/z")
     assert(out.columns.toSeq.sorted == Seq("l_orderkey", "l_partkey", "l_suppkey"))
   }
+
+  private def parquetFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".") && f.length() > 0) Seq(f)
+      else Seq.empty
+    walk(new java.io.File(dir))
+  }
+
+  test("compact: small files merge to the byte-target count, content exact") {
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    val d = lineitem.select("l_orderkey", "l_quantity").limit(4000)
+    d.repartition(20).write.parquet(s"$tmp/in")
+    assert(parquetFiles(s"$tmp/in").length == 20)
+    val stats = Layout.compact(spark, s"$tmp/in", s"$tmp/out",
+      targetFileBytes = 1L << 30)
+    assert(stats.filesBefore == 20 && stats.filesAfter == 1)
+    val in = spark.read.parquet(s"$tmp/in")
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.exceptAll(in).isEmpty && in.exceptAll(out).isEmpty)
+  }
+
+  test("compact partitioned: per-directory byte targets — a skewed partition keeps several files, a tiny one gets exactly one") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-compact-p").toString
+    // partition "big" ~50x the bytes of partition "small"
+    val d = (0 until 51000).map { i =>
+      (if (i < 50000) "big" else "small", i.toLong, s"payload_$i")
+    }.toDF("p", "id", "s")
+    d.repartition(8).write.partitionBy("p").parquet(s"$tmp/in")
+    val bigBytes = parquetFiles(s"$tmp/in/p=big").map(_.length()).sum
+    // target = half the big partition: big → 2 files, small → 1
+    val stats = Layout.compact(spark, s"$tmp/in", s"$tmp/out",
+      targetFileBytes = bigBytes / 2 + 1, partitionCols = Seq("p"))
+    assert(parquetFiles(s"$tmp/out/p=big").length == 2,
+      "skewed partition compacts to ITS OWN byte-derived count")
+    assert(parquetFiles(s"$tmp/out/p=small").length == 1)
+    assert(stats.filesAfter == 3)
+    val in = spark.read.parquet(s"$tmp/in")
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.exceptAll(in).isEmpty && in.exceptAll(out).isEmpty,
+      "compaction preserves content exactly, partition column included")
+  }
+
+  test("compact refusals: bad target, empty input, wrong partition col") {
+    val tmp = Files.createTempDirectory("graft-compact-r").toString
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, tmp, s"$tmp/out", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, s"$tmp/nothing", s"$tmp/out", 1L << 20)
+    }
+    lineitem.select("l_orderkey").limit(10).write.parquet(s"$tmp/flat")
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, s"$tmp/flat", s"$tmp/out", 1L << 20,
+        partitionCols = Seq("nope"))
+    }
+  }
 }

@@ -191,6 +191,12 @@ class UsageSpec extends AnyFunSuite {
       .filter(col("count") > 5).count() == 0)
     assert(epoch3.count() == docs.count())
     assert(spark.read.parquet(s"$zdir/lineitem_z").count() == lineitem.count())
+    // compaction: the 32 z-order files merge toward the byte target,
+    // content preserved exactly
+    val stats = graft.operators.Layout.compact(spark, s"$zdir/lineitem_z",
+      s"$zdir/lineitem_opt", targetFileBytes = 128L << 20)
+    assert(stats.filesBefore == 32 && stats.filesAfter < 32)
+    assert(spark.read.parquet(s"$zdir/lineitem_opt").count() == lineitem.count())
   }
 
   test("usage §7d: profiling and drift gates") {
