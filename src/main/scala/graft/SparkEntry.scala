@@ -1449,6 +1449,17 @@ object SparkEntry {
       Streams.tumblingAgg(t(s, dir, "events"), "1 hour")
         .orderBy(col("window_start").asc, col("event_type").asc)),
 
+    "ev14_hopping_stream" -> ((s, dir) =>
+      // SLIDING windows through the engine: each event lands in 4
+      // overlapping (1 h window / 15 min slide) states — the
+      // dashboard/rate-monitor refresh shape a tumbling window cannot
+      // express. Oracle expands each event to its 4 aligned window
+      // starts and replays the aggregate; integer-second window
+      // membership is exact (window starts are whole 900 s multiples).
+      Streams.hoppingAggStreamOnce(s, s"$dir/events.parquet",
+          windowLen = "1 hour", slide = "15 minutes")
+        .orderBy(col("window_start").asc, col("event_type").asc)),
+
     "ev5_tumbling_stream" -> ((s, dir) =>
       // ev1's transform executed end-to-end BY the Structured
       // Streaming engine (readStream → window agg → AvailableNow
@@ -3805,6 +3816,20 @@ object SparkEntry {
            count(*) AS n_events,
            round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // each event expands to its 4 overlapping window starts (aligned
+    // 900 s multiples; membership over integer seconds is exact)
+    "ev14_hopping_stream" ->
+      """WITH e AS (
+           SELECT epoch_ns(ts) // 1000000000 AS tsec, event_type, value
+           FROM events),
+         w AS (
+           SELECT tsec - (tsec % 900) - 900 * j AS window_start,
+             event_type, value
+           FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j))
+         SELECT window_start, event_type, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "ev5_tumbling_stream" ->
       """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start,

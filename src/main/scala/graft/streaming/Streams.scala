@@ -85,6 +85,22 @@ object Streams {
       .select(unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** HOPPING (sliding) event-time window aggregate, batch form: each
+    * event lands in len/slide overlapping windows (4 for 1 h / 15 min)
+    * — the dashboard/rate-monitor shape where a metric refreshes
+    * every slide but smooths over a full window, which a tumbling
+    * window cannot express (it refreshes only once per window).
+    * Same engine-neutral output contract as [[tumblingAgg]]. */
+  def hoppingAgg(events: DataFrame, windowLen: String = "1 hour",
+                 slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(eventTs(events, "ts"), windowLen, slide).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Gap-based sessionization (batch form): a new session starts when a
     * user is idle longer than `gapMinutes`. One shuffle (by user), then
     * two windows over the same partitioning — Spark reuses the sort.
@@ -192,6 +208,31 @@ object Streams {
     val src = spark.readStream.schema(schema).parquet(inputPath)
     withBackfillStatePartitions(spark) {
       val q = tumblingAgg(src, windowLen)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    detachedTable(spark, qn)
+  }
+
+  /** [[hoppingAgg]] executed end-to-end BY the streaming engine —
+    * the sliding-window sibling of [[tumblingAggStreamOnce]], same
+    * complete-mode/AvailableNow gate shape. The state multiplier is
+    * the point to know: every event updates len/slide window states
+    * (4× for 1 h / 15 min), so at 100 TB the slide ratio is a direct
+    * state-size knob; complete mode here is the GATE's sink choice,
+    * production sinks run append + watermark like ev6/ev12. */
+  def hoppingAggStreamOnce(spark: SparkSession, sourcePath: String,
+                           windowLen: String = "1 hour",
+                           slide: String = "15 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(sourcePath).schema
+    val inputPath = asStreamDir(sourcePath)
+    val qn = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = spark.readStream.schema(schema).parquet(inputPath)
+    withBackfillStatePartitions(spark) {
+      val q = hoppingAgg(src, windowLen, slide)
         .writeStream.format("memory").queryName(qn)
         .outputMode("complete").trigger(Trigger.AvailableNow())
         .start()

@@ -239,6 +239,26 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hopping agg: 4 overlapping windows per event; stream equals batch") {
+    val raw = SparkT.table("events")
+    val ev = raw
+      .withColumn("ts", Streams.eventTs(raw, "ts"))
+      .select("ts", "event_type", "value")
+    val dir = Files.createTempDirectory("graft_hopping").toString
+    ev.write.mode("overwrite").parquet(dir)
+    val batch = Streams.hoppingAgg(spark.read.parquet(dir),
+      "1 hour", "15 minutes")
+    // len/slide = 4: every event counts in exactly 4 windows
+    val totalCounted = batch.agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(totalCounted == 4L * ev.count())
+    // window starts align to the slide, not the window length
+    assert(batch.filter(pmod(col("window_start"), lit(900L)) =!= 0L).count() == 0)
+    // the engine-executed form agrees row-for-row
+    val got = Streams.hoppingAggStreamOnce(spark, dir, "1 hour", "15 minutes")
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+  }
+
   test("stream-static join equals the batch join+aggregate; no state store") {
     // the enrichment shape: streaming facts x broadcast static dim —
     // results must equal the all-batch formulation, and the plan must

@@ -119,6 +119,11 @@ class UsageSpec extends AnyFunSuite {
     // the equivalence contract from the guide, checked literally
     assert(hourly.except(streamed).count() == 0)
     assert(streamed.except(hourly).count() == 0)
+    // sliding windows: 4 overlapping states per event (1 h / 15 min)
+    val sliding = Streams.hoppingAggStreamOnce(spark,
+      s"$sfDir/events.parquet", "1 hour", "15 minutes")
+    assert(sliding.agg(sum(col("n_events"))).collect()(0).getLong(0)
+      == 4L * events.count())
   }
 
   test("usage §7: multimodal plumbing") {
