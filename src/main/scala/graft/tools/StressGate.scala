@@ -434,6 +434,84 @@ object StressGate {
       graft.operators.Profiler.cusum(met, "period", "n", Seq("grp"),
         target = 100.0, threshold = 1000.0, slack = 10.0).count())
 
+    // --- trailing-window rolling stats: the q58 series gives every
+    // key a gapless t-grid spaced gridK, so a (4·gridK+1)-wide
+    // trailing window holds exactly min(rank, 5) observations —
+    // Σ roll_n has the closed form K·(5m − 10). One WindowExec whose
+    // frame buffer never exceeds 5 rows, at any scale.
+    val mPerKey = p.nLineitem / gridK
+    run("q61_rolling_sum_n", Some(gridK * (5 * mPerKey - 10)))(
+      graft.operators.Roll.timeStats(series, Seq("k"), "t", "v",
+          windowSeconds = 4 * gridK + 1)
+        .agg(sum(col("roll_n"))).collect()(0).getLong(0))
+
+    // --- nest_join under the fixture's OWN hot key: order 0 holds 1%
+    // of ALL lineitem rows, so its whole match set becomes one array —
+    // the documented aggregation-buffer contract, measured. Σ
+    // size(items) == every lineitem row nested exactly once.
+    run("q62_nest_join", Some(p.nLineitem))(
+      graft.api.GraftFrame(ord)
+        .nestJoin(graft.api.GraftFrame(li), Seq("l_orderkey"), "items")
+        .df.agg(sum(size(col("items")).cast("long"))).collect()(0).getLong(0))
+
+    // --- semantic decontamination: corpus cycles through 100 distinct
+    // Vandermonde directions [1, a, a², a³] (integer-exact floats),
+    // bench = the 100 generators. Quantized Cauchy–Schwarz over exact
+    // integer dots caps the score at 1.0 with equality ONLY for
+    // parallel vectors, so threshold 1.0 flags the whole corpus and
+    // cannot over-flag; cost is one broadcast scan — the linearity
+    // claim.
+    def vmonde(idCol: org.apache.spark.sql.Column) = {
+      val a = (pmod(idCol, lit(100L)) + 1).cast("double")
+      array(lit(1.0), a, a * a, a * a * a)
+    }
+    val semCorpus = spark.range(p.nEmb)
+      .select(col("id").as("vec_id"), vmonde(col("id")).as("embedding"))
+    val semBench = spark.range(100)
+      .select(col("id").as("vec_id"), vmonde(col("id")).as("embedding"))
+    run("ann11_sem_decontam", Some(p.nEmb))(
+      Decontam.semantic(semCorpus, semBench, threshold = 1.0).count())
+
+    // --- MAD outlier gate: two histogram-quantile passes over the
+    // full lineitem incl. the 50% HOT group. Uniform integer
+    // quantities keep every |v − med| (≤ ~25) far under 3·MAD (~37),
+    // so ZERO rows flag, and every input row comes back annotated.
+    def cur18 = graft.operators.Profiler.madOutliers(li, "l_quantity", Seq("grp"))
+    run("cur18_mad_rows", Some(p.nLineitem))(cur18.count())
+    run("cur18_mad_outliers", Some(0L))(cur18.filter(col("outlier")).count())
+
+    // --- per-group linear fit: y = 3x + 7 planted in each of 101
+    // groups with x < 100, which keeps every sufficient statistic
+    // under 2^53 — slope and r² are EXACTLY 3.0 and 1.0 per group
+    // (cov = 3·varx in exact integers; both r² products round the
+    // same true value). One aggregate pass; the linearity claim.
+    val fitIn = spark.range(p.nLineitem).select(
+      pmod(col("id"), lit(101L)).as("g"),
+      pmod(col("id"), lit(100L)).cast("double").as("x"),
+      (pmod(col("id"), lit(100L)) * 3 + 7).cast("double").as("y"))
+    run("cur17_linfit", Some(101L))(
+      graft.operators.Profiler.linearFitBy(fitIn, "x", "y", Seq("g"))
+        .filter(col("slope") === 3.0 && col("r2") === 1.0).count())
+
+    // --- compaction: 8 hive directories × 16 writer tasks of small
+    // files → per-directory byte-targeted rewrite. Rows must survive
+    // exactly (the exact per-directory counts are LayoutSpec's job);
+    // the band asserts the listing+route+rewrite IO path scales
+    // linearly.
+    var lastCompact: graft.operators.Layout.CompactStats = null
+    run("q63_compact_rows", Some(p.nLineitem))({
+      val in = s"$dir/s$scale/compact_in"
+      val outp = s"$dir/s$scale/compact_out"
+      series.withColumn("p", pmod(col("k"), lit(8L)))
+        .repartition(16)
+        .write.mode("overwrite").partitionBy("p").parquet(in)
+      lastCompact = graft.operators.Layout.compact(spark, in, outp,
+        targetFileBytes = 1L << 26, partitionCols = Seq("p"))
+      spark.read.parquet(outp).count()
+    })
+    check("q63_files_shrunk", lastCompact.filesAfter < lastCompact.filesBefore,
+      lastCompact.filesAfter, s"< ${lastCompact.filesBefore}")
+
     // --- skew mitigation: salted aggregation and split-route join must
     // be bit-equal to the plain plans (exact integer-valued doubles) ---
     def plainAgg = li.groupBy("grp").agg(
