@@ -472,11 +472,17 @@ object StressGate {
     run("ann11_sem_decontam", Some(p.nEmb))(
       Decontam.semantic(semCorpus, semBench, threshold = 1.0).count())
 
-    // --- MAD outlier gate: two histogram-quantile passes over the
-    // full lineitem incl. the 50% HOT group. Uniform integer
-    // quantities keep every |v − med| (≤ ~25) far under 3·MAD (~37),
-    // so ZERO rows flag, and every input row comes back annotated.
-    def cur18 = graft.operators.Profiler.madOutliers(li, "l_quantity", Seq("grp"))
+    // --- MAD outlier gate: two histogram-quantile passes at corpus
+    // scale. Groups (mod 101) and values (mod 97) are COPRIME cycles,
+    // so every group sees all 97 residues with near-equal multiplicity
+    // at ANY scale: med ≈ 48, MAD ≈ 24, max |v − med| ≈ 48 < 3·MAD ≈
+    // 72 — zero outliers with a 1.5× structural margin (a random
+    // fixture's small-group sample MAD has no such floor), and one
+    // annotated row per input row.
+    val cur18In = spark.range(p.nLineitem).select(
+      pmod(col("id"), lit(101L)).as("g"),
+      pmod(col("id"), lit(97L)).cast("double").as("v"))
+    def cur18 = graft.operators.Profiler.madOutliers(cur18In, "v", Seq("g"))
     run("cur18_mad_rows", Some(p.nLineitem))(cur18.count())
     run("cur18_mad_outliers", Some(0L))(cur18.filter(col("outlier")).count())
 
