@@ -2456,6 +2456,58 @@ object SparkEntry {
         .orderBy(col("user_id").asc, col("grid_ts").asc)
     }),
 
+    "cur19_winsorize" -> ((s, dir) => {
+      // per-type metric winsorization: clamp every event value into
+      // its type's [k-th smallest, k-th largest] order statistics
+      // with k = ⌊α·n⌋ — outlier CAPPING where cur18 is outlier
+      // FLAGGING. Rank-based bounds are pure selections over exact
+      // integer ranks (an interpolated p02 is a product of doubles
+      // whose formula differs across engines in the last ulp), so
+      // bounds and clamped values replay bit-for-bit via a
+      // row_number window in the oracle; the engine side runs the
+      // q20 histogram-digest plan, never a per-group row sort.
+      graft.operators.Profiler.winsorizeBy(
+          t(s, dir, "events").select("event_id", "event_type", "value"),
+          "value", Seq("event_type"), alpha = 0.02)
+        .orderBy(col("event_id").asc)
+    }),
+
+    "cur20_priority_sample" -> ((s, dir) => {
+      // deterministic WEIGHTED sampling without replacement —
+      // priority sampling (Duffield–Lund–Thorup, JACM 2007): 40 docs
+      // per source with inclusion biased by document length, each
+      // sampled row carrying the estimation weight max(w, τ) that
+      // keeps downstream subset sums unbiased (τ = the stratum's
+      // 41st priority). Priorities are exact BIGINT
+      // ⌊w·2³¹ ÷ (h+1)⌋ over the avalanche decisionHash (own
+      // constants), so rank order, membership and τ replay
+      // bit-for-bit in DuckDB — a float w/u ranking would tie-break
+      // on libm ulps. Rides the BoundedTopK partial aggregate, the
+      // cur7 physical path.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        (col("n_chars") + lit(1)).cast("double").as("w"))
+      graft.operators.Shuffle.prioritySample(d, "doc_id", "w", 40,
+          Seq("source"), scale = 1L)
+        .orderBy(col("doc_id").asc)
+    }),
+
+    "cur21_w1_drift" -> ((s, dir) => {
+      // per-source Wasserstein-1 drift on n_chars, +10% inflation
+      // confined to src5 (the cur15 fixture): where KS reports the
+      // largest CDF gap, W₁ reports how FAR the mass moved, in
+      // character units — src5 reads ≈ 0.1·mean(n_chars), every
+      // other source exactly 0.0. On the 0.1-char quantized grid the
+      // numerator is an order-free exact integer sum (decimal(38,0)
+      // here, HUGEINT in the oracle) and ONE double division closes
+      // it — bit-replayable, unlike any float Σ|F−G|·Δx.
+      val d = t(s, dir, "documents").select(col("source"), col("n_chars"))
+      val cur = d.select(col("source"),
+        when(col("source") === "src5", col("n_chars") * 1.1)
+          .otherwise(col("n_chars").cast("double")).as("n_chars"))
+      graft.operators.Profiler.w1DriftBy(d, cur, "n_chars", Seq("source"),
+        scale = 10L)
+    }),
+
     "cur18_mad_outliers" -> ((s, dir) => {
       // robust per-type metric anomaly gate: median/MAD flags (Hampel
       // identifier) that heavy tails cannot hijack — one pathological
@@ -4653,6 +4705,101 @@ object SparkEntry {
     // median and MAD over cents-quantized integers via quantile_cont
     // (the q20 bit-parity precedent); the outlier comparison runs on
     // the quantized scale where every term is exact dyadic
+    // rank-based bounds are order statistics — replayed by an explicit
+    // row_number selection, no quantile interpolation anywhere
+    "cur19_winsorize" ->
+      """WITH q AS (
+           SELECT event_id, event_type, value,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq
+           FROM events),
+         nn AS (
+           SELECT event_type, vq,
+             row_number() OVER (PARTITION BY event_type ORDER BY vq) - 1 AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM q WHERE value IS NOT NULL),
+         b AS (
+           SELECT event_type,
+             max(CASE WHEN rk = CAST(floor(0.02 * n) AS BIGINT)
+                 THEN vq END) AS loq,
+             max(CASE WHEN rk = n - 1 - CAST(floor(0.02 * n) AS BIGINT)
+                 THEN vq END) AS hiq
+           FROM nn GROUP BY 1)
+         SELECT q.event_id, q.event_type, q.value,
+           CAST(loq AS DOUBLE) / 100.0 AS lo,
+           CAST(hiq AS DOUBLE) / 100.0 AS hi,
+           CASE WHEN q.value IS NULL THEN NULL
+                ELSE CAST(least(greatest(q.vq, loq), hiq) AS DOUBLE) / 100.0
+           END AS value_w
+         FROM q LEFT JOIN b USING (event_type)
+         ORDER BY q.event_id""",
+
+    // the full decisionHash replay (the cur4 discipline, own
+    // constants 40692/52361), then exact BIGINT priorities — rank,
+    // membership and the 41st-priority threshold all integer
+    "cur20_priority_sample" ->
+      """WITH d AS (
+           SELECT doc_id, source, CAST(n_chars + 1 AS DOUBLE) AS w,
+             CAST(floor(CAST(n_chars + 1 AS DOUBLE) * 1.0 + 0.5) AS BIGINT) AS wq
+           FROM documents),
+         h0 AS (SELECT *, xor(doc_id, (doc_id >> 32) + 52361) AS t0 FROM d),
+         h1 AS (SELECT *,
+             ((t0 % 2147483647) * 40692 + 52361) % 2147483647 AS t1 FROM h0),
+         h2 AS (SELECT *,
+             (xor(t1, t1 >> 15) * 1664525 + 1013904223) % 2147483647 AS hh1
+           FROM h1),
+         h3 AS (SELECT *,
+             (xor(hh1, hh1 >> 13) * 22695477 + 77557187) % 2147483647 + 1 AS h
+           FROM h2),
+         p AS (SELECT doc_id, source, w, wq,
+             (wq * 2147483648) // h AS pri FROM h3),
+         r AS (SELECT *, row_number() OVER (
+             PARTITION BY source ORDER BY pri DESC, doc_id) AS rk FROM p),
+         tau AS (SELECT source, max(CASE WHEN rk = 41 THEN pri END) AS tau
+           FROM r GROUP BY 1)
+         SELECT r.doc_id, r.source, r.w, CAST(r.pri AS BIGINT) AS priority,
+           CAST(greatest(r.wq, coalesce(tau.tau, 0)) AS DOUBLE) / 1.0
+             AS est_weight
+         FROM r JOIN tau USING (source)
+         WHERE rk <= 40
+         ORDER BY r.doc_id""",
+
+    // the exact-integer W1: HUGEINT numerator (window sums of BIGINT
+    // are HUGEINT in DuckDB, decimal(38,0) in the engine), one double
+    // division at the end
+    "cur21_w1_drift" ->
+      """WITH u AS (
+           SELECT source,
+             CAST(floor(CAST(n_chars AS DOUBLE) * 10.0 + 0.5) AS BIGINT) AS vq,
+             1 AS b, 0 AS c
+           FROM documents WHERE n_chars IS NOT NULL
+           UNION ALL
+           SELECT source,
+             CAST(floor((CASE WHEN source = 'src5'
+                 THEN CAST(n_chars AS DOUBLE) * 1.1
+                 ELSE CAST(n_chars AS DOUBLE) END) * 10.0 + 0.5) AS BIGINT),
+             0, 1
+           FROM documents WHERE n_chars IS NOT NULL),
+         d AS (SELECT source, vq, sum(b) AS cb, sum(c) AS cc
+               FROM u GROUP BY 1, 2),
+         t AS (SELECT source, CAST(sum(cb) AS BIGINT) AS nb,
+                 CAST(sum(cc) AS BIGINT) AS nc
+               FROM d GROUP BY 1 HAVING sum(cb) > 0 AND sum(cc) > 0),
+         r AS (SELECT source, vq,
+                 sum(cb) OVER w AS rb, sum(cc) OVER w AS rc,
+                 lead(vq) OVER (PARTITION BY source ORDER BY vq) AS nvq
+               FROM d
+               WINDOW w AS (PARTITION BY source ORDER BY vq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         s AS (SELECT r.source,
+                 sum(CASE WHEN nvq IS NULL THEN 0
+                     ELSE abs(rb * nc - rc * nb) * (nvq - vq) END) AS num,
+                 max(nb) AS nb, max(nc) AS nc
+               FROM r JOIN t USING (source) GROUP BY 1)
+         SELECT source,
+           CAST(num AS DOUBLE) / CAST(nb * nc * 10 AS DOUBLE) AS w1,
+           nb AS n_base, nc AS n_cur
+         FROM s ORDER BY source""",
+
     "cur18_mad_outliers" ->
       """WITH e AS (
            SELECT event_id, event_type, value,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -550,6 +550,151 @@ object Profiler {
         (col("__medq") / lit(scale.toDouble)).as("med"),
         (col("__madq") / lit(scale.toDouble)).as("mad"),
         (col("__dev") > lit(k) * col("__madq")).as("outlier")): _*)
+  }
+
+  /** Per-group rank-based WINSORIZATION — clamp each value into its
+    * group's [k-th smallest, k-th largest] with k = ⌊alpha·n⌋: the
+    * outlier-capping step between raw metrics and anything that
+    * averages them (a feature table with one 10⁹ glitch row poisons
+    * every mean downstream; clipping at the 1% order statistics
+    * bounds the damage without dropping rows, which is
+    * [[madOutliers]]'s department).
+    *
+    * RANK-based (trim-count) bounds, not interpolated percentiles, by
+    * design: the bound IS an order statistic — a pure selection over
+    * exact integer ranks, so the whole operator replays bit-for-bit
+    * in any engine (an interpolated p01 is a product of doubles whose
+    * formula differs across engines in the last ulp). k = ⌊alpha·n⌋
+    * is evaluated in IEEE doubles — identical on both engines — and
+    * clamping happens on the quantized-integer scale (resolution
+    * 1/`scale`, the library-wide discipline); bounds and clamped
+    * values convert to user units by one double division each.
+    *
+    * Scale shape: the q20 histogram-digest plan — `groupBy(group,
+    * value)` compresses to distinct digests (the only full-data pass,
+    * map-side combined, skew-proof because the exchange key includes
+    * the value), one window over the DIGESTS finds both order
+    * statistics, and the bounds broadcast back onto the rows (null-
+    * safe group join). No per-group sort of raw rows anywhere.
+    *
+    * Null values pass through unclamped with null bounds (they carry
+    * no magnitude to cap; [[columnStats]] counts them). Output: df
+    * columns ++ (lo, hi, value_w). */
+  def winsorizeBy(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  alpha: Double = 0.01, scale: Long = 100L): DataFrame = {
+    require(groupCols.nonEmpty, "winsorizeBy: need at least one group column")
+    require(alpha > 0.0 && alpha < 0.5,
+      s"winsorizeBy: alpha must be in (0, 0.5), got $alpha")
+    require(scale >= 1, s"winsorizeBy: scale must be >= 1, got $scale")
+    val missing = (groupCols :+ valueCol).filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"winsorizeBy: input is missing column(s): ${missing.mkString(", ")}")
+    val gs = groupCols.map(col)
+    val vq = floor(col(valueCol).cast("double") * lit(scale.toDouble) + lit(0.5))
+      .cast("long")
+    val digests = df.filter(col(valueCol).isNotNull)
+      .select(gs :+ vq.as("__vq"): _*)
+      .groupBy(gs :+ col("__vq"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(gs: _*).orderBy(col("__vq").asc)
+    val ranked = digests
+      .withColumn("__hi_rank", sum(col("__c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val k = floor(lit(alpha) * col("__n").cast("double")).cast("long")
+    def covers(r: Column) =
+      col("__hi_rank") - col("__c") <= r && r < col("__hi_rank")
+    val bounds = ranked.groupBy(gs: _*)
+      .agg(max(when(covers(k), col("__vq"))).as("__loq"),
+        max(when(covers(col("__n") - 1L - k), col("__vq"))).as("__hiq"))
+      .select(groupCols.map(c => col(c).as(s"__wg_$c"))
+        :+ col("__loq") :+ col("__hiq"): _*)
+    val cond = groupCols.map(c => df(c) <=> bounds(s"__wg_$c")).reduce(_ && _)
+    val rowVq = floor(df(valueCol).cast("double") * lit(scale.toDouble)
+      + lit(0.5)).cast("long")
+    df.join(bounds, cond, "left")
+      .select(df.columns.map(df(_)) ++ Seq(
+        (col("__loq").cast("double") / lit(scale.toDouble)).as("lo"),
+        (col("__hiq").cast("double") / lit(scale.toDouble)).as("hi"),
+        when(df(valueCol).isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(rowVq, col("__loq")), col("__hiq"))
+            .cast("double") / lit(scale.toDouble)).as("value_w")): _*)
+  }
+
+  /** Per-group EXACT Wasserstein-1 distance (earth-mover's) between
+    * two snapshots of one numeric column — the magnitude-aware member
+    * of the drift family: KS reports the largest CDF gap but not how
+    * far the mass moved; W₁ = ∫|F_base − F_cur| dx is the average
+    * distance a unit of probability mass travels, in the column's own
+    * units (a +10ms latency shift scores 10·mass; KS scores the same
+    * whether the shift is 10ms or 10s).
+    *
+    * Exactness: values quantize to the integer grid at 1/`scale`
+    * (resolution is the documented contract, as in [[cusum]]); on the
+    * grid, W₁ · n_b · n_c · scale = Σ_segments |rb·n_c − rc·n_b| · Δv
+    * with rb/rc the cumulative integer counts at each distinct value
+    * and Δv the integer gap to the next — every term an exact
+    * decimal(38,0) product, the sum order-free, and ONE double
+    * division at the end. DuckDB replays it bit-for-bit through
+    * HUGEINT arithmetic (a float Σ|F−G|·Δx would differ across
+    * engines in summation order alone).
+    *
+    * Scale shape = [[ksDriftBy]]: tag-union → one hash-aggregated
+    * (group, value) digest pass (the only full-data scan) → per-group
+    * window over the DIGESTS (running sums + one lead) → per-group
+    * fold. Groups with non-null values on only one side are EXCLUDED
+    * (W₁ against an absent sample is undefined — the drift-family
+    * contract); null group keys are a group.
+    *
+    * Output: groupCols ++ (w1, n_base, n_cur), w1 in user units,
+    * one row per common group, ordered by group. */
+  def w1DriftBy(base: DataFrame, cur: DataFrame, valueCol: String,
+                groupCols: Seq[String], scale: Long = 100L): DataFrame = {
+    require(groupCols.nonEmpty,
+      "w1DriftBy: groupCols must be non-empty")
+    require(scale >= 1, s"w1DriftBy: scale must be >= 1, got $scale")
+    val gs = groupCols.map(col)
+    def side(df: DataFrame, b: Int, name: String) = {
+      val missing = (groupCols :+ valueCol).filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"w1DriftBy: $name snapshot is missing column(s): ${missing.mkString(", ")}")
+      val vq = floor(col(valueCol).cast("double") * lit(scale.toDouble)
+        + lit(0.5)).cast("long")
+      df.filter(col(valueCol).isNotNull)
+        .select(gs :+ vq.as("__vq") :+ lit(b.toLong).as("__b")
+          :+ lit(1L - b).as("__c"): _*)
+    }
+    val digests = side(base, 1, "base").unionAll(side(cur, 0, "cur"))
+      .groupBy(gs :+ col("__vq"): _*)
+      .agg(sum(col("__b")).as("__cb"), sum(col("__c")).as("__cc"))
+    val totals = digests.groupBy(gs: _*)
+      .agg(sum(col("__cb")).as("__nb"), sum(col("__cc")).as("__nc"))
+      .filter(col("__nb") > 0L && col("__nc") > 0L)
+      .select(groupCols.map(c => col(c).as(s"__gg_$c"))
+        :+ col("__nb") :+ col("__nc"): _*)
+    val totCond = groupCols.map(c => col(c) <=> col(s"__gg_$c")).reduce(_ && _)
+    val wOrd = Window.partitionBy(gs: _*).orderBy(col("__vq").asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = "decimal(38,0)"
+    val run = digests
+      .withColumn("__rb", sum(col("__cb")).over(wRun))
+      .withColumn("__rc", sum(col("__cc")).over(wRun))
+      .withColumn("__dv", (lead(col("__vq"), 1).over(wOrd) - col("__vq"))
+        .cast(dec))
+    val term = abs(col("__rb").cast(dec) * col("__nc").cast(dec)
+      - col("__rc").cast(dec) * col("__nb").cast(dec)) * col("__dv")
+    run.join(totals, totCond)
+      .groupBy(gs: _*)
+      .agg(coalesce(sum(when(col("__dv").isNotNull, term)), lit(0).cast(dec))
+          .as("__num"),
+        first(col("__nb")).as("n_base"), first(col("__nc")).as("n_cur"))
+      .select(gs ++ Seq(
+        (col("__num").cast("double")
+          / (col("n_base").cast(dec) * col("n_cur").cast(dec)
+            * lit(scale).cast(dec)).cast("double")).as("w1"),
+        col("n_base"), col("n_cur")): _*)
+      .orderBy(gs: _*)
   }
 
   def linearFitBy(df: DataFrame, xCol: String, yCol: String,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, epoch-stable corpus shuffle — the data-ORDER
@@ -154,5 +155,96 @@ object Shuffle {
       .sliceMinAgg(col("__strat_h"), n, col(idCol))
       .df
       .drop("__strat_h")
+  }
+
+  private val PriMult = 40692L // L'Ecuyer MRG multiplier; ≠ every other sampler's
+  private val PriAdd = 52361L
+
+  /** Deterministic WEIGHTED sampling without replacement — priority
+    * sampling (Duffield–Lund–Thorup, JACM 2007): item i gets priority
+    * q_i = w_i / u_i with u_i uniform in (0, 1], the n highest
+    * priorities are the sample, and each sampled item carries the
+    * estimation weight ŵ_i = max(w_i, τ) where τ is the (n+1)-th
+    * priority — the published scheme whose subset-sum estimates are
+    * unbiased with near-optimal variance (Σŵ over any sampled subset
+    * estimates that subset's true Σw). [[stratifiedSample]] answers
+    * "exactly n docs per language"; this answers "n docs per language
+    * PICKED PROPORTIONALLY to quality/length/importance, with the
+    * reweighting factor training needs to stay unbiased".
+    *
+    * Determinism and replayability: u_i = (h_i + 1)/2³¹ with h_i the
+    * avalanche [[decisionHash]] (own constants, pairwise independent
+    * of the mixture/split/resample/stratified/epoch hashes), weights
+    * quantize to integers at 1/`scale`, and the priority is the EXACT
+    * integer floor(w_q · 2³¹ ÷ (h+1)) — rank order is pure BIGINT
+    * arithmetic, bit-replayable in DuckDB, stable across engines,
+    * reruns and cluster sizes (a float w/u ranking would tie-break on
+    * libm ulps). Ties (same floored priority) break by ascending id.
+    * τ and ŵ stay on the quantized-weight scale: priorities ARE
+    * weight-unit values (q = w/u), so ŵ_q = max(w_q, τ_q) and one
+    * double division converts back to user units.
+    *
+    * Contract: weights must be positive (null/≤0 after quantization
+    * raises, naming the first bad row — a zero-weight doc in a
+    * weighted sampler is a pipeline bug, not a doc to silently drop);
+    * w_q must stay under 2³² so w_q·2³¹ fits a BIGINT (raise, not
+    * wrap — pick `scale` accordingly, the documented contract).
+    *
+    * Scale shape: the strata path rides the BoundedTopK partial
+    * aggregate exactly like [[stratifiedSample]] (every task keeps ≤
+    * n+1 candidate rows per stratum — a billion-row stratum costs its
+    * scan plus n+1 rows per task, never a sort); the global path is
+    * one TakeOrdered. The (n+1)-th priority (τ) and the final
+    * row_number both run over the ALREADY-SELECTED ≤ (n+1)·strata
+    * rows.
+    *
+    * Output: df columns ++ (priority, est_weight), the ≤ n sampled
+    * rows per stratum (all rows when a stratum has ≤ n; τ = 0 then,
+    * so ŵ = w exactly — the DLT small-stratum contract). */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String, n: Int,
+                     strataCols: Seq[String] = Nil,
+                     scale: Long = 100L): DataFrame = {
+    require(n > 0, s"prioritySample: n must be positive, got $n")
+    require(scale >= 1, s"prioritySample: scale must be >= 1, got $scale")
+    val missing = (strataCols ++ Seq(idCol, weightCol))
+      .filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"prioritySample: input is missing column(s): ${missing.mkString(", ")}")
+    val wqRaw = floor(col(weightCol).cast("double") * lit(scale.toDouble)
+      + lit(0.5)).cast("long")
+    val wq = when(wqRaw.isNull || wqRaw <= 0L, raise_error(concat(
+        lit("prioritySample: weight must quantize positive at scale " +
+          s"$scale, got "),
+        coalesce(col(weightCol).cast("string"), lit("NULL")),
+        lit(" for id "), col(idCol).cast("string"))))
+      .when(wqRaw >= lit(4294967296L), raise_error(concat(
+        lit(s"prioritySample: quantized weight overflows 2^32 at scale $scale: "),
+        wqRaw.cast("string"), lit(" for id "), col(idCol).cast("string"))))
+      .otherwise(wqRaw)
+    val h = decisionHash(col(idCol), PriMult, PriAdd, "prioritySample") + lit(1L)
+    val hashed = df
+      .withColumn("__pri_wq", wq)
+      .withColumn("__pri_h", h)
+      .withColumn("__pri", expr("(__pri_wq * 2147483648L) DIV __pri_h"))
+    // top-(n+1): the extra row is τ, the estimation threshold
+    val selected =
+      if (strataCols.nonEmpty)
+        graft.api.GraftFrame(hashed)
+          .groupBy(strataCols: _*)
+          .sliceMaxAgg(col("__pri"), n + 1, col(idCol))
+          .df
+      else hashed.orderBy(col("__pri").desc, col(idCol).asc).limit(n + 1)
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col("__pri").desc, col(idCol).asc)
+    val ranked = selected
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__tau",
+        max(when(col("__rk") === n + 1, col("__pri"))).over(
+          Window.partitionBy(strataCols.map(col): _*)))
+    ranked.filter(col("__rk") <= n)
+      .select(df.columns.map(col) ++ Seq(
+        col("__pri").as("priority"),
+        (greatest(col("__pri_wq"), coalesce(col("__tau"), lit(0L)))
+          .cast("double") / lit(scale.toDouble)).as("est_weight")): _*)
   }
 }

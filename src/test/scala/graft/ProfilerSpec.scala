@@ -387,4 +387,101 @@ class ProfilerSpec extends AnyFunSuite {
       Profiler.linearFitBy(d, "nope", "y", Seq("g"))
     }
   }
+
+  test("winsorizeBy: hand case, brute-force parity, small-n no-op, nulls, refusals") {
+    // 0..99 plus two extreme outliers in group a; alpha=0.05 over
+    // n=102 → k=5 → bounds are the 0-based rank-5 and rank-96 values
+    val a = ((0 until 100).map(_.toDouble) ++ Seq(-1e6, 1e6))
+      .zipWithIndex.map { case (v, i) => ("a", i.toLong, v) }
+    val df = a.toDF("g", "id", "v")
+    val got = Profiler.winsorizeBy(df, "v", Seq("g"), alpha = 0.05)
+      .collect().map(r => (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    val sorted = a.map(_._3).sorted
+    val (lo, hi) = (sorted(5), sorted(96)) // 4.0 and 95.0
+    assert(got.forall(t => t._3 == lo && t._4 == hi))
+    got.foreach { case (_, v, _, _, w) =>
+      assert(w == math.min(math.max(v, lo), hi), s"v=$v w=$w")
+    }
+    // brute-force parity on two hash-scattered groups with duplicates
+    val rnd = (1 to 400).map { i =>
+      (if (i % 2 == 0) "x" else "y", i.toLong,
+        ((i * 7919) % 97).toDouble / 4.0)
+    }
+    val rdf = rnd.toDF("g", "id", "v")
+    val rgot = Profiler.winsorizeBy(rdf, "v", Seq("g"), alpha = 0.1,
+        scale = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(5)))
+      .sortBy(t => (t._1, t._2))
+    val expect = rnd.groupBy(_._1).flatMap { case (g, rows) =>
+      val vq = rows.map(t => math.floor(t._3 * 100.0 + 0.5).toLong)
+      val s = vq.sorted
+      val k = math.floor(0.1 * s.size).toInt
+      val (lq, hq) = (s(k), s(s.size - 1 - k))
+      rows.map(t => (g, t._2,
+        math.min(math.max(math.floor(t._3 * 100.0 + 0.5).toLong, lq), hq)
+          .toDouble / 100.0))
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(rgot.toSeq == expect)
+    // tiny group: k=0 → bounds are min/max, nothing clamps
+    val tiny = Seq(("t", 1L, 5.0), ("t", 2L, 50.0), ("t", 3L, 500.0))
+      .toDF("g", "id", "v")
+    val tg = Profiler.winsorizeBy(tiny, "v", Seq("g"), alpha = 0.01)
+      .collect().map(r => (r.getDouble(3), r.getDouble(5))).sortBy(_._2)
+    assert(tg.map(_._1).distinct.toSeq == Seq(5.0))
+    assert(tg.map(_._2).toSeq == Seq(5.0, 50.0, 500.0))
+    // null value: passes through with null value_w, group bounds intact
+    val withNull = Seq(("n", 1L, Some(1.0)), ("n", 2L, Some(2.0)),
+      ("n", 3L, None)).toDF("g", "id", "v")
+    val ng = Profiler.winsorizeBy(withNull, "v", Seq("g"), alpha = 0.1)
+      .collect().map(r => (r.getLong(1), Option(r.get(5)))).sortBy(_._1)
+    assert(ng(2)._2.isEmpty && ng(0)._2.contains(1.0))
+    intercept[IllegalArgumentException] {
+      Profiler.winsorizeBy(df, "v", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Profiler.winsorizeBy(df, "v", Seq("g"), alpha = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Profiler.winsorizeBy(df, "nope", Seq("g"))
+    }
+  }
+
+  test("w1DriftBy: endpoints, hand case, shift, sorted-parity, exclusions") {
+    // identical snapshots → exactly 0 (integer numerator is 0)
+    val base = (1 to 50).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val z = Profiler.w1DriftBy(base, base, "v", Seq("g")).collect()(0)
+    assert(z.getDouble(1) == 0.0 && z.getLong(2) == 50L && z.getLong(3) == 50L)
+    // hand case: point masses at 0 and 10 → W1 = 10 exactly
+    val p0 = Seq(("g", 0.0)).toDF("g", "v")
+    val p10 = Seq(("g", 10.0)).toDF("g", "v")
+    assert(Profiler.w1DriftBy(p0, p10, "v", Seq("g"))
+      .collect()(0).getDouble(1) == 10.0)
+    // constant +5 shift of a 100-point sample → W1 = 5 exactly
+    val cur5 = base.select(col("g"), (col("v") + 5.0).as("v"))
+    assert(Profiler.w1DriftBy(base, cur5, "v", Seq("g"))
+      .collect()(0).getDouble(1) == 5.0)
+    // equal-n parity with the sorted-coupling formula:
+    // W1 = (1/n)·Σ|b_(i) − c_(i)| on the quantized grid
+    val bs = (1 to 97).map(i => ("p", ((i * 31) % 89).toDouble / 2.0))
+    val cs = (1 to 97).map(i => ("p", ((i * 57) % 101).toDouble / 2.0))
+    val got = Profiler.w1DriftBy(bs.toDF("g", "v"), cs.toDF("g", "v"),
+      "v", Seq("g"), scale = 2L).collect()(0).getDouble(1)
+    val exp = bs.map(t => math.floor(t._2 * 2.0 + 0.5).toLong).sorted
+      .zip(cs.map(t => math.floor(t._2 * 2.0 + 0.5).toLong).sorted)
+      .map { case (x, y) => math.abs(x - y) }.sum.toDouble / (97.0 * 2.0)
+    assert(got == exp, s"got=$got exp=$exp")
+    // group present on one side only → excluded; common group kept
+    val b2 = Seq(("both", 1.0), ("only_b", 1.0)).toDF("g", "v")
+    val c2 = Seq(("both", 2.0), ("only_c", 1.0)).toDF("g", "v")
+    val rows = Profiler.w1DriftBy(b2, c2, "v", Seq("g")).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("both"))
+    assert(rows(0).getDouble(1) == 1.0)
+    intercept[IllegalArgumentException] {
+      Profiler.w1DriftBy(b2, c2, "v", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Profiler.w1DriftBy(b2, c2, "nope", Seq("g"))
+    }
+  }
 }

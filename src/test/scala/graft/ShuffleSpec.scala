@@ -131,4 +131,95 @@ class ShuffleSpec extends AnyFunSuite {
     assert(p.contains("graft_bounded_topk"), p.take(800))
     assert(!p.contains("Window"), "no window sort allowed:\n" + p.take(800))
   }
+
+  import org.apache.spark.sql.functions.{col, lit, when}
+
+  private def weighted(n: Int, heavyEvery: Int) = {
+    import SparkT.spark.implicits._
+    (1 to n).map(i => (i.toLong, if (i % heavyEvery == 0) 10.0 else 1.0))
+      .toDF("id", "w")
+  }
+
+  test("prioritySample: deterministic, partition-layout independent, exact size") {
+    val d = weighted(1000, 3)
+    val a = Shuffle.prioritySample(d, "id", "w", 100)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Shuffle.prioritySample(d.repartition(13), "id", "w", 100)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a.size == 100)
+  }
+
+  test("prioritySample: weights bias inclusion ~proportionally") {
+    // 500 heavy (w=10) + 500 light (w=1): heavy mass is 10/11 of the
+    // total, so a 100-draw sample should be dominated by heavy ids
+    val d = weighted(1000, 2) // even ids heavy
+    val ids = Shuffle.prioritySample(d, "id", "w", 100)
+      .select("id").collect().map(_.getLong(0))
+    val heavy = ids.count(_ % 2 == 0)
+    assert(heavy >= 75, s"heavy=$heavy of 100 — weighting not biasing inclusion")
+  }
+
+  test("prioritySample: est_weight >= weight and subset-sum ~unbiased") {
+    val d = weighted(1000, 2)
+    val got = Shuffle.prioritySample(d, "id", "w", 100)
+      .select(col("w"), col("est_weight")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(got.forall { case (w, e) => e >= w })
+    // DLT: Σ est_weight over the sample estimates total weight
+    // (5500); one deterministic draw at k=100 should sit well within
+    // ±30% (rel. stderr ~ 1/sqrt(k) ≈ 10%)
+    val est = got.map(_._2).sum
+    assert(est > 5500.0 * 0.7 && est < 5500.0 * 1.3, s"est=$est vs 5500")
+  }
+
+  test("prioritySample: strata — exactly n per big stratum; small stratum whole with est==w") {
+    import SparkT.spark.implicits._
+    val d = (1 to 300).map(i =>
+      (i.toLong, if (i <= 290) "big" else "small", 1.0 + (i % 7)))
+      .toDF("id", "g", "w")
+    val got = Shuffle.prioritySample(d, "id", "w", 15, Seq("g"))
+    val byG = got.collect().groupBy(_.getString(1))
+    assert(byG("big").length == 15)
+    assert(byG("small").length == 10, "stratum smaller than n returns all rows")
+    // small stratum: tau = 0 → est_weight == weight exactly
+    byG("small").foreach(r => assert(r.getDouble(2) == r.getDouble(4)))
+  }
+
+  test("prioritySample: strata plan rides the bounded partial aggregate") {
+    val d = SparkT.table("documents")
+      .select(col("doc_id"), col("source"),
+        (col("n_chars") + 1).cast("double").as("w"))
+    val q = Shuffle.prioritySample(d, "doc_id", "w", 5, Seq("source"), scale = 1L)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("graft_bounded_topk"), p.take(800))
+  }
+
+  test("prioritySample: refusals — bad n/scale, missing cols, nonpositive and oversized weights") {
+    val d = weighted(10, 2)
+    intercept[IllegalArgumentException] {
+      Shuffle.prioritySample(d, "id", "w", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Shuffle.prioritySample(d, "id", "w", 5, scale = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Shuffle.prioritySample(d, "id", "nope", 5)
+    }
+    import SparkT.spark.implicits._
+    val zero = Seq((1L, 1.0), (2L, 0.0)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Shuffle.prioritySample(zero, "id", "w", 1).collect()
+    }
+    assert(e.getMessage.contains("prioritySample"), e.getMessage.take(200))
+    val nullW = Seq((1L, Some(1.0)), (2L, None)).toDF("id", "w")
+    intercept[Exception] {
+      Shuffle.prioritySample(nullW, "id", "w", 1).collect()
+    }
+    val huge = Seq((1L, 5e9)).toDF("id", "w")
+    val e2 = intercept[Exception] {
+      Shuffle.prioritySample(huge, "id", "w", 1, scale = 1L).collect()
+    }
+    assert(e2.getMessage.contains("2^32"), e2.getMessage.take(200))
+  }
 }
