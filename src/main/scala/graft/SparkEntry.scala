@@ -2241,6 +2241,29 @@ object SparkEntry {
           minFraction = 0.005, estimatedGroups = 64)
         .orderBy(col("source").asc, col("n").desc, col("word").asc)),
 
+    "txt23_collocations" -> ((s, dir) =>
+      // corpus collocation mining: adjacent pairs co-occurring beyond
+      // their unigram expectation, ranked by LIFT (= e^PMI — monotone
+      // with PMI, but exact: integer counts, decimal products, ONE
+      // double division, no transcendental anywhere the oracle could
+      // diverge on). Bigrams assemble scan-side via zip_with — no
+      // posexplode self-join — and the only corpus-cardinality work
+      // is one map-side-combined groupBy(w1, w2); marginals and N
+      // re-aggregate the distinct-bigram digest table.
+      graft.operators.Freq.collocations(t(s, dir, "documents"), "text",
+          minCount = 20L)
+        .orderBy(col("w1").asc, col("w2").asc)),
+
+    "txt24_keywords" -> ((s, dir) =>
+      // per-document keyword extraction: top-3 TF-IDF terms per doc
+      // (txt8's scoring, rounded 4dp BEFORE ranking so boundary ranks
+      // are engine-deterministic), window-ranked PARTITIONED BY DOC —
+      // each partition is one doc's vocabulary, so the sort
+      // parallelizes across docs with no hot-group risk.
+      graft.operators.Search.tfidfKeywords(t(s, dir, "documents"),
+          "doc_id", "text", k = 3)
+        .orderBy(col("doc_id").asc, col("kw_rank").asc)),
+
     "txt22_contam_spans" -> ((s, dir) => {
       // span-LOCALIZED decontamination: WHERE each doc leaks the
       // benchmark (docs 0-4), as maximal merged 8-word-window spans —
@@ -4328,6 +4351,53 @@ object SparkEntry {
          ORDER BY source, doc_id""",
 
     // span-level decontamination replays the dd12 window/islands
+    // exact integer lift: DuckDB's sums are HUGEINT (the engine's are
+    // decimal(38,0)); one double division closes it — marginals from
+    // the UNFILTERED bigram table, cast to BIGINT for schema parity
+    "txt23_collocations" ->
+      """WITH w AS (
+           SELECT regexp_split_to_array(
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM documents),
+         b0 AS (
+           SELECT w[i] AS w1, w[i + 1] AS w2
+           FROM (SELECT w, unnest(range(1, len(w))) AS i
+                 FROM w WHERE len(w) >= 2)),
+         bg AS (SELECT w1, w2, count(*) AS n_ab FROM b0
+                WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2),
+         nn AS (SELECT sum(n_ab) AS n FROM bg),
+         lm AS (SELECT w1, sum(n_ab) AS n_a FROM bg GROUP BY 1),
+         rm AS (SELECT w2, sum(n_ab) AS n_b FROM bg GROUP BY 1)
+         SELECT bg.w1, bg.w2, bg.n_ab,
+           CAST(lm.n_a AS BIGINT) AS n_a, CAST(rm.n_b AS BIGINT) AS n_b,
+           CAST(bg.n_ab * (SELECT n FROM nn) AS DOUBLE)
+             / CAST(lm.n_a * rm.n_b AS DOUBLE) AS lift
+         FROM bg JOIN lm USING (w1) JOIN rm USING (w2)
+         WHERE bg.n_ab >= 20
+         ORDER BY bg.w1, bg.w2""",
+
+    // txt8's scoring replayed per doc, ranked on the ROUNDED score
+    // (identical 4dp grids on both engines) with the term tie-break
+    "txt24_keywords" ->
+      """WITH words AS (
+           SELECT doc_id, unnest(regexp_split_to_array(
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM words
+                WHERE term <> '' GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE)
+               / CAST(dfq.df AS DOUBLE)), 4) AS tfidf
+           FROM tf JOIN dfq USING (term)),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, term ASC) AS INTEGER) AS kw_rank
+           FROM sc)
+         SELECT doc_id, term, tf, tfidf, kw_rank FROM r
+         WHERE kw_rank <= 3
+         ORDER BY doc_id, kw_rank""",
+
     // idiom with the probe side swapped from "≥2 occurrences
     // corpus-wide" to "occurs in the benchmark docs" — grouping on
     // raw window text vs the engine's digest pair is the same

@@ -209,4 +209,58 @@ object Freq {
         ceil(col("__ng") * lit(java.math.BigDecimal.valueOf(minFraction))))
       .select(groupCols.map(df(_)) :+ df(itemCol) :+ col("n"): _*)
   }
+
+  /** Corpus-level COLLOCATION mining: adjacent word pairs that
+    * co-occur far more than their unigram frequencies predict —
+    * multiword expressions ("new york", "machine learning"), the
+    * building block of phrase-aware tokenizers, boilerplate
+    * detectors and vocabulary induction (Manning & Schütze ch. 5's
+    * association-measure discipline).
+    *
+    * The association score is LIFT, the exact-arithmetic core of PMI
+    * (PMI = ln lift — monotone, so ranking and thresholding by lift
+    * IS ranking by PMI, without putting a transcendental into the
+    * comparison): lift = n_ab·N / (n_a·n_b) with N the total bigram
+    * count and n_a/n_b the bigram table's own left/right marginals —
+    * every factor an exact integer, the quotient ONE double division
+    * (decimal(38,0) products here, HUGEINT in an oracle), so the
+    * whole output replays bit-for-bit.
+    *
+    * Scale shape: bigrams assemble SCAN-SIDE (zip_with over the
+    * token array — no posexplode self-join), and the only
+    * corpus-cardinality work is one `groupBy(w1, w2)` with map-side
+    * combine. Marginals and N re-aggregate the (already distinct)
+    * bigram DIGEST table; `minCount` prunes the candidate set before
+    * the marginal joins (the marginals themselves come from the
+    * unfiltered digests — a pruned marginal would inflate lift).
+    * A hot bigram ("of the" a billion times) is one digest row.
+    *
+    * Output: (w1, w2, n_ab, n_a, n_b, lift), pairs with
+    * n_ab ≥ minCount. Empty/whitespace-only docs contribute nothing;
+    * single-word docs have no bigrams. */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1L, s"collocations: minCount must be >= 1, got $minCount")
+    require(docs.columns.contains(textCol),
+      s"collocations: no column '$textCol' in the frame")
+    val ws = split(lower(trim(regexp_replace(col(textCol), "\\s+", " "))), " ")
+    val pairs = zip_with(
+      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bg = docs.select(explode(pairs).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val total = bg.agg(sum(col("n_ab")).as("__nn"))
+    val leftM = bg.groupBy("w1").agg(sum(col("n_ab")).as("n_a"))
+    val rightM = bg.groupBy("w2").agg(sum(col("n_ab")).as("n_b"))
+    val dec = "decimal(38,0)"
+    bg.filter(col("n_ab") >= minCount)
+      .join(leftM, "w1").join(rightM, "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab").cast(dec) * col("__nn").cast(dec)).cast("double")
+          / (col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double"))
+          .as("lift"))
+  }
 }

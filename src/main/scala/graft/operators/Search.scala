@@ -116,4 +116,51 @@ object Search {
       .groupBy("doc_id").agg(round(sum(col("__s")), 4).as("score"))
     scored.orderBy(col("score").desc, col("doc_id").asc).limit(topN)
   }
+
+  /** Per-document keyword extraction: the `k` highest-TF-IDF terms of
+    * every document — the "what is this doc about" summary column a
+    * curation pipeline attaches before clustering, mixing or eyeball
+    * audits (the per-doc companion of the corpus-level txt8 TF-IDF
+    * table).
+    *
+    * Scoring is txt8's exactly: tf·ln(N/df) over the standard
+    * tokenization, ROUNDED to 4 dp before ranking — the rounding is
+    * what makes boundary ranks deterministic across engines (two
+    * terms whose raw scores differ below libm's ulp tie at 4 dp and
+    * fall through to the term tie-break; ranking by the raw double
+    * would let the last ulp decide membership differently per
+    * engine). Rank = (tfidf desc, term asc), top `k` per doc.
+    *
+    * Scale shape: one explode → (doc, term) tf aggregate (map-side
+    * combined — the only corpus-cardinality shuffle), df re-aggregated
+    * from the tf digests, N a broadcast scalar, and the top-k runs as
+    * a window rank PARTITIONED BY DOCUMENT — each partition is one
+    * doc's vocabulary (bounded by doc length), so the sort
+    * parallelizes across docs and no hot-group risk exists (this is
+    * the sliceMax case, not the q34 BoundedTopK case: the group key
+    * is the finest-grained column in the table).
+    *
+    * Output: (doc_id, term, tf, tfidf, kw_rank), ≤ k rows per doc. */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, s"tfidfKeywords: k must be positive, got $k")
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(wordsOf(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf") * log(col("__n_docs").cast("double")
+          / col("df").cast("double")), 4).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("kw_rank", row_number().over(w))
+      .filter(col("kw_rank") <= k)
+  }
 }

@@ -141,4 +141,55 @@ class FreqSpec extends AnyFunSuite {
         minFraction = 0.001, capacity = 10)
     }
   }
+
+  test("collocations: hand-counted bigrams, marginals and lift") {
+    import SparkT.spark.implicits._
+    val docs = Seq("a b a b", "a b c").toDF("text")
+    val got = Freq.collocations(docs, "text", minCount = 1L)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // bigrams: (a,b)×3, (b,a)×1, (b,c)×1 → N=5
+    assert(got.keySet == Set(("a", "b"), ("b", "a"), ("b", "c")))
+    assert(got(("a", "b")) == ((3L, 3L, 3L, 3.0 * 5.0 / 9.0)))
+    assert(got(("b", "a")) == ((1L, 2L, 1L, 5.0 / 2.0)))
+    assert(got(("b", "c")) == ((1L, 2L, 1L, 5.0 / 2.0)))
+    // minCount prunes candidates but NOT the marginals
+    val pruned = Freq.collocations(docs, "text", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    assert(pruned.toSeq == Seq(("a", "b", 3L)))
+  }
+
+  test("collocations: normalization, degenerate docs, planted phrase wins on lift") {
+    import SparkT.spark.implicits._
+    val docs = Seq(
+      Some("  A   b "), // normalizes to "a b"
+      Some("single"), // no bigrams
+      Some(""), // nothing
+      None, // null text: contributes nothing
+      Some("a b")).toDF("text")
+    val got = Freq.collocations(docs, "text", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", "b", 2L)))
+    // a planted phrase in word soup: "neural network" always adjacent
+    // while every soup word takes MIXED left/right contexts (the two
+    // index streams i%7 and i/7%7 are independent over 50 docs), so
+    // the phrase's lift (4.0 = N/n, perfect association) strictly
+    // tops every soup pair (~2, half-mixed contexts)
+    val soup = (1 to 50).map { i =>
+      s"p${i % 7} neural network p${(i / 7) % 7} p${i % 7}"
+    }.toDF("text")
+    val top = Freq.collocations(soup, "text", minCount = 2L)
+      .orderBy(col("lift").desc, col("w1").asc).limit(1)
+      .collect()(0)
+    assert((top.getString(0), top.getString(1)) == (("neural", "network")))
+    assert(top.getDouble(5) == 4.0) // 50·200/(50·50) exactly
+    intercept[IllegalArgumentException] {
+      Freq.collocations(docs, "text", minCount = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Freq.collocations(docs, "nope")
+    }
+  }
 }

@@ -101,4 +101,41 @@ class SearchSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [In(term"),
       "term IN (...) must reach the parquet scan:\n" + plan.take(1000))
   }
+
+  test("tfidfKeywords: hand-computed scores, k cut, rank order, tie-break") {
+    import SparkT.spark.implicits._
+    // 4 docs; "common" is in all 4 (idf = ln 1 = 0), "pair" in 2,
+    // "solo"/"only"/"lone" in 1 each
+    val docs = Seq(
+      (1L, "common solo solo pair"),
+      (2L, "common pair"),
+      (3L, "common only"),
+      (4L, "common lone")).toDF("doc_id", "text")
+    val got = Search.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+      .sortBy(t => (t._1, t._5))
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: solo tf=2·ln(4/1), pair 1·ln(4/2), common 1·ln(1)=0
+    assert(got.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq(("solo", 2L, r4(2.0 * math.log(4.0))),
+        ("pair", 1L, r4(math.log(2.0)))))
+    // doc 2: pair beats common (0.0); k=2 keeps both, common ranked 2nd
+    assert(got.filter(_._1 == 2L).map(t => (t._2, t._5)).toSeq ==
+      Seq(("pair", 1), ("common", 2)))
+    // every doc emits ≤ k rows with ranks 1..k
+    assert(got.groupBy(_._1).values.forall(rows =>
+      rows.map(_._5).sorted.toSeq == (1 to rows.size).toSeq))
+    // tie-break: two equal-score singleton terms order alphabetically
+    val tie = Seq((1L, "zebra apple"), (2L, "filler")).toDF("doc_id", "text")
+    val tg = Search.tfidfKeywords(tie, "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 1L).orderBy(col("kw_rank").asc)
+      .collect().map(_.getString(1))
+    assert(tg.toSeq == Seq("apple", "zebra"))
+    intercept[IllegalArgumentException] {
+      Search.tfidfKeywords(docs, "doc_id", "text", k = 0)
+    }
+  }
 }
