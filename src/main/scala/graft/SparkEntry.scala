@@ -1892,6 +1892,27 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id").asc)
     }),
 
+    "dd15_containment" -> ((s, dir) => {
+      // asymmetric containment (quote/excerpt detection): every
+      // doc_id%7==3 doc contributes a 12-word head QUOTE (+30000
+      // ids) whose shingle set is a strict subset of its source —
+      // containment 1.0 where Jaccard reads ~6/(n+6) and every
+      // symmetric gate is blind by design (Broder's
+      // resemblance-vs-containment distinction). Exact inverted-
+      // index audit path (same join as dd4, hash-free, replayed
+      // verbatim); the maxShingleDf cap is the 100 TB knob
+      // (boilerplate shingles leave the index, containment becomes
+      // a documented lower bound — spec-pinned, off here).
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val norm = split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")
+      val quotes = d.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 30000L).as("doc_id"),
+          array_join(slice(norm, 1, 12), " ").as("text"))
+      Dedup.containmentPairs(d.unionByName(quotes), "doc_id", "text",
+          shingleN = 7, threshold = 0.9)
+        .orderBy(col("id_sub").asc, col("id_sup").asc)
+    }),
+
     "dd10_char_dedup" -> ((s, dir) => {
       // charLevel (CJK) dedup gate: whitespace shingling sees a CJK
       // doc as ONE word (zero shingles, recall silently zero) —
@@ -2347,6 +2368,24 @@ object SparkEntry {
       graft.operators.Profiler.categoricalDriftBy(
           d.select("source", "lang"), cur, "lang",
           groupCols = Seq("source"), topK = 3)
+    }),
+
+    "q64_triangles" -> ((s, dir) => {
+      // per-node triangle counts on the cur14 citation graph — the
+      // local-clustering companion to PageRank's global authority
+      // (organic communities close triangles; link farms don't).
+      // Degree-oriented enumeration (Cohen / Suri–Vassilvitskii):
+      // each triangle is ONE wedge at its lowest-(deg,id) corner plus
+      // one closing equi-join, so wedge fan-out is bounded by the
+      // oriented out-degree ≤ O(√m) — a degree-10⁸ hub emits zero
+      // wedges. Pure integer counting; the oracle replays the
+      // quadratic id-ordered definition, which must enumerate the
+      // identical triangle set.
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_orderkey") % 1000).as("src"),
+        (col("o_custkey") % 1000).as("dst"))
+      graft.operators.Graph.triangleCounts(edges, "src", "dst")
+        .orderBy(col("id").asc)
     }),
 
     "q63_compact" -> ((s, dir) => {
@@ -3013,6 +3052,44 @@ object SparkEntry {
          SELECT min(doc_id) AS doc_id FROM all_docs
          GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
          ORDER BY doc_id""",
+
+    // the dd4 shingle machinery with the containment formula and the
+    // min-set orientation; quotes are the head-12-word slices
+    "dd15_containment" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 30000, array_to_string(
+             (regexp_split_to_array(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))[1:12],
+             ' ')
+           FROM documents WHERE doc_id % 7 = 3),
+         words AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM all_docs),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+6], ' ') AS s
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 5)) AS i
+                 FROM words WHERE len(w) >= 7)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         j AS (
+           SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b)
+         SELECT CASE WHEN n_a <= n_b THEN id_a ELSE id_b END AS id_sub,
+           CASE WHEN n_a <= n_b THEN id_b ELSE id_a END AS id_sup,
+           n_inter, least(n_a, n_b) AS n_sub,
+           CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)
+             AS containment
+         FROM j
+         WHERE CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= 0.9
+         ORDER BY id_sub, id_sup""",
 
     "dd4_ngram_jaccard" ->
       """WITH all_docs AS (
@@ -4623,6 +4700,32 @@ object SparkEntry {
                                + n_cur / window_total) / 2)) END)
                  * 0.5, 6) AS jsd_term
          FROM allrows ORDER BY window_start, category""",
+
+    // the quadratic id-ordered triangle definition IS the oracle's
+    // job; the engine's degree-oriented plan must enumerate the
+    // identical set
+    "q64_triangles" ->
+      """WITH raw AS (
+           SELECT o_orderkey % 1000 AS src, o_custkey % 1000 AS dst
+           FROM orders),
+         e AS (
+           SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+           FROM raw WHERE src <> dst),
+         tr AS (
+           SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM e e1
+           JOIN e e2 ON e2.u = e1.v
+           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         n AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+         cnt AS (
+           SELECT id, count(*) AS t FROM (
+             SELECT a AS id FROM tr
+             UNION ALL SELECT b FROM tr
+             UNION ALL SELECT c FROM tr)
+           GROUP BY 1)
+         SELECT n.id, coalesce(cnt.t, 0) AS triangles
+         FROM n LEFT JOIN cnt USING (id)
+         ORDER BY n.id""",
 
     // the compacted copy must agree with the ORIGINAL table on every
     // aggregate — the round-trip-exactness claim of the compaction

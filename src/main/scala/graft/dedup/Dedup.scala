@@ -320,6 +320,67 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Asymmetric CONTAINMENT detection — pairs where the SMALLER
+    * document's shingle set is mostly inside the larger's:
+    * C(sub → sup) = |sh(sub) ∩ sh(sup)| / |sh(sub)| ≥ `threshold`.
+    * The quote/excerpt/subset case every symmetric measure misses: a
+    * 50-word excerpt of a 5000-word article has Jaccard ≈ 0.01 (both
+    * [[ngramJaccardPairs]] and the LSH path are blind to it by
+    * design) but containment 1.0 — and excerpt-vs-source is exactly
+    * the redundancy a training corpus wants findable (Broder's
+    * resemblance-vs-containment distinction, SEQUENCES 1997).
+    *
+    * Same exploded-shingle equi-join audit shape as
+    * [[ngramJaccardPairs]] (hash-free, SQL-replayable verbatim):
+    * intersections count via the inverted shingle index, sizes from
+    * the per-doc distinct-shingle count, containment = ONE double
+    * division of exact longs. The pair orients sub = the smaller
+    * shingle set (tie → lower id); each unordered pair appears at
+    * most once.
+    *
+    * `maxShingleDf` > 0 drops shingles whose DOCUMENT FREQUENCY
+    * exceeds it from the INTERSECTION side only (sizes stay full-set,
+    * so reported containment is a LOWER BOUND — boilerplate shingles
+    * shared by millions of docs never fan out quadratically; the
+    * documented recall tradeoff of the boundedPairs discipline, and
+    * the knob the 100 TB run sets). 0 = exact (the audit/oracle
+    * mode).
+    *
+    * Output: (id_sub, id_sup, n_inter, n_sub, containment). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 7, threshold: Double = 0.8,
+                       maxShingleDf: Long = 0L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containmentPairs: threshold must be in (0, 1], got $threshold")
+    require(maxShingleDf >= 0L,
+      s"containmentPairs: maxShingleDf must be >= 0, got $maxShingleDf")
+    val toks = df.select(col(idCol).as("id"),
+      explode(hashfns.distinctWordShingles(col(textCol), shingleN)).as("sh"))
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val joinable =
+      if (maxShingleDf > 0L) {
+        // the hot-shingle blocklist is tiny by construction (shingles
+        // in > maxShingleDf docs); anti-join it off the index
+        val hot = toks.groupBy("sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDf).select("sh")
+        toks.join(hot, Seq("sh"), "left_anti")
+      } else toks
+    val a = joinable.alias("a"); val b = joinable.alias("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sub = when(col("n_a") <= col("n_b"), col("id_a")).otherwise(col("id_b"))
+    val sup = when(col("n_a") <= col("n_b"), col("id_b")).otherwise(col("id_a"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .select(sub.as("id_sub"), sup.as("id_sup"), col("n_inter"),
+        least(col("n_a"), col("n_b")).as("n_sub"),
+        (col("n_inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Exact n-gram Jaccard pairs via exploded-shingle equi-join —
     * hash-free, so an independent SQL engine can replay it verbatim.
     * Quadratic only within shared-shingle groups; intended as the

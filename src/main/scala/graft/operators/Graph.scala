@@ -100,6 +100,72 @@ object Graph {
       (col("r").cast("double") / scale.toDouble).as("rank"))
   }
 
+  /** Per-node TRIANGLE counts over the undirected simple graph —
+    * the local-clustering signal of link analysis: organic
+    * communities close triangles, link farms and spam rings mostly
+    * do not, so triangles-per-degree separates embedded hosts from
+    * bolted-on ones (the companion metric to [[pageRankFp]]'s global
+    * authority).
+    *
+    * Exact and deterministic (pure integer counting — no float
+    * anywhere), enumerated ONCE per triangle via DEGREE ORIENTATION
+    * (Cohen's MapReduce scheme / Suri–Vassilvitskii): every edge
+    * points from its lower (degree, id) endpoint to the higher, each
+    * triangle becomes exactly one wedge at its lowest corner plus
+    * one closing edge, and the wedge fan-out per node is bounded by
+    * its ORIENTED out-degree ≤ O(√m) on any graph — the hot node of
+    * a star graph (degree 10⁸, zero triangles) emits ZERO wedges
+    * because every edge points INTO it; an id-ordered or unoriented
+    * wedge join would fan it out quadratically. That bound is the
+    * whole point at 100 TB: wedge volume is Σ out-deg² ≤ O(m^1.5)
+    * worst-case, linear-ish on real power-law link graphs.
+    *
+    * Graph contract = [[pageRankFp]]'s: edges de-duplicate (after
+    * canonicalizing direction), self-loops and null endpoints drop,
+    * the node set is src ∪ dst; nodes in no triangle report 0.
+    * Plan: two joins build the oriented adjacency with the target's
+    * degree attached; one self-join on the source makes wedges; one
+    * equi-join on (b, c) closes them; explode + count per corner.
+    * All equi-joins, no BNL, no iteration, no driver state.
+    *
+    * Output: (id, triangles), one row per node. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("__a"), col(dstCol).cast("long").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("u"),
+        greatest(col("__a"), col("__b")).as("v"))
+      .distinct()
+    val deg = e0.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val nodes = deg.select("id")
+    // orient u↔v from the lower (deg, id) endpoint; carry the
+    // target's degree so wedge ordering uses the SAME total order
+    // (the closing edge exists iff (deg_b, b) < (deg_c, c))
+    val withDeg = e0
+      .join(deg.select(col("id").as("u"), col("deg").as("__du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("__dv")), "v")
+    val uFirst = col("__du") < col("__dv") ||
+      (col("__du") === col("__dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("s"),
+      when(uFirst, col("v")).otherwise(col("u")).as("t"),
+      when(uFirst, col("__dv")).otherwise(col("__du")).as("dt"))
+    val x = oriented.alias("x"); val y = oriented.alias("y")
+    val wedges = x.join(y, col("x.s") === col("y.s") &&
+        (col("x.dt") < col("y.dt") ||
+          (col("x.dt") === col("y.dt") && col("x.t") < col("y.t"))))
+      .select(col("x.s").as("a"), col("x.t").as("b"), col("y.t").as("c"))
+    val tris = wedges.join(
+      oriented.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
+    val corner = tris.select(explode(array(col("a"), col("b"), col("c")))
+        .as("id"))
+      .groupBy("id").agg(count(lit(1)).as("__t"))
+    nodes.join(corner, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__t"), lit(0L)).as("triangles"))
+  }
+
   /** Lineage truncation between iterations (the duplicateClusters
     * discipline): localCheckpoint keeps executor-resident blocks —
     * right for iterative refinement. */

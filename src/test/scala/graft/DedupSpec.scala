@@ -608,4 +608,69 @@ class DedupSpec extends AnyFunSuite {
       Dedup.duplicatedSpans(spanDocs, "doc_id", "text", minOccurrences = 1L)
     }
   }
+
+  test("containmentPairs: quote→source is 1.0 where Jaccard is blind; orientation; threshold") {
+    import SparkT.spark.implicits._
+    val source = (1 to 40).map(i => s"w$i").mkString(" ") // 40 distinct words
+    val quote = (1 to 10).map(i => s"w$i").mkString(" ")  // its first 10
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val d = Seq((1L, source), (2L, quote), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "doc_id", "text", shingleN = 5,
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // quote: 6 5-shingles, all inside source's 36 → containment 1.0,
+    // sub = the smaller set (doc 2) even though its id is larger
+    assert(got.toSeq == Seq((2L, 1L, 6L, 6L, 1.0)))
+    // Jaccard on the same pair: 6/36 — far below any useful threshold
+    val j = Dedup.ngramJaccardPairs(d, "doc_id", "text", shingleN = 5,
+      threshold = 0.5).count()
+    assert(j == 0L, "the symmetric measure must NOT see the quote (that's the point)")
+    // equal sizes tie → lower id is sub
+    val eq = Seq((7L, quote), (4L, quote)).toDF("doc_id", "text")
+    val eg = Dedup.containmentPairs(eq, "doc_id", "text", shingleN = 5,
+      threshold = 0.9).collect()(0)
+    assert(eg.getLong(0) == 4L && eg.getLong(1) == 7L && eg.getDouble(4) == 1.0)
+    // threshold excludes partial containment: quote2 = half in, half out
+    val quote2 = ((6 to 10).map(i => s"w$i") ++ (200 to 204).map(i => s"u$i"))
+      .mkString(" ")
+    val d2 = Seq((1L, source), (2L, quote2)).toDF("doc_id", "text")
+    val g2 = Dedup.containmentPairs(d2, "doc_id", "text", shingleN = 5,
+      threshold = 0.9)
+    assert(g2.count() == 0L)
+    val g3 = Dedup.containmentPairs(d2, "doc_id", "text", shingleN = 5,
+      threshold = 0.1).collect()(0)
+    assert(g3.getLong(2) == 1L && g3.getLong(3) == 6L) // only "w6..w10" survives
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(d, "doc_id", "text", threshold = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(d, "doc_id", "text", maxShingleDf = -1L)
+    }
+  }
+
+  test("containmentPairs: maxShingleDf drops boilerplate fan-out, keeps true pairs, lower-bounds") {
+    import SparkT.spark.implicits._
+    val boiler = (1 to 5).map(i => s"b$i").mkString(" ") // one shared 5-shingle
+    // 20 docs sharing ONLY the boilerplate shingle + one true quote pair
+    val noise = (1 to 20).map { i =>
+      (i.toLong, s"$boiler x${i}a x${i}b x${i}c x${i}d x${i}e")
+    }
+    val source = (1 to 40).map(i => s"q$i").mkString(" ")
+    val quote = (1 to 10).map(i => s"q$i").mkString(" ")
+    val d = (noise ++ Seq((100L, source), (101L, quote))).toDF("doc_id", "text")
+    // exact mode: the boilerplate shingle alone links all 20 noise
+    // docs pairwise at full containment? No — each noise doc has 6
+    // shingles, 1 shared → 1/6 < 0.5; at a LOW threshold the 190
+    // noise pairs all appear
+    val loose = Dedup.containmentPairs(d, "doc_id", "text", shingleN = 5,
+      threshold = 0.1)
+    assert(loose.count() == 190L + 1L)
+    // capped: shingles in > 3 docs leave the index — the 190-pair
+    // fan-out vanishes, the quote pair (unique shingles) is untouched
+    val capped = Dedup.containmentPairs(d, "doc_id", "text", shingleN = 5,
+        threshold = 0.1, maxShingleDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(capped.toSeq == Seq((101L, 100L, 1.0)))
+  }
 }

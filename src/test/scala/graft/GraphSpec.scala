@@ -82,4 +82,51 @@ class GraphSpec extends AnyFunSuite {
       Graph.pageRankFp(e, "src", "dst", dampNum = 100, dampDen = 100)
     }
   }
+
+  private def trianglesOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangleCounts: K4 clique, star, disconnected zero nodes") {
+    // K4: C(4,3)=4 triangles, every node in exactly 3
+    val k4 = (for (i <- 1L to 4L; j <- 1L to 4L if i < j) yield (i, j))
+      .toDF("src", "dst")
+    assert(trianglesOf(Graph.triangleCounts(k4, "src", "dst")) ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // star: the hot center closes nothing
+    val star = (2L to 11L).map(i => (1L, i)).toDF("src", "dst")
+    val st = trianglesOf(Graph.triangleCounts(star, "src", "dst"))
+    assert(st.size == 11 && st.values.forall(_ == 0L))
+  }
+
+  test("triangleCounts: brute-force parity on a scrambled graph") {
+    val edges = (0L until 30L).flatMap { i =>
+      Seq((i, (i * 7 + 3) % 30), (i, (i * 11 + 5) % 30), (i, (i + 1) % 30))
+    }
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val nodes = canon.flatMap(e => Seq(e._1, e._2))
+    val expected = nodes.map { n =>
+      n -> (for {
+        x <- nodes; y <- nodes
+        if x < y && x != n && y != n
+        if canon(( math.min(n, x), math.max(n, x)))
+        if canon((math.min(n, y), math.max(n, y)))
+        if canon((x, y))
+      } yield 1).size.toLong
+    }.toMap
+    val got = trianglesOf(
+      Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst"))
+    assert(got == expected)
+  }
+
+  test("triangleCounts: duplicate/reversed edges, self-loops and nulls are contract-cleaned") {
+    val messy = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, 1L), (1L, 2L), // dup + reverse
+      (2L, 3L), (3L, 1L),
+      (1L, 1L), // self loop
+      (null, 5L), (5L, null)) // null endpoints
+      .toDF("src", "dst")
+    assert(trianglesOf(Graph.triangleCounts(messy, "src", "dst")) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }
