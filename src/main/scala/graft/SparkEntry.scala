@@ -1449,6 +1449,20 @@ object SparkEntry {
       Streams.tumblingAgg(t(s, dir, "events"), "1 hour")
         .orderBy(col("window_start").asc, col("event_type").asc)),
 
+    "ev15_session_window_stream" -> ((s, dir) =>
+      // sessionization through the engine's NATIVE session_window
+      // state (ev6 proves the CUSTOM-state route; this proves the
+      // built-in session-merge, the production default when no
+      // per-session logic is needed). Merge rule is strictly-
+      // within-gap — the oracle's boundary is `>= gap` where ev2's
+      // lag form uses `> gap`; the spec pins the divergence on an
+      // exact-boundary fixture. Engine-neutral integer-millis
+      // output; no watermark in the gate (complete mode), so the
+      // result is the FULL session set, oracle-exact.
+      Streams.sessionWindowStreamOnce(s, s"$dir/events.parquet",
+          gapMinutes = 30)
+        .orderBy(col("user_id").asc, col("session_start_ms").asc)),
+
     "ev14_hopping_stream" -> ((s, dir) =>
       // SLIDING windows through the engine: each event lands in 4
       // overlapping (1 h window / 15 min slide) states — the
@@ -4030,6 +4044,32 @@ object SparkEntry {
           AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
           AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
          ORDER BY user_id, left_id, right_id""",
+
+    // the gap-based replay: session_window merges overlapping-or-
+    // ADJACENT windows, so its boundary rule is exactly ev2's
+    // (> gap splits, = gap merges) — spec-pinned on the boundary
+    "ev15_session_window_stream" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value,
+             epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events),
+         m AS (
+           SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ms
+           FROM e),
+         s AS (
+           SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+                          THEN 1 ELSE 0 END AS new_session
+           FROM m),
+         x AS (
+           SELECT *, sum(new_session) OVER (PARTITION BY user_id
+             ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+           FROM s)
+         SELECT user_id,
+           min(ts_ms) AS session_start_ms,
+           max(ts_ms) AS session_end_ms,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+         FROM x GROUP BY user_id, session_seq
+         ORDER BY user_id, session_start_ms""",
 
     "ev2_sessionize" ->
       """WITH e AS (

@@ -101,6 +101,68 @@ object Streams {
       .select(unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Sessionization through Spark's NATIVE `session_window` aggregate
+    * (batch form) — the third route to sessions, complementing the
+    * window-function form ([[sessionize]]) and the custom-state form
+    * (sessionizeStatefulDs): this one is a plain GROUPED AGGREGATE,
+    * so it needs no per-user sort (hash aggregate with session-merge
+    * on the window key) and is the only form the streaming engine
+    * runs with built-in state management (no user state code at
+    * all — the production default when per-session custom logic
+    * isn't needed).
+    *
+    * Boundary semantics MATCH [[sessionize]] exactly, measured and
+    * spec-pinned: `session_window` merges overlapping-or-ADJACENT
+    * windows, so a gap-EQUAL event stays in the session (split only
+    * at diff > gap — the same rule the lag-based form implements).
+    * The exact-boundary fixture in the spec keeps either route from
+    * silently drifting.
+    *
+    * Output (engine-neutral integer millis, the ev2 contract):
+    * (user_id, session_start_ms, session_end_ms, n_events,
+    * sum_value) — start/end are the session's min/max EVENT times
+    * (aggregated directly; the native window's `end` adds the gap). */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      // millisecond-truncated session time: the gap comparison must
+      // happen on the SAME grid the engine-neutral ms outputs use —
+      // grouping at µs while an oracle replays at ms would let a
+      // sub-ms component flip an exact-boundary merge
+      .withColumn("__swms", eventTsMs(events, "ts"))
+      .withColumn("__swts", timestamp_millis(col("__swms")))
+      .groupBy(session_window(col("__swts"), s"$gapMinutes minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__swms")).as("session_start_ms"),
+        max(col("__swms")).as("session_end_ms"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"), col("session_start_ms"),
+        col("session_end_ms"), col("n_events"), col("sum_value"))
+
+  /** [[sessionWindowAgg]] executed end-to-end BY the streaming
+    * engine — the built-in-state sessionization gate (ev6 proves the
+    * CUSTOM state route; this proves the engine's own session-merge
+    * state, which is what production uses when no per-session logic
+    * is needed). Complete-mode/AvailableNow gate shape as ev5/ev14;
+    * production sinks run append + watermark, where closed sessions
+    * emit exactly once and state stays bounded by open sessions. */
+  def sessionWindowStreamOnce(spark: SparkSession, sourcePath: String,
+                              gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(sourcePath).schema
+    val inputPath = asStreamDir(sourcePath)
+    val qn = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = spark.readStream.schema(schema).parquet(inputPath)
+    withBackfillStatePartitions(spark) {
+      val q = sessionWindowAgg(src, gapMinutes)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    detachedTable(spark, qn)
+  }
+
   /** Gap-based sessionization (batch form): a new session starts when a
     * user is idle longer than `gapMinutes`. One shuffle (by user), then
     * two windows over the same partitioning — Spark reuses the sort.

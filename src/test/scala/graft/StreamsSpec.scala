@@ -259,6 +259,47 @@ class StreamsSpec extends AnyFunSuite {
     assert(batch.exceptAll(got).count() == 0)
   }
 
+  test("session_window agg: boundary semantics pinned vs sessionize; stream equals batch") {
+    import spark.implicits._
+    // exact-boundary fixture in whole seconds: user 1 has gaps of
+    // exactly 30 min (MERGES — session_window merges adjacent
+    // windows, the same rule as sessionize's >-split) and 30 min
+    // + 1 s (splits under both); user 2 one lone event
+    val gapS = 1800L
+    val rows = Seq(
+      (1L, 1L, 1000L, 1.0),
+      (1L, 2L, 1000L + gapS, 2.0), // exactly gap after #1 → same session
+      (1L, 3L, 1000L + 2 * gapS + 1, 4.0), // gap+1 after #2 → new session
+      (2L, 4L, 5000L, 8.0))
+    val ev = rows.toDF("user_id", "event_id", "sec", "value")
+      .select(col("user_id"), col("event_id"),
+        timestamp_seconds(col("sec")).as("ts"), col("value"))
+    val got = Streams.sessionWindowAgg(ev, gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      (1L, 1000000L, (1000L + gapS) * 1000, 2L, 3.0),
+      (1L, (1000L + 2 * gapS + 1) * 1000, (1000L + 2 * gapS + 1) * 1000, 1L, 4.0),
+      (2L, 5000000L, 5000000L, 1L, 8.0)))
+    // the lag-based form draws the SAME boundaries: 2 sessions for user 1
+    val lagForm = Streams.sessionize(ev, gapMinutes = 30)
+      .filter(col("user_id") === 1L)
+    assert(lagForm.count() == 2L,
+      "sessionize and session_window must agree on the exact-boundary split")
+    // the engine-executed native form agrees row-for-row with batch
+    val raw = SparkT.table("events")
+    val full = raw
+      .withColumn("ts", Streams.eventTs(raw, "ts"))
+      .select("ts", "user_id", "event_id", "value")
+    val dir = Files.createTempDirectory("graft_sesswin").toString
+    full.write.mode("overwrite").parquet(dir)
+    val batch = Streams.sessionWindowAgg(spark.read.parquet(dir), 30)
+    val streamed = Streams.sessionWindowStreamOnce(spark, dir, 30)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.count() > 0)
+  }
+
   test("stream-static join equals the batch join+aggregate; no state store") {
     // the enrichment shape: streaming facts x broadcast static dim —
     // results must equal the all-batch formulation, and the plan must
