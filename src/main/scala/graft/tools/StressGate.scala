@@ -692,6 +692,116 @@ object StressGate {
         (jsdSum * 1e6).toLong, "0 (identical mixes)")
     }
 
+    // --- dd15 containment with the df cap: every boilerplate/header
+    // shingle (df = class size … corpus size) leaves the index, the
+    // planted tail-12-word quotes (df = 2) stay — output = exactly
+    // one pair per quote, and the path stays linear where the
+    // uncapped audit form would materialize the duplicate-class
+    // cliques (the maxShingleDf knob IS the 100 TB contract).
+    val quoteSrc = d.filter(col("doc_id") >= p.firstSingleton &&
+      pmod(col("doc_id"), lit(1000L)) === 7)
+    val nQuotes = quoteSrc.count()
+    val qnorm = split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")
+    val quotes = quoteSrc.select((col("doc_id") + p.total * 20).as("doc_id"),
+      array_join(slice(qnorm, size(qnorm) - 11, lit(12)), " ").as("text"))
+    // cap 3 < every duplicate-class size at EVERY scale this gate
+    // runs (the smallest tier is total/5000 = 4 members at the
+    // sbt-mini 20k corpus), so class cliques vanish and only the
+    // df-2 quote pairs survive
+    run("dd15_capped_containment", Some(nQuotes))(
+      Dedup.containmentPairs(d.unionByName(quotes), "doc_id", "text",
+        shingleN = 7, threshold = 0.9, maxShingleDf = 3L).count())
+
+    // --- q64 triangles: m disjoint K20 cliques (closed form: each
+    // oriented to exactly C(20,3) = 1140 wedges == its triangles) plus
+    // a corpus-scale STAR whose hub receives every orientation — zero
+    // wedges from the hub by construction; an unoriented wedge join
+    // would fan the hub out quadratically (C(total/5, 2) pairs) and
+    // blow the band, which is the claim being measured.
+    val cliquePairs = (for (i <- 0 until 20; j <- i + 1 until 20)
+      yield (i.toLong, j.toLong)).toSeq
+    val template = spark.createDataFrame(cliquePairs).toDF("ca", "cb")
+    val mCliques = p.total / 1000
+    val cliqueEdges = spark.range(mCliques).crossJoin(broadcast(template))
+      .select((col("id") * 20 + col("ca")).as("src"),
+        (col("id") * 20 + col("cb")).as("dst"))
+    val hub = 1000000000000L
+    val starEdges = spark.range(p.total / 5)
+      .select(lit(hub).as("src"), (lit(hub) + 1 + col("id")).as("dst"))
+    def q64 = graft.operators.Graph.triangleCounts(
+      cliqueEdges.unionByName(starEdges), "src", "dst")
+    run("q64_triangle_corners", Some(3L * 1140L * mCliques))(
+      q64.agg(sum(col("triangles"))).collect()(0).getLong(0))
+    run("q64_node_count", Some(20L * mCliques + 1L + p.total / 5))(q64.count())
+
+    // --- cur19 winsorization on coprime residue cycles, truncated to
+    // whole CRT blocks (101·97 = 9797): every group holds exactly B
+    // copies of each residue 0..96, so k = ⌊0.1·97B⌋ lands in residue
+    // 9 from below and 87 from above — clamped rows = 18B per group,
+    // closed form at any scale; the band asserts the two digest
+    // passes + bounds broadcast stay linear.
+    val blocks = p.nLineitem / 9797
+    val winN = blocks * 9797
+    val winIn = spark.range(winN).select(
+      pmod(col("id"), lit(101L)).as("g"),
+      pmod(col("id"), lit(97L)).cast("double").as("v"))
+    def cur19 = graft.operators.Profiler.winsorizeBy(winIn, "v", Seq("g"),
+      alpha = 0.1)
+    run("cur19_clamped_rows", Some(101L * 18L * blocks))(
+      cur19.filter(col("value_w") =!= col("v")).count())
+    run("cur19_row_count", Some(winN))(cur19.count())
+
+    // --- cur20 priority sampling: 101 strata over the corpus-scale
+    // range — exactly n rows per stratum at any scale (every stratum
+    // is far larger than n), every estimation weight ≥ its raw
+    // weight (the DLT max(w, τ) law), and the BoundedTopK path keeps
+    // the shuffle at ≤ (n+1)·tasks rows per stratum — the band.
+    val sampIn = spark.range(p.nLineitem).select(
+      col("id"), pmod(col("id"), lit(101L)).as("g"),
+      (pmod(col("id"), lit(97L)) + 1).cast("double").as("w"))
+    def cur20 = graft.operators.Shuffle.prioritySample(sampIn, "id", "w",
+      n = 50, strataCols = Seq("g"), scale = 1L)
+    run("cur20_sample_rows", Some(101L * 50L))(cur20.count())
+    run("cur20_est_ge_w", Some(0L), linear = false)(
+      cur20.filter(col("est_weight") < col("w")).count())
+
+    // --- cur21 W1 drift under a constant +1000 shift of the
+    // NEAR-UNIQUE liQ value per group: ∫|F − F(·−c)| dx = c exactly
+    // for ANY distribution, and the integer numerator telescopes to
+    // nb·nc·1000 exactly — every group must read W1 = 1000 (to 1e-3;
+    // the >2^53 hot-group numerator rounds in the final double cast).
+    // The digest table is ~input-sized — the per-group prefix-sum
+    // machinery under real load, the cur11 discipline.
+    def cur21 = graft.operators.Profiler.w1DriftBy(
+      liQ.select(col("grp"), col("__val")),
+      liQ.select(col("grp"), (col("__val") + 1000.0).as("__val")),
+      "__val", Seq("grp"), scale = 1L)
+    run("cur21_w1_shift", Some(nGrps))(
+      cur21.filter(round(col("w1"), 3) === 1000.0).count())
+
+    // --- txt23 collocations: R = total/10 distinct (a_k → mid_k) and
+    // (mid_k → b_k) bigram classes, each occurring exactly 10 times —
+    // the digest table grows linearly with the corpus and every class
+    // survives minCount = 5: exactly 2R rows, closed form. A hot
+    // bigram is one digest row by construction (the map-side combine
+    // claim).
+    val collR = p.total / 10
+    val collDocs = spark.range(p.total).select(
+      concat(lit("a"), pmod(col("id"), lit(collR)).cast("string"),
+        lit(" mid"), pmod(col("id"), lit(collR)).cast("string"),
+        lit(" b"), pmod(col("id"), lit(collR)).cast("string")).as("text"))
+    run("txt23_collocations", Some(2L * collR))(
+      graft.operators.Freq.collocations(collDocs, "text", minCount = 5L)
+        .count())
+
+    // --- txt24 keywords: every fixture doc has ≥ 3 distinct terms, so
+    // the per-doc top-3 emits exactly 3 rows per doc; the window
+    // partitions by doc (bounded by the 30-word vocab of one doc) —
+    // the no-hot-group claim, measured at corpus scale.
+    run("txt24_keywords", Some(3L * p.total))(
+      graft.operators.Search.tfidfKeywords(d, "doc_id", "text", k = 3)
+        .count())
+
     def checksum(j: DataFrame): Long = j.agg(
       sum((col("l_quantity") * col("o_totalprice")).cast("long")) + count(lit(1)))
       .collect()(0).getLong(0)
