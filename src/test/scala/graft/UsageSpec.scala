@@ -202,6 +202,15 @@ class UsageSpec extends AnyFunSuite {
       s"$zdir/lineitem_opt", targetFileBytes = 128L << 20)
     assert(stats.filesBefore == 32 && stats.filesAfter < 32)
     assert(spark.read.parquet(s"$zdir/lineitem_opt").count() == lineitem.count())
+    // weighted sampling WOR: ≤ n per stratum, est_weight ≥ weight
+    val weighted = graft.operators.Shuffle.prioritySample(
+      docs.select(col("doc_id"), col("source"),
+        (col("n_chars") + 1).cast("double").as("quality")),
+      "doc_id", weightCol = "quality", n = 5, strataCols = Seq("source"),
+      scale = 1L)
+    assert(weighted.groupBy("source").count()
+      .filter(col("count") > 5).count() == 0)
+    assert(weighted.filter(col("est_weight") < col("quality")).count() == 0)
   }
 
   test("usage §7d: profiling and drift gates") {
@@ -235,6 +244,38 @@ class UsageSpec extends AnyFunSuite {
     val gated = graft.operators.Profiler.madOutliers(metrics, "value",
       groupCols = Seq("event_type"), k = 3.0)
     assert(gated.filter(col("outlier")).count() == 0L)
+    // winsorize: constant column → bounds equal the value, no clamps
+    val capped = graft.operators.Profiler.winsorizeBy(metrics, "value",
+      groupCols = Seq("event_type"), alpha = 0.01)
+    assert(capped.filter(col("value_w") =!= col("value")).count() == 0L)
+    // W1 drift: a constant +3 shift reads exactly 3.0 per source
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("n_chars"))
+    val shifted = base.select(col("source"),
+      (col("n_chars") + 3.0).as("n_chars"))
+    val w1 = graft.operators.Profiler.w1DriftBy(base, shifted,
+      "n_chars", groupCols = Seq("source"))
+    assert(w1.collect().forall(_.getDouble(1) == 3.0))
+  }
+
+  test("usage §5c: collocations, keywords, containment, triangles") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val phrases = graft.operators.Freq.collocations(docs, "text",
+      minCount = 50L).orderBy(col("lift").desc)
+    assert(phrases.count() > 0)
+    val keywords = graft.operators.Search.tfidfKeywords(docs, "doc_id",
+      "text", k = 5)
+    assert(keywords.groupBy("doc_id").count()
+      .filter(col("count") > 5).count() == 0)
+    val excerpts = graft.dedup.Dedup.containmentPairs(docs, "doc_id",
+      "text", shingleN = 7, threshold = 0.9, maxShingleDf = 100000L)
+    excerpts.count() // shape check: runs with the cap engaged
+    val edges = Tables.load(spark, sfDir, "orders")
+      .select((col("o_orderkey") % 100).as("src_host"),
+        (col("o_custkey") % 100).as("dst_host"))
+    val triangles = graft.operators.Graph.triangleCounts(edges,
+      "src_host", "dst_host")
+    assert(triangles.count() > 0)
   }
 
   test("usage §9a: the documented plan-reading checklist holds on the example") {
