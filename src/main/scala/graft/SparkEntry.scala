@@ -2334,6 +2334,34 @@ object SparkEntry {
         .orderBy(col("doc_id").asc, col("span_start").asc)
     }),
 
+    "ann12_knn_classify" -> ((s, dir) => {
+      // k-NN label propagation: each query labeled by majority vote
+      // of its 10 nearest corpus neighbors — the semi-supervised
+      // curation baseline (hand labels fan out through embedding
+      // space). Quantized scoring (the ann1 bit-parity contract)
+      // makes neighbor sets engine-identical; ties resolve by
+      // (votes desc, best-rank asc, label asc), all deterministic,
+      // so the oracle replays membership AND the vote.
+      val emb = t(s, dir, "embeddings")
+      graft.similarity.Ann.knnClassify(emb,
+          emb.filter(col("vec_id") < 20).select("vec_id", "embedding"),
+          k = 10)
+        .orderBy(col("query_id").asc)
+    }),
+
+    "cur22_standardize" -> ((s, dir) => {
+      // per-type z-scoring: every event value annotated with its
+      // type's mean, population σ and z — the cross-group
+      // comparability step. Exact decimal sufficient statistics +
+      // a FIXED sequence of IEEE steps (one division, one sqrt —
+      // correctly rounded by both engines — one subtraction, one
+      // division), so mean/sd/z replay bit-for-bit.
+      graft.operators.Profiler.standardizeBy(
+          t(s, dir, "events").select("event_id", "event_type", "value"),
+          "value", Seq("event_type"))
+        .orderBy(col("event_id").asc)
+    }),
+
     "ann11_sem_decontam" -> ((s, dir) => {
       // EMBEDDING-level decontamination: training vectors whose best
       // quantized cosine against the benchmark set (vec_id < 20)
@@ -4591,6 +4619,72 @@ object SparkEntry {
            FROM scored)
          SELECT vec_id, bench_id, score FROM ranked
          WHERE rn = 1 AND score >= 0.1 ORDER BY vec_id""",
+
+    // the ann1 quantized-scoring replay + labeled vote: membership,
+    // votes, best rank and the three-key tie-break are all exact
+    "ann12_knn_classify" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qq
+           FROM embeddings WHERE vec_id < 20),
+         c AS (
+           SELECT vec_id AS neighbor_id, label,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+           FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id, label,
+             CAST(list_dot_product(qv, qq) AS DOUBLE) AS d,
+             CAST(list_dot_product(qv, qv) AS DOUBLE) AS na,
+             CAST(list_dot_product(qq, qq) AS DOUBLE) AS nb
+           FROM c, q WHERE neighbor_id <> query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, label,
+             CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                  ELSE sign(d) * d * d / (na * nb) END AS score
+           FROM scored),
+         top AS (
+           SELECT query_id, neighbor_id, label,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM ranked),
+         votes AS (
+           SELECT query_id, label,
+             CAST(count(*) AS BIGINT) AS votes,
+             CAST(min(rank) AS INTEGER) AS best_rank
+           FROM top WHERE rank <= 10 AND label IS NOT NULL
+           GROUP BY 1, 2),
+         win AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY votes DESC, best_rank ASC, label ASC) AS rn
+           FROM votes)
+         SELECT query_id, label, votes, best_rank FROM win
+         WHERE rn = 1 ORDER BY query_id""",
+
+    // exact HUGEINT sufficient statistics, then the identical IEEE
+    // step sequence: mean = Σx/(n·scale); σ = √((nΣx²−(Σx)²)/n²)/scale;
+    // z on the quantized grid — replays bit-for-bit (sqrt is
+    // correctly rounded on both engines)
+    "cur22_standardize" ->
+      """WITH q AS (
+           SELECT event_id, event_type, value,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq
+           FROM events),
+         s AS (
+           SELECT event_type, count(*) AS n, sum(vq) AS sx,
+             sum(vq * vq) AS sxx
+           FROM q WHERE value IS NOT NULL GROUP BY 1)
+         SELECT q.event_id, q.event_type, q.value,
+           CAST(sx AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS mean,
+           sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+             / CAST(n * n AS DOUBLE)) / 100.0 AS sd,
+           CASE WHEN q.value IS NULL OR n * sxx - sx * sx = 0 THEN NULL
+                ELSE (CAST(vq AS DOUBLE)
+                    - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    / CAST(n * n AS DOUBLE))
+           END AS z
+         FROM q LEFT JOIN s USING (event_type)
+         ORDER BY q.event_id""",
 
     // rank order replay bit-for-bit
     "ann10_margin_mine" ->

@@ -697,6 +697,69 @@ object Profiler {
       .orderBy(gs: _*)
   }
 
+  /** Per-group STANDARDIZATION (z-scoring) — the feature-scaling
+    * step between raw metrics and anything comparing across groups
+    * (a 0.9 quality score means nothing until it's "2.3 σ above this
+    * source's mean"): every row returns annotated with its group's
+    * mean, population sd and z = (x − μ)/σ.
+    *
+    * Replayable by construction: values quantize to integers at
+    * 1/`scale`, the three sufficient statistics (n, Σx, Σx²)
+    * accumulate as decimal(38,0) (order-free exact), and every
+    * output is a FIXED sequence of IEEE steps over those exact
+    * integers — one division for the mean, (n·Σx² − (Σx)²)/n² then
+    * a correctly-rounded sqrt for σ, one subtraction and one
+    * division for z. DuckDB replays the identical expression tree
+    * bit-for-bit (the linearFitBy discipline; population σ, i.e.
+    * divide-by-n, is the documented contract — at corpus scale the
+    * n/(n−1) distinction is noise, and it keeps σ a two-step
+    * expression).
+    *
+    * Degenerate groups by contract: constant value (σ = 0) → null z,
+    * mean/sd still reported (sd exactly 0.0). Null values pass
+    * through with null z; null group keys are a group.
+    *
+    * Scale shape: ONE hash aggregate with map-side combine computes
+    * the per-group statistics (a handful of decimal columns per
+    * group), broadcast-size join back to the rows — the rows shuffle
+    * once at most, skew-immune like [[linearFitBy]].
+    *
+    * Output: df columns ++ (mean, sd, z). */
+  def standardizeBy(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                    scale: Long = 100L): DataFrame = {
+    require(groupCols.nonEmpty, "standardizeBy: need at least one group column")
+    require(scale >= 1, s"standardizeBy: scale must be >= 1, got $scale")
+    val missing = (groupCols :+ valueCol).filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"standardizeBy: input is missing column(s): ${missing.mkString(", ")}")
+    val dec = "decimal(38,0)"
+    val gs = groupCols.map(col)
+    val vq = floor(col(valueCol).cast("double") * lit(scale.toDouble) + lit(0.5))
+      .cast("long").cast(dec)
+    val stats = df.filter(col(valueCol).isNotNull)
+      .select(gs :+ vq.as("__xq"): _*)
+      .groupBy(gs: _*)
+      .agg(count(lit(1)).cast(dec).as("__n"), sum(col("__xq")).as("__sx"),
+        sum(col("__xq") * col("__xq")).as("__sxx"))
+      .select(groupCols.map(c => col(c).as(s"__sg_$c"))
+        ++ Seq(col("__n"), col("__sx"),
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+            .as("__varnum")): _*)
+    val cond = groupCols.map(c => df(c) <=> stats(s"__sg_$c")).reduce(_ && _)
+    val rowVq = floor(df(valueCol).cast("double") * lit(scale.toDouble)
+      + lit(0.5)).cast("long")
+    val meanQ = col("__sx").cast("double") / col("__n").cast("double")
+    val sdQ = sqrt(col("__varnum").cast("double")
+      / (col("__n") * col("__n")).cast("double"))
+    df.join(stats, cond, "left")
+      .select(df.columns.map(df(_)) ++ Seq(
+        (col("__sx").cast("double")
+          / (col("__n") * lit(scale).cast(dec)).cast("double")).as("mean"),
+        (sdQ / lit(scale.toDouble)).as("sd"),
+        when(df(valueCol).isNull || col("__varnum") === 0, lit(null).cast("double"))
+          .otherwise((rowVq.cast("double") - meanQ) / sdQ).as("z")): _*)
+  }
+
   def linearFitBy(df: DataFrame, xCol: String, yCol: String,
                   groupCols: Seq[String], scaleX: Long = 1L,
                   scaleY: Long = 1L): DataFrame = {

@@ -229,6 +229,54 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** k-NN LABEL PROPAGATION: predict a label for every query vector
+    * by majority vote among its `k` nearest corpus neighbors — the
+    * standard semi-supervised curation move (a few thousand
+    * hand-labeled quality/topic/language examples fan out to the
+    * whole corpus through embedding space; cheap, strong baseline
+    * before any trained classifier).
+    *
+    * Determinism end to end: neighbors come from [[bruteForceTopK]]
+    * in QUANTIZED scoring mode (bit-identical to the SQL window-rank
+    * twin — the ann1 oracle contract), and the vote resolves ties by
+    * (votes desc, best-neighbor rank asc, label asc): a 2–2 split
+    * goes to the label owning the NEAREST neighbor, engines agree
+    * because rank itself is deterministic. Null-labeled corpus rows
+    * are excluded from voting (they can teach nothing), so a query
+    * may resolve from fewer than k votes; queries are classified
+    * from the corpus EXCLUDING themselves (bruteForceTopK's own
+    * self-match rule — classify-the-training-set stays honest).
+    *
+    * Scale shape = [[bruteForceTopK]]'s: queries broadcast under the
+    * ANN small-side contract, one corpus scan with per-partition
+    * bounded heaps; the vote is a ≤ Q·k-row aggregate plus a
+    * per-query window over ≤ distinct-label rows.
+    *
+    * Output: (query_id, label, votes, best_rank) — one row per query
+    * with ≥ 1 labeled neighbor. */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    require(k > 0, s"knnClassify: k must be positive, got $k")
+    require(corpus.columns.contains(labelCol),
+      s"knnClassify: no label column '$labelCol' in the corpus frame")
+    val top = bruteForceTopK(corpus, queries, k, idCol, vecCol,
+      quantized = true)
+    val labels = corpus
+      .filter(col(labelCol).isNotNull)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col(labelCol).as("__knn_lbl"))
+    val votes = top.join(labels, "neighbor_id")
+      .groupBy(col("query_id"), col("__knn_lbl"))
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("best_rank").asc, col("__knn_lbl").asc)
+    votes.withColumn("__knn_rn", row_number().over(w))
+      .filter(col("__knn_rn") === 1)
+      .select(col("query_id"), col("__knn_lbl").as(labelCol),
+        col("votes"), col("best_rank"))
+  }
+
   /** Spark's `round(x*1000.0, 0)` for doubles, scalar twin:
     * BigDecimal.valueOf (Double.toString repr) + HALF_UP — the exact
     * semantics of Catalyst's Round, so quantized heap scores match the

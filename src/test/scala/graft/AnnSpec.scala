@@ -560,4 +560,45 @@ class AnnSpec extends AnyFunSuite {
     assert(Ann.marginMine(empty, side, k = 3).isEmpty)
     assert(Ann.marginMine(side, empty, k = 3).isEmpty)
   }
+
+  test("knnClassify: cluster labels propagate; rank tie-break; null labels; refusals") {
+    import spark.implicits._
+    // two tight clusters around e1 and e2; labels follow the cluster
+    val rows = (
+      (0 until 6).map(i => (100L + i, Array(1.0f, 0.01f * i), Some(7))) ++
+      (0 until 6).map(i => (200L + i, Array(0.01f * i, 1.0f), Some(9))))
+    val corpus = rows.toDF("vec_id", "embedding", "label")
+    val q = Seq(
+      (1L, Array(0.99f, 0.0f)), // cluster A → 7
+      (2L, Array(0.0f, 0.99f))) // cluster B → 9
+      .toDF("vec_id", "embedding")
+    val got = Ann.knnClassify(corpus, q, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 7, 2L -> 9))
+    // 2-2 vote split resolves to the label owning the NEAREST neighbor
+    val tieCorpus = Seq(
+      (1L, Array(1.0f, 0.0f), Some(1)),   // nearest to the query
+      (2L, Array(0.9f, 0.1f), Some(2)),
+      (3L, Array(0.9f, -0.1f), Some(1)),
+      (4L, Array(0.95f, 0.05f), Some(2))) // 2nd nearest
+      .toDF("vec_id", "embedding", "label")
+    val tq = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val tied = Ann.knnClassify(tieCorpus, tq, k = 4).collect()(0)
+    assert(tied.getInt(1) == 1 && tied.getLong(2) == 2L && tied.getInt(3) == 1)
+    // null-labeled rows teach nothing: with the nearest vector
+    // unlabeled, the vote falls to the labeled rest
+    val nullCorpus = Seq(
+      (1L, Array(1.0f, 0.0f), None),
+      (2L, Array(0.8f, 0.2f), Some(5)),
+      (3L, Array(0.8f, -0.2f), Some(5)))
+      .toDF("vec_id", "embedding", "label")
+    val ng = Ann.knnClassify(nullCorpus, tq, k = 2).collect()(0)
+    assert(ng.getInt(1) == 5)
+    intercept[IllegalArgumentException] {
+      Ann.knnClassify(corpus, q, k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.knnClassify(q, q, k = 2) // no label column
+    }
+  }
 }

@@ -447,6 +447,34 @@ class ProfilerSpec extends AnyFunSuite {
     }
   }
 
+  test("standardizeBy: hand case, constant group, nulls, group isolation, refusals") {
+    val d = Seq(
+      ("a", 1L, Some(1.0)), ("a", 2L, Some(2.0)), ("a", 3L, Some(3.0)),
+      ("b", 4L, Some(5.0)), ("b", 5L, Some(5.0)), // constant group
+      ("a", 6L, None)) // null value
+      .toDF("g", "id", "v")
+    val got = Profiler.standardizeBy(d, "v", Seq("g"), scale = 1L)
+      .collect().map(r => (r.getLong(1), Option(r.get(3)), Option(r.get(4)),
+        Option(r.get(5)))).sortBy(_._1).toSeq
+    // group a: n=3, Σx=6, Σx²=14 → mean 2, σ = sqrt(6/9)
+    val sdA = math.sqrt((3.0 * 14 - 36).toDouble / 9.0)
+    def zA(x: Double) = (x - 6.0 / 3.0) / sdA
+    assert(got(0) == ((1L, Some(2.0), Some(sdA), Some(zA(1.0)))))
+    assert(got(1) == ((2L, Some(2.0), Some(sdA), Some(zA(2.0)))))
+    assert(got(2) == ((3L, Some(2.0), Some(sdA), Some(zA(3.0)))))
+    // constant group: sd exactly 0.0, z null by contract
+    assert(got(3) == ((4L, Some(5.0), Some(0.0), None)))
+    assert(got(4) == ((5L, Some(5.0), Some(0.0), None)))
+    // null value: stats still attach, z null
+    assert(got(5) == ((6L, Some(2.0), Some(sdA), None)))
+    intercept[IllegalArgumentException] {
+      Profiler.standardizeBy(d, "v", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Profiler.standardizeBy(d, "nope", Seq("g"))
+    }
+  }
+
   test("w1DriftBy: endpoints, hand case, shift, sorted-parity, exclusions") {
     // identical snapshots → exactly 0 (integer numerator is 0)
     val base = (1 to 50).map(i => ("g", i.toDouble)).toDF("g", "v")
