@@ -779,6 +779,29 @@ object StressGate {
     run("cur21_w1_shift", Some(nGrps))(
       cur21.filter(round(col("w1"), 3) === 1000.0).count())
 
+    // --- cur22 standardization on the same CRT blocks: every group
+    // sees residues 0..96 exactly B times, so μ = 48 and the
+    // population σ = √(Σ(v−48)²/97) = √784 = 28.0 EXACTLY — every
+    // row must carry sd = 28.0 bit-equal and |z| ≤ 48/28 (closed
+    // form); one aggregate + broadcast join, the linearity claim.
+    def cur22 = graft.operators.Profiler.standardizeBy(winIn, "v", Seq("g"),
+      scale = 1L)
+    run("cur22_sd_exact", Some(winN))(
+      cur22.filter(col("sd") === 28.0).count())
+    run("cur22_z_bounded", Some(0L), linear = false)(
+      cur22.filter(abs(col("z")) > lit(48.0 / 28.0)).count())
+
+    // --- ann12 k-NN label propagation at k=1: every twin query's
+    // nearest neighbor is its exact copy (the ann1 invariant), so the
+    // predicted label must be the twin's — pins the vote pipeline on
+    // top of the stress-scale corpus scan.
+    val labeled = emb.withColumn("label", pmod(col("vec_id"), lit(5L)))
+    run("ann12_knn_twins", Some(p.nTwins))(
+      graft.similarity.Ann.knnClassify(labeled,
+          queries.select("vec_id", "embedding"), k = 1)
+        .filter(col("label") === pmod(col("query_id") + p.nEmb, lit(5L)))
+        .count())
+
     // --- txt23 collocations: R = total/10 distinct (a_k → mid_k) and
     // (mid_k → b_k) bigram classes, each occurring exactly 10 times —
     // the digest table grows linearly with the corpus and every class
