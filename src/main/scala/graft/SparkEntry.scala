@@ -2412,6 +2412,38 @@ object SparkEntry {
           groupCols = Seq("source"), topK = 3)
     }),
 
+    "q65_merge_intervals" -> ((s, dir) => {
+      // gaps-and-islands coverage: per-host validity intervals fused
+      // into maximal covered islands (overlap OR touch merges) — the
+      // "when was this actually covered" primitive. Interval lengths
+      // cycle 0..12 against a stride of 7 within each group, so some
+      // chains fuse and some isolate — a non-trivial island
+      // structure the oracle replays with the classic two-window
+      // gaps-and-islands SQL. Pure integer arithmetic throughout.
+      val o = t(s, dir, "orders")
+      val iv = o.select((col("o_orderkey") % 7).as("g"),
+        col("o_orderkey").as("lo"),
+        (col("o_orderkey") + (col("o_orderkey") % 13)).as("hi"))
+      graft.operators.RangeJoin.mergeIntervals(iv, Seq("g"), "lo", "hi")
+        .orderBy(col("g").asc, col("island_lo").asc)
+    }),
+
+    "cur23_quantile_norm" -> ((s, dir) => {
+      // quantile normalization: every event value replaced by the
+      // GLOBAL order statistic at its type-relative rank, so all
+      // event types end up on one distribution (the microarray-
+      // normalization standard applied to corpus metrics — "top
+      // decile" means the same thing in every type). NO
+      // interpolation anywhere: grid ranks, group ranks and the
+      // index mapping are exact integer arithmetic; the oracle
+      // replays the grid from the covers-definition and the mapping
+      // from window ranks.
+      graft.operators.Profiler.quantileNormalizeBy(
+          t(s, dir, "events").select("event_id", "event_type", "value"),
+          "event_id", "value", Seq("event_type"), nGrid = 101)
+        .orderBy(col("event_id").asc)
+    }),
+
     "q64_triangles" -> ((s, dir) => {
       // per-node triangle counts on the cur14 citation graph — the
       // local-clustering companion to PageRank's global authority
@@ -4834,6 +4866,63 @@ object SparkEntry {
                                + n_cur / window_total) / 2)) END)
                  * 0.5, 6) AS jsd_term
          FROM allrows ORDER BY window_start, category""",
+
+    // the classic two-window gaps-and-islands replay
+    "q65_merge_intervals" ->
+      """WITH iv AS (
+           SELECT o_orderkey % 7 AS g, o_orderkey AS lo,
+             o_orderkey + (o_orderkey % 13) AS hi
+           FROM orders),
+         m AS (
+           SELECT *, max(hi) OVER (PARTITION BY g ORDER BY lo, hi
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_hi
+           FROM iv),
+         s AS (
+           SELECT *, CASE WHEN prev_hi IS NULL OR lo > prev_hi
+                          THEN 1 ELSE 0 END AS nw
+           FROM m),
+         x AS (
+           SELECT *, sum(nw) OVER (PARTITION BY g ORDER BY lo, hi
+             ROWS UNBOUNDED PRECEDING) AS isl
+           FROM s)
+         SELECT g, min(lo) AS island_lo, max(hi) AS island_hi,
+           count(*) AS n_intervals
+         FROM x GROUP BY g, isl
+         ORDER BY g, island_lo""",
+
+    // the grid from the covers DEFINITION (t_j inside the digest's
+    // rank range), the row mapping from window ranks — both pure
+    // integer arithmetic, independent of the engine's sequence-emit
+    // formulation
+    "cur23_quantile_norm" ->
+      """WITH base AS (
+           SELECT event_id, event_type, value,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq
+           FROM events WHERE value IS NOT NULL),
+         nn AS (SELECT count(*) AS n FROM base),
+         dg AS (SELECT vq, count(*) AS c FROM base GROUP BY 1),
+         rk AS (SELECT vq, c, sum(c) OVER (ORDER BY vq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+           FROM dg),
+         grid AS (
+           SELECT j, vq AS grid_vq
+           FROM (SELECT unnest(range(0, 101)) AS j), rk, nn
+           WHERE (j * (n - 1)) // 100 >= hi - c
+             AND (j * (n - 1)) // 100 < hi),
+         rr AS (
+           SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY vq, event_id) - 1 AS r,
+             count(*) OVER (PARTITION BY event_type) AS ng
+           FROM base),
+         jj AS (
+           SELECT *, CASE WHEN ng = 1 THEN 50
+                          ELSE (r * 100) // (ng - 1) END AS j
+           FROM rr)
+         SELECT jj.event_id, jj.event_type, jj.value,
+           CAST(grid_vq AS DOUBLE) / 100.0 AS value_qn
+         FROM jj JOIN grid USING (j)
+         ORDER BY jj.event_id""",
 
     // the quadratic id-ordered triangle definition IS the oracle's
     // job; the engine's degree-oriented plan must enumerate the

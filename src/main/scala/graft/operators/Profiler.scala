@@ -697,6 +697,110 @@ object Profiler {
       .orderBy(gs: _*)
   }
 
+  /** QUANTILE NORMALIZATION: replace every value with the GLOBAL
+    * order statistic at its group-relative rank, so all groups end
+    * up with (a grid approximation of) the same distribution — the
+    * cross-source calibration move when sources score on
+    * incompatible scales (one crawler's quality model is generous,
+    * another's is harsh; after normalization "top decile" means the
+    * same thing everywhere — the microarray-normalization standard,
+    * Bolstad et al. 2003, applied to corpus metrics).
+    *
+    * Exact and engine-replayable throughout — NO interpolation:
+    *  1. the global reference is `nGrid` ORDER STATISTICS at ranks
+    *     t_j = ⌊j·(N−1)/(nGrid−1)⌋ (quantized values, exact integer
+    *     arithmetic), extracted from the distinct-value digest table
+    *     by pure rank-range arithmetic: each digest row EMITS the
+    *     grid indices it covers via an integer sequence — scan-side,
+    *     nGrid rows total, no nGrid-way conditional aggregate and no
+    *     digest×grid theta join;
+    *  2. each row's group rank r (row_number by (value, id) — the id
+    *     tie-break makes ranks deterministic) maps to grid index
+    *     j = ⌊r·(nGrid−1)/(n_g−1)⌋ (single-member groups map to the
+    *     median index), and the normalized value is the grid value
+    *     at j — a broadcast join on the index.
+    *
+    * Scale shape: one `groupBy(value)` digest pass (map-side
+    * combined), the cur11 range-partitioned prefix sums for global
+    * ranks (never a single-task sort over digests), one per-GROUP
+    * window over raw rows (groups are the parallelism unit — the
+    * grouped-mutate contract), one broadcast join of the nGrid-row
+    * reference. The operator materializes N at build time (one count
+    * job — the pageRankFp eager precedent) to keep the rank
+    * arithmetic in literals.
+    *
+    * Null values are EXCLUDED (ranking them is undefined;
+    * [[columnStats]] reports them). Requires N ≥ 2. Keep
+    * nGrid·N below ~10¹⁸ (the documented integer-overflow headroom —
+    * at 10¹² rows use nGrid ≤ 10⁴).
+    *
+    * Output: df columns ++ (value_qn), non-null-value rows. */
+  def quantileNormalizeBy(df: DataFrame, idCol: String, valueCol: String,
+                          groupCols: Seq[String], nGrid: Int = 1001,
+                          scale: Long = 100L): DataFrame = {
+    require(groupCols.nonEmpty,
+      "quantileNormalizeBy: need at least one group column")
+    require(nGrid >= 2, s"quantileNormalizeBy: nGrid must be >= 2, got $nGrid")
+    require(scale >= 1, s"quantileNormalizeBy: scale must be >= 1, got $scale")
+    val missing = (groupCols ++ Seq(idCol, valueCol))
+      .filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"quantileNormalizeBy: input is missing column(s): ${missing.mkString(", ")}")
+    val gs = groupCols.map(col)
+    val vq = floor(col(valueCol).cast("double") * lit(scale.toDouble) + lit(0.5))
+      .cast("long")
+    val base = df.filter(col(valueCol).isNotNull)
+    val n = base.count()
+    require(n >= 2, s"quantileNormalizeBy: need >= 2 non-null values, got $n")
+    val g = (nGrid - 1).toLong
+
+    // global digests with exclusive running ranks — the ksDrift
+    // range-partitioned prefix-sum machinery (never one sort task)
+    val digests = base.select(vq.as("__vq"))
+      .groupBy("__vq").agg(count(lit(1)).as("__c"))
+    val ranged = digests.repartitionByRange(col("__vq").asc)
+      .sortWithinPartitions(col("__vq").asc)
+      .withColumn("__pid", spark_partition_id())
+    val wRun = Window.partitionBy("__pid").orderBy(col("__vq").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = ranged.withColumn("__r", sum(col("__c")).over(wRun))
+    val wOff = Window.orderBy(col("__pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("__pid").agg(sum(col("__c")).as("__t"))
+      .select(col("__pid"), coalesce(sum(col("__t")).over(wOff), lit(0L))
+        .as("__off"))
+    // digest covers global 0-based ranks [hi − c, hi)
+    val withRanks = run.join(broadcast(offsets), Seq("__pid"))
+      .select(col("__vq"), (col("__r") + col("__off")).as("__hi"),
+        col("__c"))
+    // grid indices this digest's rank range covers: t_j ∈ [lo, hi)
+    // ⟺ j ∈ [⌈lo·g/(N−1)⌉, ⌈hi·g/(N−1)⌉ − 1], clamped to [0, g];
+    // sequence() DESCENDS on an inverted range (the Bpe/dd12 lesson),
+    // so the empty case must short-circuit to an empty array
+    val jmin = greatest(
+      expr(s"((__hi - __c) * $g + ${n - 2}L) DIV ${n - 1}L"), lit(0L))
+    val jmax = least(
+      expr(s"(__hi * $g + ${n - 2}L) DIV ${n - 1}L") - 1L, lit(g))
+    val grid = withRanks
+      .select(col("__vq"), when(jmin <= jmax, sequence(jmin, jmax))
+        .otherwise(array().cast("array<bigint>")).as("__js"))
+      .select(explode(col("__js")).as("__j"), col("__vq").as("__grid_vq"))
+
+    // per-row group rank → grid index → broadcast lookup
+    val wGrp = Window.partitionBy(gs: _*)
+      .orderBy(vq.asc, col(idCol).asc)
+    val wAll = Window.partitionBy(gs: _*)
+    val ranked = base
+      .withColumn("__rk", row_number().over(wGrp).cast("long") - 1L)
+      .withColumn("__ng", count(lit(1)).over(wAll))
+      .withColumn("__j", when(col("__ng") === 1L, lit(g / 2))
+        .otherwise(expr(s"(__rk * $g) DIV (__ng - 1)")))
+    ranked.join(broadcast(grid), Seq("__j"))
+      .select(df.columns.map(col) :+
+        (col("__grid_vq").cast("double") / lit(scale.toDouble))
+          .as("value_qn"): _*)
+  }
+
   /** Per-group STANDARDIZATION (z-scoring) — the feature-scaling
     * step between raw metrics and anything comparing across groups
     * (a 0.9 quality score means nothing until it's "2.3 σ above this

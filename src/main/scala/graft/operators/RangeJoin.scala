@@ -92,4 +92,61 @@ object RangeJoin {
           === col("__cell"))
       .drop("__cell", "__rcell")
   }
+
+  /** Gaps-and-islands: merge each group's CLOSED intervals into
+    * maximal covered ISLANDS (overlapping-or-touching intervals fuse:
+    * `lo ≤ running_hi` — touching at an endpoint counts as covered) —
+    * the coverage primitive behind "when was this host actually
+    * monitored", validity-window consolidation, and session stitching
+    * (the dd12 span merge generalized from word offsets to any
+    * integer-ordered domain).
+    *
+    * Pure integer window arithmetic, bit-replayable: sort each
+    * group's intervals by (lo, hi), a running `max(hi)` over STRICTLY
+    * PRECEDING rows marks island starts (`lo > running_hi`), a
+    * running sum of starts numbers the islands, one grouped aggregate
+    * folds each island to (island_lo = min lo, island_hi = max hi,
+    * n_intervals).
+    *
+    * Scale shape: ONE exchange on the group keys, two window passes
+    * over the same sort (Spark reuses it), one aggregate — per-group
+    * work bounded by the group's interval count (the q35
+    * grouped-window contract: groups are the parallelism unit). Null
+    * lo/hi rows are excluded; inverted intervals (lo > hi) raise
+    * through a consumed guard rather than silently vanishing.
+    *
+    * Output: groupCols ++ (island_lo, island_hi, n_intervals). */
+  def mergeIntervals(df: DataFrame, groupCols: Seq[String],
+                     loCol: String, hiCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "mergeIntervals: need at least one group column")
+    val missing = (groupCols ++ Seq(loCol, hiCol)).filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"mergeIntervals: input is missing column(s): ${missing.mkString(", ")}")
+    val gs = groupCols.map(col)
+    val lo = col(loCol).cast("long"); val hi = col(hiCol).cast("long")
+    // inverted intervals raise through the kept lo column (consumed by
+    // the window sort and the island min — never prunable)
+    val loGuarded = when(lo > hi, raise_error(concat(
+        lit(s"mergeIntervals: inverted interval ($loCol > $hiCol): "),
+        lo.cast("string"), lit(" > "), hi.cast("string"))))
+      .otherwise(lo)
+    val base = df.filter(lo.isNotNull && hi.isNotNull)
+      .select(gs :+ loGuarded.as("__lo") :+ hi.as("__hi"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("__lo").asc, col("__hi").asc)
+    val wPrev = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, -1)
+    val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, 0)
+    base
+      .withColumn("__prev_hi", max(col("__hi")).over(wPrev))
+      .withColumn("__new", when(col("__prev_hi").isNull ||
+        col("__lo") > col("__prev_hi"), 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(wRun))
+      .groupBy(gs :+ col("__isl"): _*)
+      .agg(min(col("__lo")).as("island_lo"), max(col("__hi")).as("island_hi"),
+        count(lit(1)).as("n_intervals"))
+      .select(gs ++ Seq(col("island_lo"), col("island_hi"),
+        col("n_intervals")): _*)
+  }
 }

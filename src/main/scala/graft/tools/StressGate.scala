@@ -802,6 +802,46 @@ object StressGate {
         .filter(col("label") === pmod(col("query_id") + p.nEmb, lit(5L)))
         .count())
 
+    // --- q65 gaps-and-islands at corpus scale: K groups, M members
+    // each at stride K; member lengths alternate 0 / K (touch-merges
+    // with the next member), so each group folds to exactly
+    // 2 + (M−2)/2 islands and Σ n_intervals must equal every input
+    // row — closed form at any even M. Two windows + one aggregate
+    // per group, the band.
+    val q65K = 1000L
+    val q65M = p.nLineitem / q65K
+    val q65In = spark.range(p.nLineitem).select(
+      pmod(col("id"), lit(q65K)).as("g"), col("id").as("lo"),
+      (col("id") + pmod(expr(s"id DIV $q65K"), lit(2L)) * q65K).as("hi"))
+    def q65 = graft.operators.RangeJoin.mergeIntervals(q65In, Seq("g"),
+      "lo", "hi")
+    run("q65_island_count", Some(q65K * (2L + (q65M - 2L) / 2L)))(q65.count())
+    run("q65_interval_sum", Some(p.nLineitem))(
+      q65.agg(sum(col("n_intervals"))).collect()(0).getLong(0))
+
+    // --- cur23 quantile normalization on the CRT blocks: identical
+    // per-group distributions, so exactly ONE row per group maps to
+    // the top grid index (the global max 96.0) and nothing escapes
+    // [0, 96] — plus full row preservation. The heavy stages (global
+    // digest ranks via range-partitioned prefix sums, per-group rank
+    // windows, the nGrid broadcast) are all measured by the band.
+    val qnIn = spark.range(winN).select(col("id").as("rid"),
+      pmod(col("id"), lit(101L)).as("g"),
+      pmod(col("id"), lit(97L)).cast("double").as("v"))
+    def cur23 = graft.operators.Profiler.quantileNormalizeBy(
+      qnIn, "rid", "v", Seq("g"), nGrid = 101, scale = 1L)
+    run("cur23_qn_rows", Some(winN))(cur23.count())
+    // grid indices 99 and 100 BOTH read the global max 96 (t_99 ≥
+    // 0.99(N−1) sits inside value 96's top-1/97 rank band at every
+    // B ≥ 1), so the top-value count per group is the rows with
+    // j ≥ 99: ng−1 − ⌈99(ng−1)/100⌉ + 1, exactly
+    val qnNgm1 = 97L * blocks - 1L
+    val qnTopPerGroup = qnNgm1 - (99L * qnNgm1 + 99L) / 100L + 1L
+    run("cur23_qn_top", Some(101L * qnTopPerGroup))(
+      cur23.filter(col("value_qn") === 96.0).count())
+    run("cur23_qn_range", Some(0L), linear = false)(
+      cur23.filter(col("value_qn") < 0.0 || col("value_qn") > 96.0).count())
+
     // --- txt23 collocations: R = total/10 distinct (a_k → mid_k) and
     // (mid_k → b_k) bigram classes, each occurring exactly 10 times —
     // the digest table grows linearly with the corpus and every class

@@ -89,4 +89,38 @@ class ExtensionsSpec extends AnyFunSuite {
       RangeJoin.intervalOverlap(l, l, "l_lo", "l_hi", "l_lo", "l_hi", 1.0)
     }
   }
+
+  test("mergeIntervals: islands fuse overlap+touch, gaps split; group isolation; guards") {
+    import SparkT.spark.implicits._
+    val iv = Seq(
+      // group a: [1,5] [3,7] (overlap) [7,9] (touch) → island [1,9];
+      // [12,14] isolated; [20,20] point
+      ("a", 1L, 5L), ("a", 3L, 7L), ("a", 7L, 9L),
+      ("a", 12L, 14L), ("a", 20L, 20L),
+      // group b: same coordinates must not fuse with a's
+      ("b", 4L, 6L),
+      // null-endpoint rows are excluded
+      ("a", 100L, 100L)).toDF("g", "lo", "hi")
+      .unionByName(Seq(("a", Option.empty[Long], Option(5L)))
+        .toDF("g", "lo", "hi"))
+    val got = graft.operators.RangeJoin.mergeIntervals(iv, Seq("g"), "lo", "hi")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      ("a", 1L, 9L, 3L), ("a", 12L, 14L, 1L), ("a", 20L, 20L, 1L),
+      ("a", 100L, 100L, 1L), ("b", 4L, 6L, 1L)))
+    // an inverted interval raises, loudly
+    val bad = Seq(("x", 5L, 3L)).toDF("g", "lo", "hi")
+    val e = intercept[Exception] {
+      graft.operators.RangeJoin.mergeIntervals(bad, Seq("g"), "lo", "hi")
+        .collect()
+    }
+    assert(e.getMessage.contains("inverted"), e.getMessage.take(200))
+    intercept[IllegalArgumentException] {
+      graft.operators.RangeJoin.mergeIntervals(iv, Seq.empty, "lo", "hi")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.RangeJoin.mergeIntervals(iv, Seq("g"), "nope", "hi")
+    }
+  }
 }

@@ -447,6 +447,47 @@ class ProfilerSpec extends AnyFunSuite {
     }
   }
 
+  test("quantileNormalizeBy: hand grid, group mapping, singleton, ties, refusals") {
+    // global sorted (scale 1): [1,2,3,4,10,20], N=6; nGrid=5 → grid
+    // ranks ⌊j·5/4⌋ = [0,1,2,3,5] → grid values [1,2,3,4,20]
+    val d = Seq(("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 3.0),
+      ("A", 4L, 4.0), ("B", 5L, 10.0), ("B", 6L, 20.0))
+      .toDF("g", "id", "v")
+    val got = Profiler.quantileNormalizeBy(d, "id", "v", Seq("g"),
+        nGrid = 5, scale = 1L)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // A (n=4): j = (r·4) div 3 = [0,1,2,4]; B (n=2): j = [0,4] —
+    // every group's max lands on the global max, the QN contract
+    assert(got == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 4L -> 20.0,
+      5L -> 1.0, 6L -> 20.0))
+    // singleton group maps to the median grid index g/2
+    val d2 = Seq(("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 3.0),
+      ("C", 7L, 7.0)).toDF("g", "id", "v")
+    val g2 = Profiler.quantileNormalizeBy(d2, "id", "v", Seq("g"),
+        nGrid = 5, scale = 1L)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // global [1,2,3,7]: grid ranks ⌊j·3/4⌋=[0,0,1,2,3] → [1,1,2,3,7]
+    assert(g2 == Map(1L -> 1.0, 2L -> 2.0, 3L -> 7.0, 7L -> 2.0))
+    // two identically-distributed groups normalize identically, and
+    // within-group ties order deterministically by id
+    val d3 = Seq(("A", 1L, 1.0), ("A", 2L, 1.0), ("A", 3L, 2.0),
+      ("B", 4L, 5.0), ("B", 5L, 6.0)).toDF("g", "id", "v")
+    val g3 = Profiler.quantileNormalizeBy(d3, "id", "v", Seq("g"),
+        nGrid = 3, scale = 1L)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // global [1,1,2,5,6], grid ranks [0,2,4] → [1,2,6]
+    assert(g3 == Map(1L -> 1.0, 2L -> 2.0, 3L -> 6.0, 4L -> 1.0, 5L -> 6.0))
+    intercept[IllegalArgumentException] {
+      Profiler.quantileNormalizeBy(d, "id", "v", Seq("g"), nGrid = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Profiler.quantileNormalizeBy(d.limit(1), "id", "v", Seq("g"))
+    }
+    intercept[IllegalArgumentException] {
+      Profiler.quantileNormalizeBy(d, "id", "nope", Seq("g"))
+    }
+  }
+
   test("standardizeBy: hand case, constant group, nulls, group isolation, refusals") {
     val d = Seq(
       ("a", 1L, Some(1.0)), ("a", 2L, Some(2.0)), ("a", 3L, Some(3.0)),

@@ -256,6 +256,21 @@ class UsageSpec extends AnyFunSuite {
     val w1 = graft.operators.Profiler.w1DriftBy(base, shifted,
       "n_chars", groupCols = Seq("source"))
     assert(w1.collect().forall(_.getDouble(1) == 3.0))
+    // quantile normalization: rows preserved, outputs inside the
+    // global range
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val qn = graft.operators.Profiler.quantileNormalizeBy(ev, "event_id",
+      "value", groupCols = Seq("event_type"), nGrid = 101)
+    assert(qn.count() == ev.filter(col("value").isNotNull).count())
+    // interval islands: overlap or touch fuses
+    val validity = Tables.load(spark, sfDir, "orders")
+      .select((col("o_orderkey") % 5).as("host"),
+        col("o_orderkey").as("valid_from"),
+        (col("o_orderkey") + 3).as("valid_to"))
+    val islands = graft.operators.RangeJoin.mergeIntervals(
+      validity, Seq("host"), "valid_from", "valid_to")
+    assert(islands.count() > 0)
   }
 
   test("usage §5c: collocations, keywords, containment, triangles") {
