@@ -1453,9 +1453,10 @@ object SparkEntry {
       // sessionization through the engine's NATIVE session_window
       // state (ev6 proves the CUSTOM-state route; this proves the
       // built-in session-merge, the production default when no
-      // per-session logic is needed). Merge rule is strictly-
-      // within-gap — the oracle's boundary is `>= gap` where ev2's
-      // lag form uses `> gap`; the spec pins the divergence on an
+      // per-session logic is needed). Merge rule is overlap-or-
+      // adjacent: a new session starts only at diff > gap, so an
+      // exactly-gap event MERGES — identical to ev2's lag form and
+      // to this oracle's `> 1800000` split; the spec pins the
       // exact-boundary fixture. Engine-neutral integer-millis
       // output; no watermark in the gate (complete mode), so the
       // result is the FULL session set, oracle-exact.
@@ -5325,9 +5326,10 @@ object SparkEntry {
                 FROM e JOIN r0 ON e.src = r0.id JOIN dg ON dg.id = e.src
                 GROUP BY 1),
          r1 AS (SELECT n.id,
-                  ((1000000000000 // (SELECT nn FROM p)) * 15) // 100
+                  CAST(((1000000000000 // (SELECT nn FROM p)) * 15) // 100
                   + ((coalesce(i1.inflow, 0)
-                      + ((SELECT dang FROM d1) // (SELECT nn FROM p))) * 85) // 100 AS r
+                      + ((SELECT dang FROM d1) // (SELECT nn FROM p))) * 85) // 100
+                    AS BIGINT) AS r
                 FROM n LEFT JOIN i1 ON n.id = i1.id),
          d2 AS (SELECT coalesce(sum(r), 0) AS dang
                 FROM r1 LEFT JOIN dg USING (id) WHERE deg IS NULL),
@@ -5335,9 +5337,10 @@ object SparkEntry {
                 FROM e JOIN r1 ON e.src = r1.id JOIN dg ON dg.id = e.src
                 GROUP BY 1),
          r2 AS (SELECT n.id,
-                  ((1000000000000 // (SELECT nn FROM p)) * 15) // 100
+                  CAST(((1000000000000 // (SELECT nn FROM p)) * 15) // 100
                   + ((coalesce(i2.inflow, 0)
-                      + ((SELECT dang FROM d2) // (SELECT nn FROM p))) * 85) // 100 AS r
+                      + ((SELECT dang FROM d2) // (SELECT nn FROM p))) * 85) // 100
+                    AS BIGINT) AS r
                 FROM n LEFT JOIN i2 ON n.id = i2.id),
          d3 AS (SELECT coalesce(sum(r), 0) AS dang
                 FROM r2 LEFT JOIN dg USING (id) WHERE deg IS NULL),
@@ -5345,12 +5348,13 @@ object SparkEntry {
                 FROM e JOIN r2 ON e.src = r2.id JOIN dg ON dg.id = e.src
                 GROUP BY 1),
          r3 AS (SELECT n.id,
-                  ((1000000000000 // (SELECT nn FROM p)) * 15) // 100
+                  CAST(((1000000000000 // (SELECT nn FROM p)) * 15) // 100
                   + ((coalesce(i3.inflow, 0)
-                      + ((SELECT dang FROM d3) // (SELECT nn FROM p))) * 85) // 100 AS r
+                      + ((SELECT dang FROM d3) // (SELECT nn FROM p))) * 85) // 100
+                    AS BIGINT) AS r
                 FROM n LEFT JOIN i3 ON n.id = i3.id)
          SELECT id, r AS rank_fp,
-           CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+           round(CAST(r AS DOUBLE) / 1000000000000.0, 6) AS rank
          FROM r3 ORDER BY id""",
 
     // the quadratic definition IS the oracle's job (DuckDB plans it

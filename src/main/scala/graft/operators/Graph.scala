@@ -37,8 +37,10 @@ object Graph {
     *
     * Graph contract: edges de-duplicate, self-loops and null
     * endpoints drop, the node set is src ∪ dst. Output: (id, rank_fp,
-    * rank) with rank = rank_fp/scale for human eyes and rank_fp the
-    * exact value.
+    * rank) with rank = rank_fp/scale rounded to 6dp for human eyes
+    * and rank_fp the exact value (the cross-engine comparison key —
+    * BIGINT on both sides; a raw double in oracle output would be
+    * the only one in the query set and serves no purpose).
     *
     * Scale shape: the canonical distributed PageRank — one shuffle
     * per iteration keyed on the destination (inflow aggregate,
@@ -97,7 +99,7 @@ object Graph {
           (lit(base) + expr(s"(__in * ${dampNum}L) DIV ${dampDen}L")).as("r")))
     }
     ranks.select(col("id"), col("r").as("rank_fp"),
-      (col("r").cast("double") / scale.toDouble).as("rank"))
+      round(col("r").cast("double") / scale.toDouble, 6).as("rank"))
   }
 
   /** Per-node TRIANGLE counts over the undirected simple graph —

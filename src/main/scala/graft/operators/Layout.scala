@@ -208,7 +208,9 @@ object Layout {
           s.substring(s.indexOf('=') + 1), "UTF-8"))
       }.map { case (k, fs0) => k -> fs0.map(_._2).sum }
       // (partition values, file count, global file-index offset)
-      val parts = byPart.toSeq.sortBy(_._1.mkString(" "))
+      // NUL separator written as an escape (not a raw byte) so the
+      // source stays text to grep-based audit tooling
+      val parts = byPart.toSeq.sortBy(_._1.mkString("\u0000"))
       val offsets = parts.map(p => nFilesFor(p._2)).scanLeft(0L)(_ + _)
       val totalFiles = offsets.last
       require(totalFiles <= Int.MaxValue,

@@ -188,7 +188,12 @@ object Shuffle {
     * raises, naming the first bad row — a zero-weight doc in a
     * weighted sampler is a pipeline bug, not a doc to silently drop);
     * w_q must stay under 2³² so w_q·2³¹ fits a BIGINT (raise, not
-    * wrap — pick `scale` accordingly, the documented contract).
+    * wrap — pick `scale` accordingly, the documented contract). The
+    * priority itself can then reach ~2⁶³ — beyond the 2⁵³ exactness
+    * bound of the bounded aggregate's double-encoded ordering keys —
+    * so the strata path orders on the SPLIT key (pri DIV 2³¹,
+    * pri MOD 2³¹), each half < 2³² and exactly representable, which
+    * preserves the full 63-bit rank order bit-for-bit.
     *
     * Scale shape: the strata path rides the BoundedTopK partial
     * aggregate exactly like [[stratifiedSample]] (every task keeps ≤
@@ -226,12 +231,21 @@ object Shuffle {
       .withColumn("__pri_wq", wq)
       .withColumn("__pri_h", h)
       .withColumn("__pri", expr("(__pri_wq * 2147483648L) DIV __pri_h"))
-    // top-(n+1): the extra row is τ, the estimation threshold
+    // top-(n+1): the extra row is τ, the estimation threshold.
+    // __pri can reach ~2^63 (wq up to 2^32−1, h as small as 1), but
+    // BoundedTopK's ordering keys are exact only below 2^53 (the
+    // double encoding) — so the aggregate orders on the SPLIT key
+    // (hi, lo) = (__pri DIV 2^31, __pri MOD 2^31), both < 2^32 and
+    // exactly double-representable, whose lexicographic descending
+    // order IS __pri's descending order bit-for-bit. The tiebreak
+    // slots encode ascending, so lo rides as −lo. The window re-rank
+    // below stays on the exact BIGINT __pri itself.
     val selected =
       if (strataCols.nonEmpty)
         graft.api.GraftFrame(hashed)
           .groupBy(strataCols: _*)
-          .sliceMaxAgg(col("__pri"), n + 1, col(idCol))
+          .sliceMaxAgg(expr("__pri DIV 2147483648L"), n + 1,
+            negate(expr("__pri % 2147483648L")), col(idCol))
           .df
       else hashed.orderBy(col("__pri").desc, col(idCol).asc).limit(n + 1)
     val w = Window.partitionBy(strataCols.map(col): _*)

@@ -195,6 +195,48 @@ class ShuffleSpec extends AnyFunSuite {
     assert(p.contains("graft_bounded_topk"), p.take(800))
   }
 
+  test("prioritySample split-key encoding: >2^53 priorities order exactly through the bounded aggregate") {
+    // 50 longs 2^62 + i all round to the SAME double (granularity at
+    // 2^62 is 2^10), so a raw double-encoded key would tie them all
+    // and tie-break by id — returning the BOTTOM ids. The split
+    // (p DIV 2^31 desc, p MOD 2^31 desc via negated tiebreak) that
+    // prioritySample uses must recover the exact BIGINT descending
+    // order: ids 49..40.
+    import SparkT.spark.implicits._
+    import org.apache.spark.sql.functions.{expr, negate}
+    val base = 1L << 62
+    val d = (0 until 50).map(i => (i.toLong, base + i)).toDF("id", "p")
+      .withColumn("g", lit("x"))
+    val got = graft.api.GraftFrame(d).groupBy("g")
+      .sliceMaxAgg(expr("p DIV 2147483648L"), 10,
+        negate(expr("p % 2147483648L")), col("id"))
+      .df.select("id").collect().map(_.getLong(0)).toSet
+    assert(got == (40L to 49L).toSet, s"got $got")
+    // and the raw-key form really would have gotten it wrong — the
+    // scenario this regression test exists for
+    val raw = graft.api.GraftFrame(d).groupBy("g")
+      .sliceMaxAgg(col("p"), 10, col("id"))
+      .df.select("id").collect().map(_.getLong(0)).toSet
+    assert(raw == (0L to 9L).toSet, s"double encoding unexpectedly exact: $raw")
+  }
+
+  test("prioritySample: strata route == exact ungrouped route at max-range weights") {
+    // wq = 2^32 − 1 (the contract ceiling) makes priorities up to
+    // ~2^63; the BoundedTopK strata path must select the same rows
+    // and est_weights as the exact-BIGINT global sort path.
+    import SparkT.spark.implicits._
+    val d = (1 to 500).map(i => (i.toLong, 4294967295.0, "x"))
+      .toDF("id", "w", "g")
+    val viaAgg = Shuffle.prioritySample(d, "id", "w", 50, Seq("g"), scale = 1L)
+      .select("id", "est_weight").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val viaSort = Shuffle.prioritySample(d, "id", "w", 50, scale = 1L)
+      .select("id", "est_weight").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(viaAgg == viaSort)
+    assert(viaAgg.size == 50)
+  }
+
   test("prioritySample: refusals — bad n/scale, missing cols, nonpositive and oversized weights") {
     val d = weighted(10, 2)
     intercept[IllegalArgumentException] {
