@@ -865,6 +865,62 @@ object StressGate {
       graft.operators.Search.tfidfKeywords(d, "doc_id", "text", k = 3)
         .count())
 
+    // --- q57 interval-overlap at corpus scale: the wide-interval
+    // worst case — a ladder of 8-cell-wide intervals (every bucket
+    // co-covered by ~8 intervals per side, so per-cell candidate
+    // volume is the 64× square of the co-coverage) PLUS one
+    // span-everything giant on the left. Exactly-once emission keeps
+    // the closed form exact: ladder pairs 15N−56 (|i−j| ≤ 7 at
+    // stride 100 / width 800), the giant adds one pair per right
+    // row → 16N−56 total. Candidates stay cells × coverage² —
+    // linear in N at fixed width, which is the band's claim.
+    val q57N = p.total
+    val q57S = 100L; val q57W = 8L * q57S
+    val q57L = spark.range(q57N).select(col("id").as("l_id"),
+      (col("id") * q57S).as("l_lo"),
+      (col("id") * q57S + q57W - 1L).as("l_hi"))
+    val q57Giant = spark.range(1).select(lit(-1L).as("l_id"),
+      lit(0L).as("l_lo"), lit((q57N - 1L) * q57S + q57W - 1L).as("l_hi"))
+    val q57R = spark.range(q57N).select(col("id").as("r_id"),
+      (col("id") * q57S).as("r_lo"),
+      (col("id") * q57S + q57W - 1L).as("r_hi"))
+    def q57 = graft.operators.RangeJoin.intervalOverlap(
+      q57L.unionByName(q57Giant), q57R, "l_lo", "l_hi", "r_lo", "r_hi",
+      bucketWidth = q57S.toDouble, maxCellsPerInterval = 2L * q57N)
+    run("q57_interval_overlap", Some(16L * q57N - 56L))(q57.count())
+    // the DEFAULT cap must REFUSE the giant (it spans ~N cells ≫
+    // 1024) instead of silently multiplying the replication factor —
+    // the guard is the operator's 100 TB safety valve, so its firing
+    // is an invariant, not a unit-test afterthought
+    val q57Raised = try {
+      graft.operators.RangeJoin.intervalOverlap(
+        q57L.unionByName(q57Giant), q57R, "l_lo", "l_hi", "r_lo", "r_hi",
+        bucketWidth = q57S.toDouble).count()
+      0L
+    } catch { case e: Throwable =>
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      if (msgs(e).exists(_.contains("covers more than"))) 1L else throw e
+    }
+    check("q57_guard_raises", q57Raised == 1L, q57Raised,
+      "1 (default cap refused the giant interval)")
+
+    // --- q65 skew: one span-everything interval per group on top of
+    // the ladder fixture — the running max(hi) must absorb every
+    // later member into ONE island per group (the pathological
+    // running-max case: island count collapses from ~M/2 to 1 while
+    // n_intervals still sums every input row). Same two windows +
+    // one aggregate; the giant is just the first row of each group's
+    // sort.
+    val q65Skew = q65In.unionByName(spark.range(q65K).select(
+      col("id").as("g"), lit(0L).as("lo"),
+      lit(p.nLineitem + q65K).as("hi")))
+    def q65s = graft.operators.RangeJoin.mergeIntervals(
+      q65Skew, Seq("g"), "lo", "hi")
+    run("q65_skew_islands", Some(q65K))(q65s.count())
+    run("q65_skew_sum", Some(p.nLineitem + q65K))(
+      q65s.agg(sum(col("n_intervals"))).collect()(0).getLong(0))
+
     def checksum(j: DataFrame): Long = j.agg(
       sum((col("l_quantity") * col("o_totalprice")).cast("long")) + count(lit(1)))
       .collect()(0).getLong(0)
