@@ -2445,6 +2445,83 @@ object SparkEntry {
         .orderBy(col("event_id").asc)
     }),
 
+    "cur24_pipeline" -> ((s, dir) => {
+      // THE integration query: the full pretraining-data build as ONE
+      // lazy plan over documents — score (txt3/cur1 kernels) → exact
+      // dedup (dd1) → near dedup (dd7's 7-gram Jaccard pairs →
+      // clusters → min-id survivors) → decontaminate (txt10's 5-gram
+      // containment vs a benchmark set) → temperature mixing (cur3's
+      // deterministic per-source downsample) → reproducible split
+      // (cur4/cur6 constants). Each stage is individually declared
+      // elsewhere; composing them catches cross-operator contract
+      // drift (column carrying, null conventions, naming) that no
+      // per-operator query can. The fixture plants work for every
+      // stage: exact copies (+30000, odd ids), padded near-dups
+      // (+10000, every 10th), benchmark splices (+20000, every 20th)
+      // — the established dd/txt offsets. Scale shape: scoring is
+      // scan-side, exact dedup shuffles fingerprints, the pair graph
+      // shuffles shingle digests, decontamination probes a broadcast
+      // benchmark, mixing joins a broadcast rate table, and the split
+      // is scan-side hashing — text itself crosses an exchange only
+      // in the pair-generation stage. Post-dedup, every survivor IS
+      // its cluster's min-id representative, so the leakage-safe
+      // cluster split degenerates to the per-doc hash with the cur4
+      // constants — a whole duplicate class still lands in one split
+      // because only its representative remains.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val b0 = docs.filter(col("doc_id") === 0)
+        .select(col("text").as("bench_text"))
+      val corpus = docs
+        .unionByName(docs.filter(col("doc_id") % 2 === 1)
+          .select((col("doc_id") + 30000L).as("doc_id"), col("source"),
+            col("text")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000L).as("doc_id"), col("source"),
+            concat(col("text"), lit(" graft dedup pad tail")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 20 === 0 && col("doc_id") >= 20)
+          .crossJoin(broadcast(b0))
+          .select((col("doc_id") + 20000L).as("doc_id"), col("source"),
+            concat(col("text"), lit(" "), col("bench_text")).as("text")))
+      val scored = corpus
+        .withColumn("lang", textfns.langId(col("text")))
+        .withColumn("quality", textfns.qualityScore(col("text")))
+        .withColumn("n_tokens", textfns.wsTokenCount(col("text")))
+        .filter(col("quality") >= 0.5 && col("lang") =!= "und")
+      val exs = Dedup.exact(scored, "text", "doc_id")
+      val pairs = Dedup.ngramJaccardPairs(exs, "doc_id", "text",
+        shingleN = 7, threshold = 0.5)
+      val nd = Dedup.dedupNear(exs, "doc_id", pairs)
+      val bench = docs.filter(col("doc_id") < 5)
+      val flagged = Decontam.contaminated(nd, bench, "doc_id", "text",
+          threshold = 0.25, shingleN = 5)
+        .select("doc_id")
+      val clean = nd.join(flagged, Seq("doc_id"), "left_anti")
+      val counts = clean.groupBy("source").agg(count(lit(1)).as("c"))
+      val cmin = counts.agg(min(col("c")).as("m"))
+      val rates = counts.crossJoin(broadcast(cmin))
+        .withColumn("rate", least(lit(1.0),
+          sqrt(col("m").cast("double") / col("c").cast("double"))))
+        .select("source", "rate")
+      val mixed = clean.join(broadcast(rates), "source")
+        .withColumn("__mh",
+          ((col("doc_id") % lit(2147483647L)) * lit(1103515245L)
+            + lit(12345L)) % lit(2147483647L))
+        .filter(col("__mh") < floor(col("rate") * lit(2147483647.0)).cast("long"))
+      mixed
+        .withColumn("__sh",
+          Shuffle.decisionHash(col("doc_id"), 48271L, 11213L))
+        .withColumn("split",
+          when(col("__sh") < lit(1717986917L), lit("train"))
+            .when(col("__sh") < lit(1932735282L), lit("valid"))
+            .otherwise(lit("test")))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("sum_tokens"),
+          round(avg(col("quality")), 4).as("avg_quality"))
+        .orderBy(col("source").asc, col("split").asc)
+    }),
+
     "q64_triangles" -> ((s, dir) => {
       // per-node triangle counts on the cur14 citation graph — the
       // local-clustering companion to PageRank's global authority
@@ -4924,6 +5001,130 @@ object SparkEntry {
            CAST(grid_vq AS DOUBLE) / 100.0 AS value_qn
          FROM jj JOIN grid USING (j)
          ORDER BY jj.event_id""",
+
+    // the COMPOSED pipeline oracle: every stage (cur1 scoring, dd1
+    // exact dedup, dd7 near-dedup CC, txt10 containment, cur3 mixing,
+    // cur6's split hash chain) replayed back to back over the same
+    // planted fixture — each fragment is the per-stage oracle
+    // verbatim, so a divergence localizes to the stage whose fragment
+    // it is
+    "cur24_pipeline" ->
+      """WITH RECURSIVE all_docs AS (
+           SELECT doc_id, source, text FROM documents
+           UNION ALL
+           SELECT doc_id + 30000, source, text FROM documents WHERE doc_id % 2 = 1
+           UNION ALL
+           SELECT doc_id + 10000, source, text || ' graft dedup pad tail'
+           FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT d.doc_id + 20000, d.source, d.text || ' ' || b.text
+           FROM documents d, (SELECT text FROM documents WHERE doc_id = 0) b
+           WHERE d.doc_id % 20 = 0 AND d.doc_id >= 20),
+         sc AS (
+           SELECT doc_id, source, text,
+             len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\b(le|les|une|et|est)\b')) AS s_fr,
+             len(regexp_extract_all(lower(text), '\b(el|los|las|una|es)\b')) AS s_es,
+             len(regexp_extract_all(text, '的')) + len(regexp_extract_all(text, '是'))
+               + len(regexp_extract_all(text, '了')) + len(regexp_extract_all(text, '在'))
+               + len(regexp_extract_all(text, '和')) AS s_zh,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+             len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS stop_hits,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS punct_hits,
+             length(text) AS n_chars
+           FROM all_docs),
+         scored AS (
+           SELECT doc_id, source, text, n_tokens,
+             CASE
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh AND s_en > 0 THEN 'en'
+               WHEN s_de >= s_en AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh AND s_de > 0 THEN 'de'
+               WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+               WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh AND s_es > 0 THEN 'es'
+               WHEN s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_fr AND s_zh >= s_es AND s_zh > 0 THEN 'zh'
+               ELSE 'und' END AS lang,
+             least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+               + least(CAST(stop_hits AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5.0, 1.0) * 0.3
+               + (1.0 - least(CAST(punct_hits AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0)) * 0.2 AS quality
+           FROM sc),
+         f AS (SELECT * FROM scored WHERE quality >= 0.5 AND lang <> 'und'),
+         exs AS (
+           SELECT * FROM (
+             SELECT *, min(doc_id) OVER (
+               PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS keep
+             FROM f)
+           WHERE doc_id = keep),
+         words AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM exs),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+6], ' ') AS s
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 5)) AS i
+                 FROM words WHERE len(w) >= 7)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         prs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5),
+         edges AS (SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs),
+         reach(id, lbl) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+         cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         nd AS (SELECT * FROM exs
+                WHERE doc_id NOT IN (SELECT id FROM cc WHERE cluster_id <> id)),
+         bw AS (
+           SELECT regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM documents WHERE doc_id < 5),
+         bsh AS (
+           SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS s
+           FROM (SELECT w, unnest(range(1, len(w) - 3)) AS i FROM bw WHERE len(w) >= 5)),
+         nw AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+           FROM nd),
+         d5 AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+                 FROM nw WHERE len(w) >= 5)),
+         tot5 AS (SELECT doc_id, count(*) AS n_sh5 FROM d5 GROUP BY 1),
+         hit5 AS (SELECT doc_id, count(*) AS n_hits FROM d5
+                  WHERE s IN (SELECT s FROM bsh) GROUP BY 1),
+         contam AS (
+           SELECT t.doc_id FROM tot5 t LEFT JOIN hit5 h USING (doc_id)
+           WHERE CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(t.n_sh5 AS DOUBLE) >= 0.25),
+         clean AS (SELECT * FROM nd
+                   WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         counts AS (SELECT source, count(*) AS c FROM clean GROUP BY 1),
+         cmin AS (SELECT min(c) AS m FROM counts),
+         rates AS (SELECT source,
+             least(1.0, sqrt(CAST((SELECT m FROM cmin) AS DOUBLE) / CAST(c AS DOUBLE))) AS rate
+           FROM counts),
+         mixed AS (
+           SELECT cl.doc_id, cl.source, cl.n_tokens, cl.quality
+           FROM clean cl JOIN rates r USING (source)
+           WHERE ((cl.doc_id % 2147483647) * 1103515245 + 12345) % 2147483647
+                 < CAST(floor(r.rate * 2147483647.0) AS BIGINT)),
+         ha AS (SELECT *, xor(doc_id, (doc_id >> 32) + 11213) AS t0 FROM mixed),
+         hb AS (SELECT *, ((t0 % 2147483647) * 48271 + 11213) % 2147483647 AS t1 FROM ha),
+         hc AS (SELECT *, (xor(t1, t1 >> 15) * 1664525 + 1013904223) % 2147483647 AS h1 FROM hb),
+         hh AS (SELECT *, (xor(h1, h1 >> 13) * 22695477 + 77557187) % 2147483647 AS hv FROM hc)
+         SELECT source,
+           CASE WHEN hv < 1717986917 THEN 'train'
+                WHEN hv < 1932735282 THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           round(avg(quality), 4) AS avg_quality
+         FROM hh GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // the quadratic id-ordered triangle definition IS the oracle's
     // job; the engine's degree-oriented plan must enumerate the

@@ -63,6 +63,60 @@ class UsageSpec extends AnyFunSuite {
     assert(deduped.count() <= unique.count())
   }
 
+  test("usage §3b: the full pipeline, end to end") {
+    import graft.operators.{Decontam, Shuffle}
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source", "text")
+    val bench = docs.filter(col("doc_id") < 5)
+    // 1. score scan-side, gate on quality and language
+    val scored = GraftFrame(docs)
+      .mutate(
+        "lang" -> textfns.langId(col("text")),
+        "quality" -> textfns.qualityScore(col("text")),
+        "n_tokens" -> textfns.wsTokenCount(col("text")))
+      .filter(col("quality") >= 0.5 && col("lang") =!= "und")
+      .df
+    // 2. exact dedup
+    val unique = Dedup.exact(scored, "text", "doc_id")
+    // 3. near dedup
+    val pairs = Dedup.ngramJaccardPairs(unique, "doc_id", "text",
+      shingleN = 7, threshold = 0.5)
+    val deduped = Dedup.dedupNear(unique, "doc_id", pairs)
+    // 4. decontaminate
+    val flagged = Decontam.contaminated(deduped, bench, "doc_id", "text",
+      threshold = 0.25, shingleN = 5).select("doc_id")
+    val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
+    // 5. temperature mixing
+    val counts = clean.groupBy("source").agg(count(lit(1)).as("c"))
+    val rates = counts.crossJoin(broadcast(counts.agg(min(col("c")).as("m"))))
+      .select(col("source"), least(lit(1.0),
+        sqrt(col("m").cast("double") / col("c").cast("double"))).as("rate"))
+    val mixed = clean.join(broadcast(rates), "source")
+      .withColumn("h", ((col("doc_id") % lit(2147483647L)) * lit(1103515245L)
+        + lit(12345L)) % lit(2147483647L))
+      .filter(col("h") < floor(col("rate") * lit(2147483647.0)).cast("long"))
+    // 6. reproducible 80/10/10 split
+    val split = mixed.withColumn("h2",
+        Shuffle.decisionHash(col("doc_id"), 48271L, 11213L))
+      .withColumn("split", when(col("h2") < lit(1717986917L), lit("train"))
+        .when(col("h2") < lit(1932735282L), lit("valid"))
+        .otherwise(lit("test")))
+    val rows = split.collect()
+    // stage monotonicity: each gate can only remove rows, and the
+    // final frame carries every stage's columns (the cross-operator
+    // contract the composed cur24 oracle pins value-exactly)
+    assert(rows.nonEmpty)
+    assert(rows.length <= clean.count())
+    val splits = rows.map(_.getString(rows.head.fieldIndex("split"))).toSet
+    assert(splits.subsetOf(Set("train", "valid", "test")))
+    Seq("doc_id", "source", "lang", "quality", "n_tokens", "split")
+      .foreach(c => assert(split.columns.contains(c), s"missing column $c"))
+    // the benchmark docs themselves can never reach the training mix
+    val benchIds = bench.collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => !benchIds.contains(
+      r.getLong(r.fieldIndex("doc_id")))))
+  }
+
   test("usage §4: ANN exact + IVF-PQ") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val queries = emb.limit(8)
