@@ -2522,6 +2522,44 @@ object SparkEntry {
         .orderBy(col("source").asc, col("split").asc)
     }),
 
+    "txt25_gopher" -> ((s, dir) => {
+      // the PUBLISHED hard quality heuristics (Rae et al. 2021,
+      // Gopher §A1.1; C4 shares the shape) applied verbatim — the
+      // rule set production corpus filters run before any soft score:
+      // word-count bounds, mean-word-length bounds, symbol-to-word
+      // ratio, bullet/ellipsis line ratios, alpha-word ratio,
+      // required-stopword evidence. Everything is a scan-side
+      // `functions._` composition (codegen, no UDF) whose ratios are
+      // exact integer-derived divisions, so every threshold
+      // comparison replays bit-for-bit in DuckDB. Planted docs
+      // (+40000) violate exactly one rule family each (plus one that
+      // passes all seven) so the oracle pins each rule's firing, not
+      // just the conjunction.
+      import s.implicits._
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = Seq(
+        40000L -> (("• the point of and with list\n" * 10) + "end"),
+        40001L -> ("# tag of the and " * 20),
+        40002L -> "too short to keep",
+        40003L -> ("pneumonoultramicroscopicsilicovolcanoconiosis of the to " * 15),
+        40004L -> (("to be continued...\n" * 12) + "end"),
+        40005L -> ("12345 6789 of the " * 25),
+        40006L -> (("the quick brown fox jumps over a lazy dog with zeal " +
+          "and grace to be of good cheer that day have fun ") * 5)
+      ).toDF("doc_id", "text")
+      d.unionByName(planted)
+        .select(col("doc_id"),
+          textfns.wsTokenCount(col("text")).as("n_words"),
+          round(textfns.meanWordLen(col("text")), 4).as("mean_word_len"),
+          round(textfns.symbolWordRatio(col("text")), 4).as("symbol_ratio"),
+          round(textfns.bulletLineRatio(col("text")), 4).as("bullet_ratio"),
+          round(textfns.ellipsisLineRatio(col("text")), 4).as("ellipsis_ratio"),
+          round(textfns.alphaWordRatio(col("text")), 4).as("alpha_ratio"),
+          textfns.stopwordDistinct(col("text")).as("stop_distinct"),
+          textfns.gopherKeep(col("text")).as("keep"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     "q64_triangles" -> ((s, dir) => {
       // per-node triangle counts on the cur14 citation graph — the
       // local-clustering companion to PageRank's global authority
@@ -5125,6 +5163,65 @@ object SparkEntry {
            CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
            round(avg(quality), 4) AS avg_quality
          FROM hh GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // every ratio is an exact division of integer-derived counts, so
+    // the threshold comparisons in `keep` replay bit-for-bit; planted
+    // docs are rebuilt verbatim with repeat()/chr(10)
+    "txt25_gopher" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT 40000,
+             repeat('• the point of and with list' || chr(10), 10) || 'end'
+           UNION ALL SELECT 40001, repeat('# tag of the and ', 20)
+           UNION ALL SELECT 40002, 'too short to keep'
+           UNION ALL SELECT 40003,
+             repeat('pneumonoultramicroscopicsilicovolcanoconiosis of the to ', 15)
+           UNION ALL SELECT 40004,
+             repeat('to be continued...' || chr(10), 12) || 'end'
+           UNION ALL SELECT 40005, repeat('12345 6789 of the ', 25)
+           UNION ALL SELECT 40006,
+             repeat('the quick brown fox jumps over a lazy dog with zeal '
+               || 'and grace to be of good cheer that day have fun ', 5)),
+         sc AS (
+           SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+             length(regexp_replace(text, '\s+', '', 'g')) AS n_wchars,
+             len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_sym,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> regexp_matches(x, '[A-Za-z]'))) END AS n_alpha,
+             string_split(text, chr(10)) AS ls
+           FROM all_docs),
+         m AS (
+           SELECT doc_id, n_words,
+             CASE WHEN n_words <= 0 THEN 0.0
+                  ELSE CAST(n_wchars AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mwl,
+             CASE WHEN n_words <= 0 THEN 0.0
+                  ELSE CAST(n_sym AS DOUBLE) / CAST(n_words AS DOUBLE) END AS symr,
+             CAST(len(list_filter(ls, x -> regexp_matches(trim(x), '^[-*•‣▪]'))) AS DOUBLE)
+               / CAST(greatest(len(ls), 1) AS DOUBLE) AS bulr,
+             CAST(len(list_filter(ls, x -> regexp_matches(trim(x), '(\.\.\.|…)$'))) AS DOUBLE)
+               / CAST(greatest(len(ls), 1) AS DOUBLE) AS ellr,
+             CASE WHEN n_words <= 0 THEN 0.0
+                  ELSE CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) END AS alpr,
+             (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END) AS sd
+           FROM sc)
+         SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+           round(mwl, 4) AS mean_word_len, round(symr, 4) AS symbol_ratio,
+           round(bulr, 4) AS bullet_ratio, round(ellr, 4) AS ellipsis_ratio,
+           round(alpr, 4) AS alpha_ratio, CAST(sd AS INTEGER) AS stop_distinct,
+           (n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+             AND symr <= 0.1 AND bulr <= 0.9 AND ellr <= 0.3
+             AND alpr >= 0.8 AND sd >= 2 AS keep
+         FROM m ORDER BY doc_id""",
 
     // the quadratic id-ordered triangle definition IS the oracle's
     // job; the engine's degree-oriented plan must enumerate the

@@ -160,4 +160,95 @@ object textfns {
     when(total <= 0 || dist === 0, lit(0.0))
       .otherwise(lit(1.0) - dist.cast("double") / total.cast("double"))
   }
+
+  // --- Gopher-style repetition-free quality RULES (Rae et al. 2021,
+  // "Scaling Language Models" §A1.1; the C4 pipeline of Raffel et al.
+  // 2020 shares the shape). Unlike [[qualityScore]]'s soft composite,
+  // these are the published HARD heuristics production corpus filters
+  // apply verbatim — each metric is a pure `functions._` composition
+  // (codegen scan-side, no UDF) engineered to replay in portable SQL:
+  // ratios are exact divisions of integer-derived counts, so
+  // threshold comparisons agree bit-for-bit across engines.
+
+  /** Whitespace-split word array; empty for blank/null text (a bare
+    * `split` of an empty string yields one phantom "" token). */
+  private def wsWords(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Newline-split lines (no trimming — a document IS its lines). */
+  private def nlLines(text: Column): Column = split(text, "\n")
+
+  /** Mean characters per whitespace word (0.0 for empty text):
+    * total non-whitespace chars / word count. Gopher keeps documents
+    * with mean word length in [3, 10]. */
+  def meanWordLen(text: Column): Column = {
+    val n = wsTokenCount(text)
+    when(n <= 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "\\s+", "")).cast("double")
+        / n.cast("double"))
+  }
+
+  /** Hash-symbol / ellipsis occurrences per word (Gopher's
+    * symbol-to-word ratio; keep ≤ 0.1). Counts '#', '...' and '…';
+    * left-to-right non-overlapping matching is identical in Java
+    * regex and RE2. */
+  def symbolWordRatio(text: Column): Column = {
+    val n = wsTokenCount(text)
+    when(n <= 0, lit(0.0)).otherwise(
+      size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0)))
+        .cast("double") / n.cast("double"))
+  }
+
+  /** Fraction of words containing at least one ASCII alphabetic
+    * character (Gopher keeps ≥ 0.8 — filters digit soup and
+    * separator-art). */
+  def alphaWordRatio(text: Column): Column = {
+    val ws = wsWords(text)
+    when(size(ws) <= 0, lit(0.0)).otherwise(
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double")
+        / size(ws).cast("double"))
+  }
+
+  /** Fraction of lines starting with a bullet glyph (Gopher keeps
+    * ≤ 0.9). */
+  def bulletLineRatio(text: Column): Column = {
+    val ls = nlLines(text)
+    size(filter(ls, l => trim(l).rlike("^[-*•‣▪]"))).cast("double") /
+      greatest(size(ls), lit(1)).cast("double")
+  }
+
+  /** Fraction of lines ending with an ellipsis (Gopher keeps ≤ 0.3). */
+  def ellipsisLineRatio(text: Column): Column = {
+    val ls = nlLines(text)
+    size(filter(ls, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") /
+      greatest(size(ls), lit(1)).cast("double")
+  }
+
+  /** Gopher's required-stopword list. */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** How many DISTINCT [[GopherStops]] words the text contains as
+    * whole words (Gopher keeps ≥ 2 — the minimal running-English
+    * evidence). */
+  def stopwordDistinct(text: Column): Column =
+    GopherStops.map(w =>
+      when(lower(text).rlike("\\b" + w + "\\b"), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** The composed Gopher keep decision at the published defaults:
+    * 50 ≤ words ≤ 100000, 3 ≤ mean word length ≤ 10, symbol ratio
+    * ≤ 0.1, bullet lines ≤ 0.9, ellipsis lines ≤ 0.3, alpha-word
+    * ratio ≥ 0.8, ≥ 2 distinct required stopwords. Compose with
+    * [[repetitionRatio]] for the duplicated-n-gram family (declared
+    * separately as txt9). */
+  def gopherKeep(text: Column): Column =
+    wsTokenCount(text).between(50, 100000) &&
+      meanWordLen(text).between(3.0, 10.0) &&
+      symbolWordRatio(text) <= 0.1 &&
+      bulletLineRatio(text) <= 0.9 &&
+      ellipsisLineRatio(text) <= 0.3 &&
+      alphaWordRatio(text) >= 0.8 &&
+      stopwordDistinct(text) >= 2
 }

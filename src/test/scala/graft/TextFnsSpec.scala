@@ -136,4 +136,47 @@ class TextFnsSpec extends AnyFunSuite {
     assert(math.abs(got("looping") - (1.0 - 3.0 / 7.0)) < 1e-12)
     assert(got("short") == 0.0)
   }
+
+  test("gopher rules: per-metric hand values and keep edge semantics") {
+    import spark.implicits._
+    val passText = ("the quick brown fox jumps over a lazy dog with zeal " +
+      "and grace to be of good cheer that day have fun ") * 5
+    val d = Seq(
+      ("",                       "empty"),
+      ("   ",                    "blank"),
+      ("# a # b",                "symbols"),   // 4 words, 2 '#' → 0.5
+      ("- x\nplain\n- y",        "bullets"),   // 2 of 3 lines bulleted
+      ("done...\nnext",          "ellipsis"),  // 1 of 2 lines
+      ("abc 123 x9",             "alpha"),     // 2 of 3 words alphabetic
+      (passText,                 "pass")
+    ).toDF("t", "k")
+    val got = d.select(col("k"),
+      textfns.meanWordLen(col("t")).as("mwl"),
+      textfns.symbolWordRatio(col("t")).as("sym"),
+      textfns.bulletLineRatio(col("t")).as("bul"),
+      textfns.ellipsisLineRatio(col("t")).as("ell"),
+      textfns.alphaWordRatio(col("t")).as("alp"),
+      textfns.stopwordDistinct(col("t")).as("sd"),
+      textfns.gopherKeep(col("t")).as("keep"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // empty/blank text: every ratio 0.0, never kept
+    Seq("empty", "blank").foreach { k =>
+      val r = got(k)
+      assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0 &&
+        r.getDouble(5) == 0.0 && !r.getBoolean(7), k)
+    }
+    assert(got("symbols").getDouble(2) == 0.5)
+    assert(got("bullets").getDouble(3) == 2.0 / 3.0)
+    assert(got("ellipsis").getDouble(4) == 0.5)
+    assert(got("alpha").getDouble(5) == 2.0 / 3.0)
+    // the pass fixture clears all seven published thresholds
+    val p = got("pass")
+    assert(p.getBoolean(7), p.toString)
+    assert(p.getInt(6) == 8) // all eight Gopher stopwords present
+    // the word-count ceiling flips keep off on otherwise-clean text
+    val many = Seq((("the of " * 60000) + "and be").trim).toDF("t")
+      .select(textfns.wsTokenCount(col("t")).as("n"),
+        textfns.gopherKeep(col("t")).as("keep")).collect()(0)
+    assert(many.getInt(0) > 100000 && !many.getBoolean(1))
+  }
 }

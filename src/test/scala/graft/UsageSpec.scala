@@ -117,6 +117,25 @@ class UsageSpec extends AnyFunSuite {
       r.getLong(r.fieldIndex("doc_id")))))
   }
 
+  test("usage §5 gopher rules snippet") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val gated = docs.select(col("doc_id"),
+      textfns.meanWordLen(col("text")).as("mean_word_len"),
+      textfns.symbolWordRatio(col("text")).as("symbol_ratio"),
+      textfns.alphaWordRatio(col("text")).as("alpha_ratio"),
+      textfns.bulletLineRatio(col("text")).as("bullet_ratio"),
+      textfns.ellipsisLineRatio(col("text")).as("ellipsis_ratio"),
+      textfns.stopwordDistinct(col("text")).as("stop_distinct"),
+      textfns.gopherKeep(col("text")).as("keep"))
+    val rows = gated.collect()
+    assert(rows.length == docs.count())
+    // ratios are ratios
+    rows.filter(!_.anyNull).foreach { r =>
+      Seq(1, 2, 3, 4, 5).foreach(i =>
+        assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= (if (i == 1) 1e9 else 1.0)))
+    }
+  }
+
   test("usage §4: ANN exact + IVF-PQ") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val queries = emb.limit(8)
