@@ -2560,6 +2560,72 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    "cur25_gram" -> ((s, dir) => {
+      // distributed covariance sufficient statistics (the XᵀX pass
+      // behind PCA/whitening): ONE GramMatrix aggregate over
+      // scan-side micro-quantized vectors — each task ships a fixed
+      // ~17 KB buffer (never N·d²/2 product rows), and the integer
+      // sums make the result bit-identical at any partitioning and
+      // DuckDB-replayable (the oracle rebuilds the same sums from an
+      // index explode + self-join — the quadratic definition is the
+      // ORACLE's job, the engine never runs it).
+      graft.similarity.Pca.gram(t(s, dir, "embeddings"), "embedding",
+          d = 64, scale = 10000L)
+        .orderBy(col("i").asc, col("j").asc)
+    }),
+
+    "ann13_pca_recall" -> ((s, dir) => {
+      // MEASURED recall gate for PCA-accelerated search (the FAISS
+      // PCA/OPQ preprocessing, deployed the production way: a COARSE
+      // shortlist in the reduced space + exact rerank in the original
+      // space — the repo's sketch-then-exact-verify discipline, so
+      // recall depends on shortlist MEMBERSHIP, not on 16 dims
+      // ordering the top-10 correctly). Fit = exact integer Gram pass
+      // + deterministic driver Jacobi; projection scan-side; the
+      // rerank joins the ≤100·Q shortlist back to raw vectors by id
+      // (one broadcast, one column-pruned scan — nothing quadratic).
+      // Also reports the captured-variance fraction (the fixture's
+      // flat spectrum: ~0.38 at 16/64 — which is exactly why the
+      // rerank deployment is the one that works). Rows-only by
+      // design (eigenvectors are engine-internal; PcaSpec pins the
+      // floor).
+      val emb = t(s, dir, "embeddings")
+      val full = graft.similarity.Pca.fit(emb, "embedding", d = 64, k = 64)
+      val model = graft.similarity.Pca.PcaModel(full.means,
+        full.components.take(16), full.variances.take(16))
+      val varCaptured = model.variances.sum / full.variances.sum
+      val proj = graft.similarity.Pca.project(emb, "embedding", model, "pca")
+        .select(col("vec_id"), col("pca").cast("array<float>").as("embedding"))
+      val k = 10
+      val exact = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
+          k = k, quantized = true)
+        .select(col("query_id"), col("neighbor_id"))
+      val short = Ann.bruteForceTopK(proj, proj.filter(col("vec_id") < 20),
+          k = 100)
+        .select(col("query_id"), col("neighbor_id"))
+      val qv = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+      val reranked = emb
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("__nv"))
+        .join(broadcast(short), Seq("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .withColumn("score",
+          graft.expressions.GraftFunctions.graft_cosine(col("__nv"), col("__qv")))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(col("score").desc, col("neighbor_id").asc)))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      exact.join(reranked, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg((count(col("__hit")).cast("double") / count(lit(1))).as("recall"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(col("recall")), 4).as("recall_at_10"))
+        .select(lit("pca16_short100_rerank").as("method"), col("n_queries"),
+          col("recall_at_10"),
+          round(lit(varCaptured), 4).as("var_captured"))
+    }),
+
     "q64_triangles" -> ((s, dir) => {
       // per-node triangle counts on the cur14 citation graph — the
       // local-clustering companion to PageRank's global authority
@@ -5222,6 +5288,32 @@ object SparkEntry {
              AND symr <= 0.1 AND bulr <= 0.9 AND ellr <= 0.3
              AND alpr >= 0.8 AND sd >= 2 AS keep
          FROM m ORDER BY doc_id""",
+
+    // the oracle rebuilds the exact integer Gram sums by the
+    // quadratic definition (index explode + per-vector self-join) —
+    // the formulation the engine's fixed-buffer aggregate exists to
+    // avoid at scale, which is exactly what makes it an independent
+    // check
+    "cur25_gram" ->
+      """WITH q AS (
+           SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings WHERE embedding IS NOT NULL),
+         e AS (
+           SELECT vec_id, ix.i AS i, qv[ix.i + 1] AS qval
+           FROM q, (SELECT unnest(range(0, 64)) AS i) ix),
+         m AS (SELECT i, sum(qval) AS mi FROM e GROUP BY 1),
+         p AS (
+           SELECT a.i AS i, b.i AS j, sum(a.qval * b.qval) AS s
+           FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+           GROUP BY 1, 2),
+         nn AS (SELECT count(*) AS n FROM q)
+         SELECT p.i, p.j, (SELECT n FROM nn) AS n,
+           CAST(ma.mi AS BIGINT) AS m_i, CAST(mb.mi AS BIGINT) AS m_j,
+           CAST(p.s AS BIGINT) AS s_ij
+         FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+         ORDER BY p.i, p.j""",
 
     // the quadratic id-ordered triangle definition IS the oracle's
     // job; the engine's degree-oriented plan must enumerate the

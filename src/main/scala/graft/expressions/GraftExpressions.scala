@@ -425,6 +425,13 @@ object GraftFunctions {
       Bridge.expression(sortedArr.cast("array<double>")),
       Bridge.expression(v.cast("double"))))
 
+  /** One-pass exact Gram/moment aggregate over quantized vectors —
+    * see [[GramMatrix]]. Input is cast to array<bigint>. */
+  def graft_gram(vec: Column, d: Int): Column =
+    Bridge.column(GramMatrix(
+      Bridge.expression(vec.cast("array<bigint>")), d)
+      .toAggregateExpression())
+
   /** Bounded bottom-k aggregate — see [[BoundedTopK]]. `keys` are cast
     * to double; descending order = negate the key. */
   def graft_bounded_topk(payload: Column, keys: Seq[Column], k: Int): Column =

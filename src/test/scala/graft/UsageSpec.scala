@@ -136,6 +136,17 @@ class UsageSpec extends AnyFunSuite {
     }
   }
 
+  test("usage §4d: PCA fit + project snippet") {
+    import graft.similarity.Pca
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val model = Pca.fit(emb, "embedding", d = 64, k = 16)
+    val proj = Pca.project(emb, "embedding", model, outCol = "pca")
+    val r = proj.select(col("pca")).collect()
+    assert(r.nonEmpty && r.forall(_.getSeq[Double](0).length == 16))
+    assert(model.variances.length == 16 &&
+      model.variances.zip(model.variances.tail).forall { case (a, b) => a >= b })
+  }
+
   test("usage §4: ANN exact + IVF-PQ") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val queries = emb.limit(8)
