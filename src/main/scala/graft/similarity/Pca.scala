@@ -173,6 +173,22 @@ object Pca {
     s
   }
 
+  /** [[project]] + per-component variance normalization (divide each
+    * coordinate by √eigenvalue) — PCA WHITENING, the "all-but-the-top"
+    * style post-processing that equalizes component scales so cosine/
+    * L2 in the reduced space stops being dominated by the first
+    * component. Components with eigenvalue ≤ `eps` pass through
+    * unscaled (a zero-variance direction carries no signal to
+    * equalize — dividing by ~0 would amplify quantization noise). */
+  def whiten(emb: DataFrame, vecCol: String, model: PcaModel,
+             outCol: String = "pca_w", eps: Double = 1e-12): DataFrame = {
+    val scales = model.variances.map(v =>
+      if (v <= eps) 1.0 else 1.0 / math.sqrt(v))
+    val projected = project(emb, vecCol, model, outCol)
+    projected.withColumn(outCol,
+      zip_with(col(outCol), typedlit(scales.toSeq), (x, s) => x * s))
+  }
+
   /** Project `vecCol` onto the model's components: output column
     * `outCol` is `array<double>` of length model.k, computed
     * scan-side over the broadcast basis (k zip_with/aggregate dot

@@ -126,6 +126,31 @@ class PcaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Pca.fit(df, "embedding", 2, 1) }
   }
 
+  test("whiten: unit variance per component; zero-variance passthrough") {
+    val rnd = new scala.util.Random(23)
+    val d = 6
+    val vs = Seq.fill(300)(Array.fill(d)((rnd.nextDouble() - 0.5).toFloat))
+    val df = vecsDf(vs)
+    val model = Pca.fit(df, "embedding", d, k = 3, scale = 100000L)
+    val w = Pca.whiten(df, "embedding", model)
+      .select(col("pca_w")).collect().map(_.getSeq[Double](0))
+    val n = w.length
+    (0 until 3).foreach { c =>
+      val xs = w.map(_(c))
+      val mu = xs.sum / n
+      val varc = xs.map(x => (x - mu) * (x - mu)).sum / (n - 1)
+      // tolerance: the variance estimate rides float32 inputs through
+      // scale-1e5 quantization — a few 1e-6 of drift is expected
+      assert(math.abs(varc - 1.0) < 1e-4, s"component $c variance $varc")
+    }
+    // a planted zero-variance direction passes through unscaled
+    val flat = vecsDf(Seq.fill(50)(Array(1.0f, 2.0f)))
+    val m2 = Pca.fit(flat, "embedding", 2, k = 2)
+    val w2 = Pca.whiten(flat, "embedding", m2)
+      .select(col("pca_w")).collect().map(_.getSeq[Double](0))
+    assert(w2.forall(r => r.forall(x => math.abs(x) < 1e-6)))
+  }
+
   test("declared pca recall gate (ann13): shortlist+rerank floor") {
     // the fixture embeddings have a deliberately FLAT spectrum
     // (var_captured ≈ 0.38 at 16/64 dims — the hardest case for
