@@ -2574,6 +2574,70 @@ object SparkEntry {
         .orderBy(col("i").asc, col("j").asc)
     }),
 
+    "cur26_corr" -> ((s, dir) => {
+      // Pearson correlation matrix from cur25's exact integer
+      // statistics — the feature-redundancy report (|corr|≈1 pairs
+      // are drop candidates before PCA/indexing). Fixed DOUBLE
+      // operation order over BIGINT-exact sums, so DuckDB replays
+      // bit-for-bit pre-rounding; 6dp on both sides per §4.
+      graft.similarity.Pca.correlation(t(s, dir, "embeddings"),
+          "embedding", d = 64, scale = 10000L)
+        .select(col("i"), col("j"), round(col("corr"), 6).as("corr"))
+        .orderBy(col("i").asc, col("j").asc)
+    }),
+
+    "q66_tpch_q10" -> ((s, dir) => {
+      // TPC-H Q10 (returned-item revenue by customer over one
+      // quarter), adapted to the fixture's columns and 1995–2001 date
+      // range. The nation dimension broadcasts; revenue sums are
+      // CENTS-QUANTIZED (exact integer sum — no float summation-order
+      // dependence, the q63 discipline) then scaled back; the LIMIT
+      // rides a total order (revenue desc, custkey asc).
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .withColumn("rev_c", floor(col("l_extendedprice")
+          * (lit(1.0) - col("l_discount")) * 100.0 + 0.5).cast("long"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1995-07-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1995-10-01")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg((sum(col("rev_c")).cast("double") / 100.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    "q67_tpch_q7" -> ((s, dir) => {
+      // TPC-H Q7 (bilateral shipping volume between two nations by
+      // year): the two nation dimensions broadcast PRE-FILTERED to
+      // the pair, so the join fan-in shrinks scan-side before the
+      // cross-pair predicate; revenue cents-quantized as in q66.
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("l_shipdate") <= to_timestamp(lit("1996-12-31")))
+        .withColumn("vol_c", floor(col("l_extendedprice")
+          * (lit(1.0) - col("l_discount")) * 100.0 + 0.5).cast("long"))
+        .withColumn("l_year", year(col("l_shipdate")))
+      li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((sum(col("vol_c")).cast("double") / 100.0).as("revenue"))
+        .orderBy(col("supp_nation").asc, col("cust_nation").asc,
+          col("l_year").asc)
+    }),
+
     "ann13_pca_recall" -> ((s, dir) => {
       // MEASURED recall gate for PCA-accelerated search (the FAISS
       // PCA/OPQ preprocessing, deployed the production way: a COARSE
@@ -5314,6 +5378,72 @@ object SparkEntry {
            CAST(p.s AS BIGINT) AS s_ij
          FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
          ORDER BY p.i, p.j""",
+
+    // same statistics as cur25, pushed through the fixed-order
+    // Pearson formula in DOUBLE — bit-identical pre-rounding
+    "cur26_corr" ->
+      """WITH q AS (
+           SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings WHERE embedding IS NOT NULL),
+         e AS (
+           SELECT vec_id, ix.i AS i, qv[ix.i + 1] AS qval
+           FROM q, (SELECT unnest(range(0, 64)) AS i) ix),
+         m AS (SELECT i, CAST(sum(qval) AS BIGINT) AS mi FROM e GROUP BY 1),
+         p AS (
+           SELECT a.i AS i, b.i AS j, CAST(sum(a.qval * b.qval) AS BIGINT) AS s
+           FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+           GROUP BY 1, 2),
+         nn AS (SELECT count(*) AS n FROM q),
+         dg AS (SELECT i AS dk, s AS ds FROM p WHERE i = j),
+         c AS (
+           SELECT p.i, p.j,
+             CAST((SELECT n FROM nn) AS DOUBLE) * CAST(p.s AS DOUBLE)
+               - CAST(ma.mi AS DOUBLE) * CAST(mb.mi AS DOUBLE) AS numer,
+             CAST((SELECT n FROM nn) AS DOUBLE) * CAST(da.ds AS DOUBLE)
+               - CAST(ma.mi AS DOUBLE) * CAST(ma.mi AS DOUBLE) AS vi,
+             CAST((SELECT n FROM nn) AS DOUBLE) * CAST(db.ds AS DOUBLE)
+               - CAST(mb.mi AS DOUBLE) * CAST(mb.mi AS DOUBLE) AS vj
+           FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+           JOIN dg da ON da.dk = p.i JOIN dg db ON db.dk = p.j)
+         SELECT i, j,
+           CASE WHEN vi <= 0.0 OR vj <= 0.0 THEN NULL
+                ELSE round(numer / sqrt(vi * vj), 6) END AS corr
+         FROM c ORDER BY i, j""",
+
+    "q66_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+             * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1995-07-01'
+           AND o_orderdate < TIMESTAMP '1995-10-01'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    "q67_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+             * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+           AND n2.n_name IN ('NATION_1', 'NATION_2')
+           AND n1.n_name <> n2.n_name
+           AND l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate <= TIMESTAMP '1996-12-31'
+         GROUP BY 1, 2, 3
+         ORDER BY 1, 2, 3""",
 
     // the quadratic id-ordered triangle definition IS the oracle's
     // job; the engine's degree-oriented plan must enumerate the

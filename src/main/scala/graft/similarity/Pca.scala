@@ -52,6 +52,40 @@ object Pca {
         element_at(col("products"), (col("idx") + 1).cast("int")).as("s_ij"))
   }
 
+  /** Pearson correlation matrix (upper triangle) from [[gram]]'s
+    * exact statistics: corr_ij = (n·S_ij − m_i·m_j) /
+    * √((n·S_ii − m_i²)(n·S_jj − m_j²)), evaluated in DOUBLE with one
+    * fixed operation order so any engine replaying the formula over
+    * the same integer sums computes the bit-identical result (rounded
+    * 6dp in the declared query). Zero-variance dimensions yield null
+    * (correlation undefined), never a division artifact. The feature-
+    * redundancy report for embedding pipelines: |corr| ≈ 1 pairs are
+    * candidates for dropping before PCA/indexing. Cost on top of the
+    * one [[gram]] pass: joins over the d(d+1)/2-row statistics table
+    * — driver-trivial at any corpus size. */
+  def correlation(emb: DataFrame, vecCol: String, d: Int,
+                  scale: Long = 10000L): DataFrame = {
+    val gm = gram(emb, vecCol, d, scale)
+    val diag = gm.filter(col("i") === col("j"))
+      .select(col("i").as("dk"), col("m_i").as("dm"), col("s_ij").as("ds"))
+    def varTerm(mCol: Column, sCol: Column): Column =
+      col("n").cast("double") * sCol.cast("double") -
+        mCol.cast("double") * mCol.cast("double")
+    gm.join(broadcast(diag.select(col("dk").as("i"),
+        col("dm").as("__mi"), col("ds").as("__sii"))), Seq("i"))
+      .join(broadcast(diag.select(col("dk").as("j"),
+        col("dm").as("__mj"), col("ds").as("__sjj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        when(varTerm(col("__mi"), col("__sii")) <= 0.0 ||
+             varTerm(col("__mj"), col("__sjj")) <= 0.0, lit(null).cast("double"))
+          .otherwise(
+            (col("n").cast("double") * col("s_ij").cast("double")
+              - col("m_i").cast("double") * col("m_j").cast("double")) /
+            sqrt(varTerm(col("__mi"), col("__sii"))
+              * varTerm(col("__mj"), col("__sjj"))))
+          .as("corr"))
+  }
+
   /** q = ⌊v·scale + 0.5⌋ per element — the micro-quantization every
     * exact-replay operator here uses. */
   private def quantize(vec: Column, scale: Long): Column =

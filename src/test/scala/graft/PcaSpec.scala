@@ -164,6 +164,26 @@ class PcaSpec extends AnyFunSuite {
     assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 1.0) // var fraction
   }
 
+  test("correlation: diagonal 1, hand-built perfect/anti/null cases") {
+    import graft.similarity.Pca
+    // col0 = t, col1 = 2t (corr +1), col2 = -t (corr -1), col3 = const
+    // (zero variance -> null)
+    val vs = (1 to 100).map(t =>
+      Array(t.toFloat, 2f * t, -t.toFloat, 5f))
+    val df = vecsDf(vs)
+    val got = Pca.correlation(df, "embedding", 4, scale = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got((0L, 0L)) == Some(1.0))
+    assert(got((1L, 1L)) == Some(1.0))
+    assert(math.abs(got((0L, 1L)).get - 1.0) < 1e-12)
+    assert(math.abs(got((0L, 2L)).get + 1.0) < 1e-12)
+    assert(got((0L, 3L)).isEmpty && got((3L, 3L)).isEmpty,
+      "zero-variance column must yield null, not a division artifact")
+    assert(got.size == 10) // upper triangle of 4x4
+  }
+
   test("gram plan: partial aggregation, no self-join, one exchange") {
     val df = vecsDf(Seq.fill(50)(Array(0.1f, 0.2f, 0.3f)))
     val q = Pca.gram(df, "embedding", 3)
