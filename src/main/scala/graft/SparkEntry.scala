@@ -2574,6 +2574,40 @@ object SparkEntry {
         .orderBy(col("i").asc, col("j").asc)
     }),
 
+    "txt26_c4" -> ((s, dir) => {
+      // the C4 cleaner (Raffel et al. 2020 §2.2) — the OTHER published
+      // pipeline next to txt25's Gopher gates, and a REWRITE rather
+      // than a gate: keep only prose-shaped lines (terminal
+      // punctuation + ≥5 words), then gate pages on ≥3 sentences and
+      // the lorem-ipsum / curly-brace markers. The cleaned text is
+      // compared by md5 fingerprint (the txt4 discipline — DuckDB
+      // recomputes the digest of ITS OWN rewrite, so the transform is
+      // verified byte-exactly without shipping megabytes through the
+      // hash compare). Planted docs (+50000) pin each rule.
+      import s.implicits._
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = Seq(
+        50000L -> ("This is a good first sentence with many words.\n" +
+          "short line\n" +
+          "Another proper sentence is here again today."),
+        50001L -> "Lorem Ipsum dolor sit amet consectetur adipiscing elit sed.",
+        50002L -> ("function foo() { return 1; }\n" +
+          "A code page example here with prose words."),
+        50003L -> "One sentence only lives here today.",
+        50004L -> ("A first proper sentence stands here.\n" +
+          "A second proper sentence stands here!\n" +
+          "Does a third proper sentence stand here?")
+      ).toDF("doc_id", "text")
+      d.unionByName(planted)
+        .select(col("doc_id"),
+          size(split(coalesce(col("text"), lit("")), "\n")).as("n_lines"),
+          textfns.c4KeptLineCount(col("text")).as("n_kept"),
+          textfns.c4SentenceCount(col("text")).as("n_sentences"),
+          textfns.c4Keep(col("text")).as("keep"),
+          md5(encode(textfns.c4CleanLines(col("text")), "UTF-8")).as("clean_fp"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     "cur26_corr" -> ((s, dir) => {
       // Pearson correlation matrix from cur25's exact integer
       // statistics — the feature-redundancy report (|corr|≈1 pairs
@@ -5378,6 +5412,45 @@ object SparkEntry {
            CAST(p.s AS BIGINT) AS s_ij
          FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
          ORDER BY p.i, p.j""",
+
+    // the oracle performs the SAME rewrite and digests its own output
+    // — the transform is verified byte-exactly via the fingerprint
+    "txt26_c4" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT 50000,
+             'This is a good first sentence with many words.' || chr(10)
+             || 'short line' || chr(10)
+             || 'Another proper sentence is here again today.'
+           UNION ALL SELECT 50001,
+             'Lorem Ipsum dolor sit amet consectetur adipiscing elit sed.'
+           UNION ALL SELECT 50002,
+             'function foo() { return 1; }' || chr(10)
+             || 'A code page example here with prose words.'
+           UNION ALL SELECT 50003, 'One sentence only lives here today.'
+           UNION ALL SELECT 50004,
+             'A first proper sentence stands here.' || chr(10)
+             || 'A second proper sentence stands here!' || chr(10)
+             || 'Does a third proper sentence stand here?'),
+         base AS (
+           SELECT doc_id, coalesce(text, '') AS t,
+             string_split(coalesce(text, ''), chr(10)) AS ls
+           FROM all_docs),
+         m AS (
+           SELECT doc_id, len(ls) AS n_lines,
+             list_filter(ls, x -> regexp_matches(trim(x), '[.!?]$')
+               AND len(regexp_split_to_array(trim(x), '\s+')) >= 5
+               AND length(trim(x)) > 0) AS kept,
+             len(regexp_extract_all(t, '[.!?]+')) AS n_sentences,
+             t
+           FROM base)
+         SELECT doc_id, CAST(n_lines AS INTEGER) AS n_lines,
+           CAST(len(kept) AS INTEGER) AS n_kept,
+           CAST(n_sentences AS INTEGER) AS n_sentences,
+           n_sentences >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+             AND NOT contains(t, '{') AS keep,
+           md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_fp
+         FROM m ORDER BY doc_id""",
 
     // same statistics as cur25, pushed through the fixed-order
     // Pearson formula in DOUBLE — bit-identical pre-rounding

@@ -237,6 +237,40 @@ object textfns {
       when(lower(text).rlike("\\b" + w + "\\b"), 1).otherwise(0))
       .reduce(_ + _)
 
+  // --- C4-style LINE-level cleaning (Raffel et al. 2020 §2.2): where
+  // Gopher gates whole documents, C4 first REWRITES them — keep only
+  // lines that read like prose (terminal punctuation + ≥5 words),
+  // then gate on sentence count and page-level artifacts. Null text
+  // is treated as empty on every path (metrics 0/false, never null).
+
+  /** Line-keep predicate of the C4 cleaner: trimmed line ends in
+    * terminal punctuation and carries ≥ 5 whitespace words. */
+  private def c4LineKeep(l: Column): Column =
+    trim(l).rlike("[.!?]$") &&
+      size(split(trim(l), "\\s+")) >= 5 && length(trim(l)) > 0
+
+  /** The C4 line-cleaning REWRITE: only prose-shaped lines survive,
+    * re-joined with newlines (empty string when nothing survives). */
+  def c4CleanLines(text: Column): Column =
+    array_join(filter(nlLines(coalesce(text, lit(""))), c4LineKeep _), "\n")
+
+  /** Lines the cleaner keeps (the rewrite's row-count twin). */
+  def c4KeptLineCount(text: Column): Column =
+    size(filter(nlLines(coalesce(text, lit(""))), c4LineKeep _))
+
+  /** Sentence count ≈ terminal-punctuation runs — the C4 "at least 3
+    * sentences" page gate's counter. */
+  def c4SentenceCount(text: Column): Column =
+    size(regexp_extract_all(coalesce(text, lit("")), lit("[.!?]+"), lit(0)))
+
+  /** The composed C4 page gate: ≥ 3 sentences, no boilerplate-
+    * placeholder marker ("lorem ipsum"), no code-page marker ('{'). */
+  def c4Keep(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    c4SentenceCount(text) >= 3 &&
+      !lower(t).contains("lorem ipsum") && !t.contains("{")
+  }
+
   /** The composed Gopher keep decision at the published defaults:
     * 50 ≤ words ≤ 100000, 3 ≤ mean word length ≤ 10, symbol ratio
     * ≤ 0.1, bullet lines ≤ 0.9, ellipsis lines ≤ 0.3, alpha-word

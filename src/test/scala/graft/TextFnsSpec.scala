@@ -137,6 +137,33 @@ class TextFnsSpec extends AnyFunSuite {
     assert(got("short") == 0.0)
   }
 
+  test("c4 cleaner: line rewrite, sentence gate, markers, null text") {
+    import spark.implicits._
+    val d = Seq(
+      ("Good sentence with five plus words here.\nbad\nAnother fine sentence sits right here.", "mixed"),
+      ("One.\nTwo!\nThree?", "short_lines"),  // all <5 words: rewrite empty
+      (null.asInstanceOf[String], "nulltext"),
+      ("Has brace { and a sentence. Two here. Three here.", "brace"),
+      ("lorem ipsum filler. More filler here. Third sentence here.", "lorem")
+    ).toDF("t", "k")
+    val got = d.select(col("k"),
+      textfns.c4CleanLines(col("t")).as("clean"),
+      textfns.c4KeptLineCount(col("t")).as("n_kept"),
+      textfns.c4SentenceCount(col("t")).as("n_sent"),
+      textfns.c4Keep(col("t")).as("keep"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("mixed").getString(1) ==
+      "Good sentence with five plus words here.\nAnother fine sentence sits right here.")
+    assert(got("mixed").getInt(2) == 2)
+    assert(got("short_lines").getString(1) == "" &&
+      got("short_lines").getInt(2) == 0)
+    assert(got("short_lines").getInt(3) == 3) // sentences counted pre-rewrite
+    // null text behaves as empty on every path — no nulls escape
+    val n = got("nulltext")
+    assert(n.getString(1) == "" && n.getInt(2) == 0 && !n.getBoolean(4))
+    assert(!got("brace").getBoolean(4) && !got("lorem").getBoolean(4))
+  }
+
   test("gopher rules: per-metric hand values and keep edge semantics") {
     import spark.implicits._
     val passText = ("the quick brown fox jumps over a lazy dog with zeal " +
