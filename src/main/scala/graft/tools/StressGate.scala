@@ -865,6 +865,23 @@ object StressGate {
       graft.operators.Search.tfidfKeywords(d, "doc_id", "text", k = 3)
         .count())
 
+    // --- cur25 gram: the fixed-buffer distributed XᵀX. The claim is
+    // the SHUFFLE CONTRACT (one ~17 KB buffer per task regardless of
+    // N — never N·d²/2 product rows) and integer-sum determinism:
+    // the 2080-row statistics table must be BIT-IDENTICAL at any
+    // partitioning, and the one corpus pass must ride the band.
+    def gramChecksum(parts: Int): Long =
+      graft.similarity.Pca.gram(
+          emb.select("embedding").repartition(parts), "embedding", 64)
+        // pmod before the sum: 2080 raw 64-bit hashes would overflow
+        // the ANSI long sum
+        .agg(sum(pmod(xxhash64(col("i"), col("j"), col("n"),
+          col("m_i"), col("m_j"), col("s_ij")), lit(1000000007L))))
+        .collect()(0).getLong(0)
+    val gram32 = run("cur25_gram", None)(gramChecksum(32))
+    check("cur25_bit_identity", gram32 == gramChecksum(7),
+      gram32 - gramChecksum(7), "0 (checksum delta across partitionings)")
+
     // --- q57 interval-overlap at corpus scale: the wide-interval
     // worst case — a ladder of 8-cell-wide intervals (every bucket
     // co-covered by ~8 intervals per side, so per-cell candidate
