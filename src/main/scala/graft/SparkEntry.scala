@@ -2532,17 +2532,21 @@ object SparkEntry {
       // `functions._` composition (codegen, no UDF) whose ratios are
       // exact integer-derived divisions, so every threshold
       // comparison replays bit-for-bit in DuckDB. Planted docs
-      // (+40000) violate exactly one rule family each (plus one that
-      // passes all seven) so the oracle pins each rule's firing, not
-      // just the conjunction.
+      // (+40000) each violate exactly ONE rule family — engineered so
+      // the other six rules pass (e.g. the ellipsis doc carries 10
+      // words per line so one '...' stays AT the 0.1 symbol boundary)
+      // — plus one doc that passes all seven; the oracle thus pins
+      // each rule's firing, not just the conjunction. (40000 bullet
+      // lines sit at 10/11 ≈ 0.909, just over the 0.9 gate.)
       import s.implicits._
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val planted = Seq(
         40000L -> (("• the point of and with list\n" * 10) + "end"),
-        40001L -> ("# tag of the and " * 20),
-        40002L -> "too short to keep",
+        40001L -> ("# tagging often the and " * 20),
+        40002L -> "too short to keep the and",
         40003L -> ("pneumonoultramicroscopicsilicovolcanoconiosis of the to " * 15),
-        40004L -> (("to be continued...\n" * 12) + "end"),
+        40004L -> (("now then we watch and wait for the next part...\n" * 12)
+          + "end"),
         40005L -> ("12345 6789 of the " * 25),
         40006L -> (("the quick brown fox jumps over a lazy dog with zeal " +
           "and grace to be of good cheer that day have fun ") * 5)
@@ -5336,12 +5340,12 @@ object SparkEntry {
            SELECT doc_id, text FROM documents
            UNION ALL SELECT 40000,
              repeat('• the point of and with list' || chr(10), 10) || 'end'
-           UNION ALL SELECT 40001, repeat('# tag of the and ', 20)
-           UNION ALL SELECT 40002, 'too short to keep'
+           UNION ALL SELECT 40001, repeat('# tagging often the and ', 20)
+           UNION ALL SELECT 40002, 'too short to keep the and'
            UNION ALL SELECT 40003,
              repeat('pneumonoultramicroscopicsilicovolcanoconiosis of the to ', 15)
            UNION ALL SELECT 40004,
-             repeat('to be continued...' || chr(10), 12) || 'end'
+             repeat('now then we watch and wait for the next part...' || chr(10), 12) || 'end'
            UNION ALL SELECT 40005, repeat('12345 6789 of the ', 25)
            UNION ALL SELECT 40006,
              repeat('the quick brown fox jumps over a lazy dog with zeal '

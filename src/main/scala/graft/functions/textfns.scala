@@ -218,10 +218,14 @@ object textfns {
       greatest(size(ls), lit(1)).cast("double")
   }
 
-  /** Fraction of lines ending with an ellipsis (Gopher keeps ≤ 0.3). */
+  /** Fraction of lines ending with an ellipsis (Gopher keeps ≤ 0.3).
+    * Anchored with \z, not $: Java's $ also matches BEFORE a final
+    * line terminator (\r survives a \n split and ASCII trim) where
+    * RE2's — the oracle engine's — matches end-of-text only; \z means
+    * end-of-text in both. */
   def ellipsisLineRatio(text: Column): Column = {
     val ls = nlLines(text)
-    size(filter(ls, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") /
+    size(filter(ls, l => trim(l).rlike("(\\.\\.\\.|…)\\z"))).cast("double") /
       greatest(size(ls), lit(1)).cast("double")
   }
 
@@ -244,9 +248,11 @@ object textfns {
   // is treated as empty on every path (metrics 0/false, never null).
 
   /** Line-keep predicate of the C4 cleaner: trimmed line ends in
-    * terminal punctuation and carries ≥ 5 whitespace words. */
+    * terminal punctuation and carries ≥ 5 whitespace words. \z, not
+    * $ — see [[ellipsisLineRatio]] (a CRLF corpus would otherwise
+    * keep lines in Spark that the oracle engine drops). */
   private def c4LineKeep(l: Column): Column =
-    trim(l).rlike("[.!?]$") &&
+    trim(l).rlike("[.!?]\\z") &&
       size(split(trim(l), "\\s+")) >= 5 && length(trim(l)) > 0
 
   /** The C4 line-cleaning REWRITE: only prose-shaped lines survive,

@@ -879,8 +879,9 @@ object StressGate {
           col("m_i"), col("m_j"), col("s_ij")), lit(1000000007L))))
         .collect()(0).getLong(0)
     val gram32 = run("cur25_gram", None)(gramChecksum(32))
-    check("cur25_bit_identity", gram32 == gramChecksum(7),
-      gram32 - gramChecksum(7), "0 (checksum delta across partitionings)")
+    val gram7 = gramChecksum(7) // once — check() args evaluate eagerly
+    check("cur25_bit_identity", gram32 == gram7,
+      gram32 - gram7, "0 (checksum delta across partitionings)")
 
     // --- q57 interval-overlap at corpus scale: the wide-interval
     // worst case — a ladder of 8-cell-wide intervals (every bucket

@@ -107,6 +107,10 @@ def main(out_dir: str, sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
+    usage = ("usage: oracle_check.py <verify_out_dir> <sf_dir>\n"
+             "       oracle_check.py --lint <oracle_sql.json> <sf_dir>")
+    if len(sys.argv) < 3 or (sys.argv[1] == "--lint" and len(sys.argv) < 4):
+        sys.exit(usage)
     if sys.argv[1] == "--lint":
         sys.exit(1 if lint_types(connect(sys.argv[3]),
                                  json.load(open(sys.argv[2]))) else 0)
