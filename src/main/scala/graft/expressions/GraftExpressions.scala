@@ -426,10 +426,13 @@ object GraftFunctions {
       Bridge.expression(v.cast("double"))))
 
   /** One-pass exact Gram/moment aggregate over quantized vectors —
-    * see [[GramMatrix]]. Input is cast to array<bigint>. */
+    * see [[GramMatrix]]. The input is NOT auto-cast: a raw
+    * array<float>/array<double> embedding fails analysis instead of
+    * silently truncating toward zero (which would corrupt the "exact"
+    * statistics with no signal) — quantize first, e.g.
+    * `transform(v, x => floor(x * scale + 0.5).cast("long"))`. */
   def graft_gram(vec: Column, d: Int): Column =
-    Bridge.column(GramMatrix(
-      Bridge.expression(vec.cast("array<bigint>")), d)
+    Bridge.column(GramMatrix(Bridge.expression(vec), d)
       .toAggregateExpression())
 
   /** Bounded bottom-k aggregate — see [[BoundedTopK]]. `keys` are cast

@@ -51,11 +51,27 @@ case class GramMatrix(
 
   override def children: Seq[Expression] = Seq(vec)
 
+  // integral arrays only, REJECTED at analysis for float/double: a
+  // silent truncating cast of raw embeddings would corrupt the "exact"
+  // statistics with no signal — callers quantize first (Pca.quantize's
+  // round-half-up), and the analysis error names that contract
   override def checkInputDataTypes(): TypeCheckResult = vec.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType | IntegerType | ShortType | ByteType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_gram: input must be array<bigint>, got ${other.simpleString}")
+      s"graft_gram: input must be an integral array (array<bigint>/int/" +
+        s"smallint/tinyint) — quantize float embeddings first (e.g. " +
+        s"q = floor(v*scale + 0.5)); got ${other.simpleString}")
   }
+
+  // hoisted element getter: one dispatch at plan time, not per element
+  @transient private lazy val getElem: (ArrayData, Int) => Long =
+    vec.dataType.asInstanceOf[ArrayType].elementType match {
+      case LongType    => (a, i) => a.getLong(i)
+      case IntegerType => (a, i) => a.getInt(i).toLong
+      case ShortType   => (a, i) => a.getShort(i).toLong
+      case ByteType    => (a, i) => a.getByte(i).toLong
+    }
 
   override def dataType: DataType = StructType(Seq(
     StructField("n", LongType, nullable = false),
@@ -83,14 +99,19 @@ case class GramMatrix(
       i += 1
     }
     buf(0) += 1L
+    // read each element once through the type-dispatched getter, then
+    // run the triangular product loop over the local longs
+    val q = new Array[Long](d)
+    i = 0
+    while (i < d) { q(i) = getElem(arr, i); i += 1 }
     var k = 1 + d
     i = 0
     while (i < d) {
-      val qi = arr.getLong(i)
+      val qi = q(i)
       buf(1 + i) += qi
       var j = i
       while (j < d) {
-        buf(k) += qi * arr.getLong(j)
+        buf(k) += qi * q(j)
         k += 1
         j += 1
       }

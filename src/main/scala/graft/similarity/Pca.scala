@@ -60,30 +60,41 @@ object Pca {
     * 6dp in the declared query). Zero-variance dimensions yield null
     * (correlation undefined), never a division artifact. The feature-
     * redundancy report for embedding pipelines: |corr| ≈ 1 pairs are
-    * candidates for dropping before PCA/indexing. Cost on top of the
-    * one [[gram]] pass: joins over the d(d+1)/2-row statistics table
-    * — driver-trivial at any corpus size. */
+    * candidates for dropping before PCA/indexing.
+    *
+    * The full-corpus Gram aggregate executes exactly ONCE: the single
+    * struct row collects (the [[fit]] discipline) and the
+    * d(d+1)/2-row statistics table is a driver-built local relation —
+    * building three branches off the gram PLAN would instead lean on
+    * exchange reuse to avoid re-running the aggregate, which Spark
+    * does not guarantee. The corr arithmetic itself still runs as the
+    * same fixed-order column expressions. */
   def correlation(emb: DataFrame, vecCol: String, d: Int,
                   scale: Long = 10000L): DataFrame = {
-    val gm = gram(emb, vecCol, d, scale)
-    val diag = gm.filter(col("i") === col("j"))
-      .select(col("i").as("dk"), col("m_i").as("dm"), col("s_ij").as("ds"))
+    require(d >= 1, s"Pca.correlation: d must be positive, got $d")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val row = gramStruct(emb, vecCol, d, scale)
+    val n = row.getLong(0)
+    val m = row.getSeq[Long](1)
+    val s = row.getSeq[Long](2)
+    def idx(i: Int, j: Int): Int = i * d - i * (i - 1) / 2 + (j - i)
+    val stats = (for { i <- 0 until d; j <- i until d } yield
+      (i.toLong, j.toLong, n, m(i), m(j), s(idx(i, i)), s(idx(j, j)),
+        s(idx(i, j))))
+      .toDF("i", "j", "n", "m_i", "m_j", "__sii", "__sjj", "s_ij")
     def varTerm(mCol: Column, sCol: Column): Column =
       col("n").cast("double") * sCol.cast("double") -
         mCol.cast("double") * mCol.cast("double")
-    gm.join(broadcast(diag.select(col("dk").as("i"),
-        col("dm").as("__mi"), col("ds").as("__sii"))), Seq("i"))
-      .join(broadcast(diag.select(col("dk").as("j"),
-        col("dm").as("__mj"), col("ds").as("__sjj"))), Seq("j"))
-      .select(col("i"), col("j"),
-        when(varTerm(col("__mi"), col("__sii")) <= 0.0 ||
-             varTerm(col("__mj"), col("__sjj")) <= 0.0, lit(null).cast("double"))
-          .otherwise(
-            (col("n").cast("double") * col("s_ij").cast("double")
-              - col("m_i").cast("double") * col("m_j").cast("double")) /
-            sqrt(varTerm(col("__mi"), col("__sii"))
-              * varTerm(col("__mj"), col("__sjj"))))
-          .as("corr"))
+    stats.select(col("i"), col("j"),
+      when(varTerm(col("m_i"), col("__sii")) <= 0.0 ||
+           varTerm(col("m_j"), col("__sjj")) <= 0.0, lit(null).cast("double"))
+        .otherwise(
+          (col("n").cast("double") * col("s_ij").cast("double")
+            - col("m_i").cast("double") * col("m_j").cast("double")) /
+          sqrt(varTerm(col("m_i"), col("__sii"))
+            * varTerm(col("m_j"), col("__sjj"))))
+        .as("corr"))
   }
 
   /** q = ⌊v·scale + 0.5⌋ per element — the micro-quantization every
@@ -92,9 +103,11 @@ object Pca {
     transform(vec, x =>
       floor(x.cast("double") * scale.toDouble + 0.5).cast("long"))
 
-  /** Trained basis: column-major principal directions (d×k), the
-    * per-dimension means subtracted before projection, and the
-    * eigenvalue (variance) per component, descending. */
+  /** Trained basis: `components` holds the k principal directions,
+    * each a length-d ROW (k×d — one array per component, which is why
+    * `k = components.length`), the per-dimension means subtracted
+    * before projection, and the eigenvalue (variance) per component,
+    * descending. */
   final case class PcaModel(means: Array[Double],
                             components: Array[Array[Double]],
                             variances: Array[Double]) {

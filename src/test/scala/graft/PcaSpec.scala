@@ -184,6 +184,25 @@ class PcaSpec extends AnyFunSuite {
     assert(got.size == 10) // upper triangle of 4x4
   }
 
+  test("gram: float/double input fails analysis; integral widths accepted") {
+    import graft.expressions.GraftFunctions.graft_gram
+    // raw float embeddings must NOT silently truncate toward zero —
+    // the analysis error names the quantize-first contract
+    val floats = vecsDf(Seq(Array(0.9f, 0.9f)))
+    val e = intercept[Exception] {
+      floats.agg(graft_gram(col("embedding"), 2)).collect()
+    }
+    assert(e.getMessage.contains("integral") || e.getMessage.contains("quantize"),
+      s"expected the quantize-first analysis error, got: ${e.getMessage}")
+    // array<int> rides the type-dispatched getter to the same sums
+    val ints = Seq(Tuple1(Array(3, 4)), Tuple1(Array(1, 2))).toDF("qv")
+    val r = ints.agg(graft_gram(col("qv"), 2).as("g"))
+      .select(col("g.n"), col("g.moments"), col("g.products")).collect()(0)
+    assert(r.getLong(0) == 2L)
+    assert(r.getSeq[Long](1) == Seq(4L, 6L))
+    assert(r.getSeq[Long](2) == Seq(10L, 14L, 20L)) // s00, s01, s11
+  }
+
   test("gram plan: partial aggregation, no self-join, one exchange") {
     val df = vecsDf(Seq.fill(50)(Array(0.1f, 0.2f, 0.3f)))
     val q = Pca.gram(df, "embedding", 3)
