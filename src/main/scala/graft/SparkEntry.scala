@@ -2528,10 +2528,12 @@ object SparkEntry {
       // rule set production corpus filters run before any soft score:
       // word-count bounds, mean-word-length bounds, symbol-to-word
       // ratio, bullet/ellipsis line ratios, alpha-word ratio,
-      // required-stopword evidence. Everything is a scan-side
-      // `functions._` composition (codegen, no UDF) whose ratios are
-      // exact integer-derived divisions, so every threshold
-      // comparison replays bit-for-bit in DuckDB. Planted docs
+      // required-stopword evidence. Every metric reads ONE fused
+      // scan-side kernel call per row (gopherStats — the textStats
+      // fusion discipline; the composed form re-read the text seven
+      // times) whose ratios are exact integer-derived divisions, so
+      // every threshold comparison replays bit-for-bit in DuckDB
+      // (which recomputes them with its regex engine). Planted docs
       // (+40000) each violate exactly ONE rule family — engineered so
       // the other six rules pass (e.g. the ellipsis doc carries 10
       // words per line so one '...' stays AT the 0.1 symbol boundary)
@@ -2553,7 +2555,7 @@ object SparkEntry {
       ).toDF("doc_id", "text")
       d.unionByName(planted)
         .select(col("doc_id"),
-          textfns.wsTokenCount(col("text")).as("n_words"),
+          textfns.gopherWordCount(col("text")).as("n_words"),
           round(textfns.meanWordLen(col("text")), 4).as("mean_word_len"),
           round(textfns.symbolWordRatio(col("text")), 4).as("symbol_ratio"),
           round(textfns.bulletLineRatio(col("text")), 4).as("bullet_ratio"),
@@ -5350,6 +5352,7 @@ object SparkEntry {
            UNION ALL SELECT 40006,
              repeat('the quick brown fox jumps over a lazy dog with zeal '
                || 'and grace to be of good cheer that day have fun ', 5)),
+         nn AS (SELECT doc_id, coalesce(text, '') AS text FROM all_docs),
          sc AS (
            SELECT doc_id, text,
              CASE WHEN length(trim(text)) = 0 THEN 0
@@ -5360,7 +5363,7 @@ object SparkEntry {
                   ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
                            x -> regexp_matches(x, '[A-Za-z]'))) END AS n_alpha,
              string_split(text, chr(10)) AS ls
-           FROM all_docs),
+           FROM nn),
          m AS (
            SELECT doc_id, n_words,
              CASE WHEN n_words <= 0 THEN 0.0

@@ -194,6 +194,37 @@ object TextStats {
     StructField("n_chars", IntegerType, nullable = false)))
 }
 
+/** gopher_stats(string) → struct: one-pass Gopher hard-rule statistics
+  * (word/char/symbol/alpha-word counts, line bullet/ellipsis counts,
+  * distinct required stopwords) — see [[Kernels.gopherStats]] for the
+  * exact regex-twin semantics. */
+case class GopherStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = GopherStats.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_gopher_stats"
+
+  override def nullSafeEval(a: Any): Any =
+    Kernels.gopherStats(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.Kernels.gopherStats($a);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object GopherStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_wchars", IntegerType, nullable = false),
+    StructField("n_sym", IntegerType, nullable = false),
+    StructField("n_alpha", IntegerType, nullable = false),
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_bullet", IntegerType, nullable = false),
+    StructField("n_ellipsis", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false)))
+}
+
 /** lsh_bands(array<bigint> signature) → array<bigint> of band keys. */
 case class LshBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
     extends UnaryExpression {
@@ -402,6 +433,8 @@ object GraftFunctions {
     Bridge.column(WordShingleStrings(Bridge.expression(text), n, all = true))
   def graft_text_stats(text: Column): Column =
     Bridge.column(TextStats(Bridge.expression(text)))
+  def graft_gopher_stats(text: Column): Column =
+    Bridge.column(GopherStats(Bridge.expression(text)))
   def graft_char_shingle_hashes(text: Column, n: Int): Column =
     Bridge.column(CharShingleHashes(Bridge.expression(text), n))
   def graft_fingerprint64(text: Column, base: Long = 257L): Column =
@@ -468,6 +501,8 @@ object GraftFunctions {
       es => PolyFingerprint(c(es.head, StringType)), "built-in")
     registry.createOrReplaceTempFunction("graft_text_stats",
       es => TextStats(c(es.head, StringType)), "built-in")
+    registry.createOrReplaceTempFunction("graft_gopher_stats",
+      es => GopherStats(c(es.head, StringType)), "built-in")
     registry.createOrReplaceTempFunction("graft_sorted_contains",
       es => SortedContains(c(es.head, longArr), c(es(1), LongType)), "built-in")
     registry.createOrReplaceTempFunction("graft_sorted_contains_str",

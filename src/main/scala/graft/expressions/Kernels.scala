@@ -325,6 +325,13 @@ object Kernels {
   val StopEs = Array("el", "los", "las", "una", "es")
   val ZhChars = Array('的', '是', '了', '在', '和')
 
+  /** Gopher's required-stopword list (Rae et al. 2021 §A1.1) —
+    * graft.functions.textfns.GopherStops derives from this. All
+    * entries are <= 4 ASCII chars ([[gopherStats]]'s run buffer
+    * depends on it). */
+  val GopherStopWords: Array[String] =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** One-pass corpus text statistics — the fused scan-side kernel
     * behind langId / qualityScore / wsTokenCount. Replaces ~25
     * separate regex passes per document (5 stopword alternations × 4
@@ -460,6 +467,168 @@ object Kernels {
       }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](sEn, sDe, sFr, sEs, sZh, nWords, nPunct, nChars))
+  }
+
+  /** One-pass Gopher hard-rule statistics — the fused scan-side kernel
+    * behind the whole published-rule family (meanWordLen /
+    * symbolWordRatio / alphaWordRatio / bulletLineRatio /
+    * ellipsisLineRatio / stopwordDistinct / gopherKeep). The composed
+    * formulation evaluated seven separate regex pipelines per
+    * document, each re-reading every byte; this is the [[textStats]]
+    * discipline applied to the Gopher rules: one traversal (plus a
+    * short second pass for the non-overlapping symbol scan).
+    *
+    * Exact semantic twins of the regex formulations the DuckDB oracle
+    * replays:
+    *   - n_words: [[textStats]]'s token count to the bit — space-only
+    *     trim, `\s`-run tokens, split(limit=-1) phantom-field
+    *     semantics reproduced bug-for-bug.
+    *   - n_wchars = `length(regexp_replace(s, "\s+", ""))` — CODE
+    *     POINTS that are not regex-\s, over the untrimmed string.
+    *   - n_sym = count of left-to-right NON-OVERLAPPING matches of
+    *     `#|\.\.\.|…` ("...." counts once: the fourth dot has no two
+    *     followers).
+    *   - n_alpha = tokens containing >= 1 ASCII letter (the `[A-Za-z]`
+    *     class is identical in Java regex and RE2); phantom empty
+    *     tokens count in n_words but never in n_alpha, exactly like
+    *     `filter(ws, _.rlike("[A-Za-z]"))`.
+    *   - n_lines = count('\n') + 1 (split keeps the trailing empty
+    *     field); n_bullet = lines whose space-trimmed form STARTS
+    *     with one of -*•‣▪; n_ellipsis = lines whose space-trimmed
+    *     form ENDS (\z, end-of-text — a surviving \r blocks it, the
+    *     CRLF contract) with "..." or '…'.
+    *   - n_stop = DISTINCT [[GopherStopWords]] present as maximal
+    *     lowercased word-char runs — RE2's ASCII `\b` flavor (the
+    *     oracle's), with [[textStats]]'s İ one-to-many lowercase
+    *     exception reproduced. (Java's Unicode-aware \b diverges when
+    *     an ASCII run abuts a non-ASCII letter — same documented
+    *     divergence as textStats' s_xx scores.)
+    *
+    * Output: struct(n_words, n_wchars, n_sym, n_alpha, n_lines,
+    * n_bullet, n_ellipsis, n_stop) — all ints. */
+  def gopherStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val len = str.length
+    val stops = GopherStopWords
+    var nWchars = 0; var nAlpha = 0
+    var nLines = 0; var nBullet = 0; var nEllipsis = 0
+    var stopMask = 0
+    // stopword word-run state: buffered lowercased chars (runs > 4
+    // cannot match any Gopher stopword)
+    var runLen = 0
+    var r0 = ' '; var r1 = ' '; var r2 = ' '; var r3 = ' '
+    def isWordChar(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+    def endRun(): Unit = {
+      if (runLen >= 2 && runLen <= 4) {
+        var w = 0
+        while (w < stops.length) {
+          val sw = stops(w)
+          if (sw.length == runLen &&
+              sw.charAt(0) == r0 && sw.charAt(1) == r1 &&
+              (runLen < 3 || sw.charAt(2) == r2) &&
+              (runLen < 4 || sw.charAt(3) == r3)) stopMask |= 1 << w
+          w += 1
+        }
+      }
+      runLen = 0
+    }
+    def finishLine(ls: Int, le: Int): Unit = {
+      nLines += 1
+      var a = ls
+      while (a < le && str.charAt(a) == ' ') a += 1
+      var b = le
+      while (b > a && str.charAt(b - 1) == ' ') b -= 1
+      if (b > a) {
+        val c0 = str.charAt(a)
+        if (c0 == '-' || c0 == '*' || c0 == '•' || c0 == '‣' || c0 == '▪')
+          nBullet += 1
+        if (str.charAt(b - 1) == '…' ||
+            (b - a >= 3 && str.charAt(b - 1) == '.' &&
+             str.charAt(b - 2) == '.' && str.charAt(b - 3) == '.'))
+          nEllipsis += 1
+      }
+    }
+    // n_words state over the space-only-trimmed window (textStats)
+    var firstNonSpace = 0
+    while (firstNonSpace < len && str.charAt(firstNonSpace) == ' ') firstNonSpace += 1
+    var lastNonSpace = len - 1
+    while (lastNonSpace >= firstNonSpace && str.charAt(lastNonSpace) == ' ') lastNonSpace -= 1
+    def isWs(c: Char): Boolean = isJavaWs(c)
+    var nTokens = 0
+    var inToken = false
+    var tokenAlpha = false
+    var lineStart = 0
+    var i = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      val cc = Character.charCount(cp)
+      if (cc == 1) {
+        val c = str.charAt(i)
+        // stopword runs (on the lowercased view) — textStats' İ rule
+        if (c == 'İ') {
+          runLen += 1
+          if (runLen == 1) r0 = 'i' else if (runLen == 2) r1 = 'i'
+          else if (runLen == 3) r2 = 'i' else if (runLen == 4) r3 = 'i'
+          endRun()
+        } else {
+          val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else Character.toLowerCase(c)
+          if (isWordChar(lc)) {
+            runLen += 1
+            if (runLen == 1) r0 = lc else if (runLen == 2) r1 = lc
+            else if (runLen == 3) r2 = lc else if (runLen == 4) r3 = lc
+          } else endRun()
+        }
+        if (!isWs(c)) nWchars += 1
+        if (c == '\n') { finishLine(lineStart, i); lineStart = i + 1 }
+        if (i >= firstNonSpace && i <= lastNonSpace) {
+          if (!isWs(c)) {
+            if (!inToken) { nTokens += 1; inToken = true; tokenAlpha = false }
+            if (!tokenAlpha && ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))) {
+              nAlpha += 1; tokenAlpha = true
+            }
+          } else inToken = false
+        }
+      } else {
+        // supplementary code point: non-word, non-ws, not a letter
+        endRun()
+        nWchars += 1
+        if (i >= firstNonSpace && i <= lastNonSpace && !inToken) {
+          nTokens += 1; inToken = true; tokenAlpha = false
+        }
+      }
+      i += cc
+    }
+    endRun()
+    finishLine(lineStart, len)
+    val nWords =
+      if (lastNonSpace < firstNonSpace) 0 // blank after space-trim
+      else {
+        // split(limit=-1) phantom leading/trailing empty fields —
+        // see textStats
+        val leading = if (isWs(str.charAt(firstNonSpace))) 1 else 0
+        val trailing = if (isWs(str.charAt(lastNonSpace))) 1 else 0
+        nTokens + leading + trailing
+      }
+    // non-overlapping symbol scan: alternation order #, ..., … — each
+    // arm starts with a distinct char, so a simple first-match walk
+    // reproduces regex find() exactly
+    var nSym = 0
+    var j = 0
+    while (j < len) {
+      val c = str.charAt(j)
+      if (c == '#') { nSym += 1; j += 1 }
+      else if (c == '.' && j + 2 < len &&
+               str.charAt(j + 1) == '.' && str.charAt(j + 2) == '.') {
+        nSym += 1; j += 3
+      }
+      else if (c == '…') { nSym += 1; j += 1 }
+      else j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, nWchars, nSym, nAlpha, nLines, nBullet,
+        nEllipsis, Integer.bitCount(stopMask)))
   }
 
   /** Fraction of positions on which two MinHash signatures agree — an

@@ -165,10 +165,30 @@ object textfns {
   // "Scaling Language Models" §A1.1; the C4 pipeline of Raffel et al.
   // 2020 shares the shape). Unlike [[qualityScore]]'s soft composite,
   // these are the published HARD heuristics production corpus filters
-  // apply verbatim — each metric is a pure `functions._` composition
-  // (codegen scan-side, no UDF) engineered to replay in portable SQL:
-  // ratios are exact divisions of integer-derived counts, so
-  // threshold comparisons agree bit-for-bit across engines.
+  // apply verbatim. Every metric reads a field of the ONE-PASS
+  // [[gopherStats]] kernel (the textStats fusion discipline — the
+  // previous seven separate regex pipelines each re-read every byte
+  // of text); the ratios stay exact divisions of integer-derived
+  // counts, so threshold comparisons agree bit-for-bit across
+  // engines. The regex formulations survive as private `...Regex`
+  // twins that TextFnsSpec pins equal to the kernel per rule.
+  //
+  // Null contract (the C4 family's): null text coalesces to empty
+  // INSIDE gopherStats, so every Gopher metric reports 0/0.0/false
+  // for a null document, never null.
+
+  /** One-pass Gopher rule statistics struct — the fused scan kernel
+    * behind the whole hard-rule family. Repeated uses of the same
+    * field set collapse to ONE kernel call per row under Catalyst
+    * common-subexpression elimination in whole-stage codegen. */
+  def gopherStats(text: Column): Column =
+    graft.expressions.GraftFunctions.graft_gopher_stats(
+      coalesce(text, lit("")))
+
+  /** Whitespace word count via the fused kernel — identical to
+    * [[wsTokenCount]] except null text reports 0, not null. */
+  def gopherWordCount(text: Column): Column =
+    gopherStats(text).getField("n_words")
 
   /** Whitespace-split word array; empty for blank/null text (a bare
     * `split` of an empty string yields one phantom "" token). */
@@ -183,6 +203,13 @@ object textfns {
     * total non-whitespace chars / word count. Gopher keeps documents
     * with mean word length in [3, 10]. */
   def meanWordLen(text: Column): Column = {
+    val g = gopherStats(text)
+    when(g.getField("n_words") <= 0, lit(0.0)).otherwise(
+      g.getField("n_wchars").cast("double")
+        / g.getField("n_words").cast("double"))
+  }
+
+  private[graft] def meanWordLenRegex(text: Column): Column = {
     val n = wsTokenCount(text)
     when(n <= 0, lit(0.0)).otherwise(
       length(regexp_replace(text, "\\s+", "")).cast("double")
@@ -194,6 +221,13 @@ object textfns {
     * left-to-right non-overlapping matching is identical in Java
     * regex and RE2. */
   def symbolWordRatio(text: Column): Column = {
+    val g = gopherStats(text)
+    when(g.getField("n_words") <= 0, lit(0.0)).otherwise(
+      g.getField("n_sym").cast("double")
+        / g.getField("n_words").cast("double"))
+  }
+
+  private[graft] def symbolWordRatioRegex(text: Column): Column = {
     val n = wsTokenCount(text)
     when(n <= 0, lit(0.0)).otherwise(
       size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0)))
@@ -204,6 +238,13 @@ object textfns {
     * character (Gopher keeps ≥ 0.8 — filters digit soup and
     * separator-art). */
   def alphaWordRatio(text: Column): Column = {
+    val g = gopherStats(text)
+    when(g.getField("n_words") <= 0, lit(0.0)).otherwise(
+      g.getField("n_alpha").cast("double")
+        / g.getField("n_words").cast("double"))
+  }
+
+  private[graft] def alphaWordRatioRegex(text: Column): Column = {
     val ws = wsWords(text)
     when(size(ws) <= 0, lit(0.0)).otherwise(
       size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double")
@@ -213,6 +254,12 @@ object textfns {
   /** Fraction of lines starting with a bullet glyph (Gopher keeps
     * ≤ 0.9). */
   def bulletLineRatio(text: Column): Column = {
+    val g = gopherStats(text)
+    g.getField("n_bullet").cast("double") /
+      greatest(g.getField("n_lines"), lit(1)).cast("double")
+  }
+
+  private[graft] def bulletLineRatioRegex(text: Column): Column = {
     val ls = nlLines(text)
     size(filter(ls, l => trim(l).rlike("^[-*•‣▪]"))).cast("double") /
       greatest(size(ls), lit(1)).cast("double")
@@ -224,19 +271,30 @@ object textfns {
     * RE2's — the oracle engine's — matches end-of-text only; \z means
     * end-of-text in both. */
   def ellipsisLineRatio(text: Column): Column = {
+    val g = gopherStats(text)
+    g.getField("n_ellipsis").cast("double") /
+      greatest(g.getField("n_lines"), lit(1)).cast("double")
+  }
+
+  private[graft] def ellipsisLineRatioRegex(text: Column): Column = {
     val ls = nlLines(text)
     size(filter(ls, l => trim(l).rlike("(\\.\\.\\.|…)\\z"))).cast("double") /
       greatest(size(ls), lit(1)).cast("double")
   }
 
-  /** Gopher's required-stopword list. */
+  /** Gopher's required-stopword list — derived from the kernel's
+    * canonical array so the one-pass kernel and the regex twin share
+    * one source of truth. */
   val GopherStops: Seq[String] =
-    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    graft.expressions.Kernels.GopherStopWords.toSeq
 
   /** How many DISTINCT [[GopherStops]] words the text contains as
     * whole words (Gopher keeps ≥ 2 — the minimal running-English
     * evidence). */
   def stopwordDistinct(text: Column): Column =
+    gopherStats(text).getField("n_stop")
+
+  private[graft] def stopwordDistinctRegex(text: Column): Column =
     GopherStops.map(w =>
       when(lower(text).rlike("\\b" + w + "\\b"), 1).otherwise(0))
       .reduce(_ + _)
@@ -280,11 +338,13 @@ object textfns {
   /** The composed Gopher keep decision at the published defaults:
     * 50 ≤ words ≤ 100000, 3 ≤ mean word length ≤ 10, symbol ratio
     * ≤ 0.1, bullet lines ≤ 0.9, ellipsis lines ≤ 0.3, alpha-word
-    * ratio ≥ 0.8, ≥ 2 distinct required stopwords. Compose with
+    * ratio ≥ 0.8, ≥ 2 distinct required stopwords. All seven rules
+    * read the ONE fused [[gopherStats]] kernel call (null text →
+    * false, the word-count floor fails). Compose with
     * [[repetitionRatio]] for the duplicated-n-gram family (declared
     * separately as txt9). */
   def gopherKeep(text: Column): Column =
-    wsTokenCount(text).between(50, 100000) &&
+    gopherWordCount(text).between(50, 100000) &&
       meanWordLen(text).between(3.0, 10.0) &&
       symbolWordRatio(text) <= 0.1 &&
       bulletLineRatio(text) <= 0.9 &&

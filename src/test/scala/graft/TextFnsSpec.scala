@@ -164,6 +164,68 @@ class TextFnsSpec extends AnyFunSuite {
     assert(!got("brace").getBoolean(4) && !got("lorem").getBoolean(4))
   }
 
+  test("gopher kernel ≡ regex composition per rule; null text = empty") {
+    import org.apache.spark.sql.Column
+    // fixtures chosen to exercise every documented edge: phantom
+    // split fields, non-overlapping symbol scan, CRLF-blocked \z,
+    // space-only trim, supplementary code points, İ/Kelvin lowercase
+    // structure, CJK. Non-ASCII letters stay space-delimited — where
+    // an ASCII run abuts a non-ASCII letter Java's Unicode \b and
+    // RE2's ASCII \b (the kernel's, the oracle's) legitimately
+    // diverge (the documented textStats divergence).
+    val fixtures = Seq(
+      "", "   ", "\t", " \tx\t ",
+      "a.. b... c....…", "# ## #…", "....",
+      "- bullet\n * star\n•dot\nplain\n‣tick\n▪sq",
+      "done...\nnot..\nfin…\ntrail...\r\nend\n…",
+      "abc 123 _x 9y zzz", "the be to of and that have with",
+      "THE BE to OF", "the thee ethe the,cat and9 _and and_",
+      "É the é and KK with",
+      "多 的 text with 和 chars", "mixed 🙂 emoji 🙂🙂 words",
+      "only\nlines\nno words at all?", "…\n...\n. . .\n..",
+      "a\nb\n", "\n\n")
+      .toDF("t")
+    val rules: Seq[(String, Column => Column, Column => Column)] = Seq(
+      ("meanWordLen", textfns.meanWordLen, textfns.meanWordLenRegex),
+      ("symbolWordRatio", textfns.symbolWordRatio, textfns.symbolWordRatioRegex),
+      ("alphaWordRatio", textfns.alphaWordRatio, textfns.alphaWordRatioRegex),
+      ("bulletLineRatio", textfns.bulletLineRatio, textfns.bulletLineRatioRegex),
+      ("ellipsisLineRatio", textfns.ellipsisLineRatio, textfns.ellipsisLineRatioRegex),
+      ("stopwordDistinct",
+        c => textfns.stopwordDistinct(c).cast("int"),
+        c => textfns.stopwordDistinctRegex(c).cast("int")))
+    rules.foreach { case (name, fused, composed) =>
+      fixtures.select(col("t"), fused(col("t")).as("f"),
+          composed(col("t")).as("c")).collect()
+        .foreach { r =>
+          assert(r.get(1) == r.get(2),
+            s"$name diverged on ${r.getString(0).replace("\n", "\\n")}: " +
+              s"kernel=${r.get(1)} regex=${r.get(2)}")
+        }
+    }
+    // word count field == the textStats kernel's count on every fixture
+    fixtures.select(textfns.gopherWordCount(col("t")).as("g"),
+        textfns.wsTokenCount(col("t")).as("w")).collect()
+      .foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // the İ / non-ASCII-adjacency case pins the DOCUMENTED divergence
+    // instead (the textStats "RE2/ASCII \b" rule): lower("İthe") =
+    // "i̇the", where Java's Unicode \b sees no boundary before "the"
+    // but the kernel — like RE2, the oracle engine — breaks the run
+    // at the combining mark and counts it
+    val iDot = Seq("İthe and İ be").toDF("t")
+      .select(textfns.stopwordDistinct(col("t")).as("k"),
+        textfns.stopwordDistinctRegex(col("t")).cast("int").as("j")).collect()(0)
+    assert(iDot.getInt(0) == 3 && iDot.getInt(1) == 2)
+    // null text: the fused family reports 0/0.0/false (the C4-family
+    // convention), never null
+    val nt = Seq(Option.empty[String]).toDF("t")
+      .select(textfns.gopherKeep(col("t")), textfns.meanWordLen(col("t")),
+        textfns.stopwordDistinct(col("t")), textfns.gopherWordCount(col("t")),
+        textfns.bulletLineRatio(col("t"))).collect()(0)
+    assert(!nt.getBoolean(0) && nt.getDouble(1) == 0.0 &&
+      nt.getInt(2) == 0 && nt.getInt(3) == 0 && nt.getDouble(4) == 0.0)
+  }
+
   test("gopher rules: per-metric hand values and keep edge semantics") {
     import spark.implicits._
     val passText = ("the quick brown fox jumps over a lazy dog with zeal " +
