@@ -207,6 +207,94 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
+  /** The cur24/cur24b integration pipeline — the full pretraining-
+    * data build over documents. `materialize = false` is the declared
+    * ONE-lazy-plan composition gate (cur24); `true` applies the
+    * production persist points USAGE documents: every frame consumed
+    * by more than one downstream stage (exact-dedup output, near-dedup
+    * survivors, decontaminated frame) localCheckpoints once, removing
+    * the shared-subtree recompute while keeping rows bit-identical
+    * (cur24b shares cur24's oracle). */
+  private def pipelineIntegration(s: SparkSession, dir: String,
+                                  materialize: Boolean): DataFrame = {
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
+    // THE integration query: the full pretraining-data build as ONE
+    // lazy plan over documents — score (txt3/cur1 kernels) → exact
+    // dedup (dd1) → near dedup (dd7's 7-gram Jaccard pairs →
+    // clusters → min-id survivors) → decontaminate (txt10's 5-gram
+    // containment vs a benchmark set) → temperature mixing (cur3's
+    // deterministic per-source downsample) → reproducible split
+    // (cur4/cur6 constants). Each stage is individually declared
+    // elsewhere; composing them catches cross-operator contract
+    // drift (column carrying, null conventions, naming) that no
+    // per-operator query can. The fixture plants work for every
+    // stage: exact copies (+30000, odd ids), padded near-dups
+    // (+10000, every 10th), benchmark splices (+20000, every 20th)
+    // — the established dd/txt offsets. Scale shape: scoring is
+    // scan-side, exact dedup shuffles fingerprints, the pair graph
+    // shuffles shingle digests, decontamination probes a broadcast
+    // benchmark, mixing joins a broadcast rate table, and the split
+    // is scan-side hashing — text itself crosses an exchange only
+    // in the pair-generation stage. Post-dedup, every survivor IS
+    // its cluster's min-id representative, so the leakage-safe
+    // cluster split degenerates to the per-doc hash with the cur4
+    // constants — a whole duplicate class still lands in one split
+    // because only its representative remains.
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val b0 = docs.filter(col("doc_id") === 0)
+      .select(col("text").as("bench_text"))
+    val corpus = docs
+      .unionByName(docs.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 30000L).as("doc_id"), col("source"),
+          col("text")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("source"),
+          concat(col("text"), lit(" graft dedup pad tail")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 20 === 0 && col("doc_id") >= 20)
+        .crossJoin(broadcast(b0))
+        .select((col("doc_id") + 20000L).as("doc_id"), col("source"),
+          concat(col("text"), lit(" "), col("bench_text")).as("text")))
+    val scored = corpus
+      .withColumn("lang", textfns.langId(col("text")))
+      .withColumn("quality", textfns.qualityScore(col("text")))
+      .withColumn("n_tokens", textfns.wsTokenCount(col("text")))
+      .filter(col("quality") >= 0.5 && col("lang") =!= "und")
+    val exs = mat(Dedup.exact(scored, "text", "doc_id"))
+    val pairs = Dedup.ngramJaccardPairs(exs, "doc_id", "text",
+      shingleN = 7, threshold = 0.5)
+    val nd = mat(Dedup.dedupNear(exs, "doc_id", pairs))
+    val bench = docs.filter(col("doc_id") < 5)
+    val flagged = Decontam.contaminated(nd, bench, "doc_id", "text",
+        threshold = 0.25, shingleN = 5)
+      .select("doc_id")
+    val clean = mat(nd.join(flagged, Seq("doc_id"), "left_anti"))
+    val counts = clean.groupBy("source").agg(count(lit(1)).as("c"))
+    val cmin = counts.agg(min(col("c")).as("m"))
+    val rates = counts.crossJoin(broadcast(cmin))
+      .withColumn("rate", least(lit(1.0),
+        sqrt(col("m").cast("double") / col("c").cast("double"))))
+      .select("source", "rate")
+    val mixed = clean.join(broadcast(rates), "source")
+      .withColumn("__mh",
+        ((col("doc_id") % lit(2147483647L)) * lit(1103515245L)
+          + lit(12345L)) % lit(2147483647L))
+      .filter(col("__mh") < floor(col("rate") * lit(2147483647.0)).cast("long"))
+    mixed
+      .withColumn("__sh",
+        Shuffle.decisionHash(col("doc_id"), 48271L, 11213L))
+      .withColumn("split",
+        when(col("__sh") < lit(1717986917L), lit("train"))
+          .when(col("__sh") < lit(1932735282L), lit("valid"))
+          .otherwise(lit("test")))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("sum_tokens"),
+        round(avg(col("quality")), 4).as("avg_quality"))
+      .orderBy(col("source").asc, col("split").asc)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- §2.1 core cuplyr surface ---------------------------------------
@@ -2445,82 +2533,23 @@ object SparkEntry {
         .orderBy(col("event_id").asc)
     }),
 
-    "cur24_pipeline" -> ((s, dir) => {
-      // THE integration query: the full pretraining-data build as ONE
-      // lazy plan over documents — score (txt3/cur1 kernels) → exact
-      // dedup (dd1) → near dedup (dd7's 7-gram Jaccard pairs →
-      // clusters → min-id survivors) → decontaminate (txt10's 5-gram
-      // containment vs a benchmark set) → temperature mixing (cur3's
-      // deterministic per-source downsample) → reproducible split
-      // (cur4/cur6 constants). Each stage is individually declared
-      // elsewhere; composing them catches cross-operator contract
-      // drift (column carrying, null conventions, naming) that no
-      // per-operator query can. The fixture plants work for every
-      // stage: exact copies (+30000, odd ids), padded near-dups
-      // (+10000, every 10th), benchmark splices (+20000, every 20th)
-      // — the established dd/txt offsets. Scale shape: scoring is
-      // scan-side, exact dedup shuffles fingerprints, the pair graph
-      // shuffles shingle digests, decontamination probes a broadcast
-      // benchmark, mixing joins a broadcast rate table, and the split
-      // is scan-side hashing — text itself crosses an exchange only
-      // in the pair-generation stage. Post-dedup, every survivor IS
-      // its cluster's min-id representative, so the leakage-safe
-      // cluster split degenerates to the per-doc hash with the cur4
-      // constants — a whole duplicate class still lands in one split
-      // because only its representative remains.
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("text"))
-      val b0 = docs.filter(col("doc_id") === 0)
-        .select(col("text").as("bench_text"))
-      val corpus = docs
-        .unionByName(docs.filter(col("doc_id") % 2 === 1)
-          .select((col("doc_id") + 30000L).as("doc_id"), col("source"),
-            col("text")))
-        .unionByName(docs.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 10000L).as("doc_id"), col("source"),
-            concat(col("text"), lit(" graft dedup pad tail")).as("text")))
-        .unionByName(docs.filter(col("doc_id") % 20 === 0 && col("doc_id") >= 20)
-          .crossJoin(broadcast(b0))
-          .select((col("doc_id") + 20000L).as("doc_id"), col("source"),
-            concat(col("text"), lit(" "), col("bench_text")).as("text")))
-      val scored = corpus
-        .withColumn("lang", textfns.langId(col("text")))
-        .withColumn("quality", textfns.qualityScore(col("text")))
-        .withColumn("n_tokens", textfns.wsTokenCount(col("text")))
-        .filter(col("quality") >= 0.5 && col("lang") =!= "und")
-      val exs = Dedup.exact(scored, "text", "doc_id")
-      val pairs = Dedup.ngramJaccardPairs(exs, "doc_id", "text",
-        shingleN = 7, threshold = 0.5)
-      val nd = Dedup.dedupNear(exs, "doc_id", pairs)
-      val bench = docs.filter(col("doc_id") < 5)
-      val flagged = Decontam.contaminated(nd, bench, "doc_id", "text",
-          threshold = 0.25, shingleN = 5)
-        .select("doc_id")
-      val clean = nd.join(flagged, Seq("doc_id"), "left_anti")
-      val counts = clean.groupBy("source").agg(count(lit(1)).as("c"))
-      val cmin = counts.agg(min(col("c")).as("m"))
-      val rates = counts.crossJoin(broadcast(cmin))
-        .withColumn("rate", least(lit(1.0),
-          sqrt(col("m").cast("double") / col("c").cast("double"))))
-        .select("source", "rate")
-      val mixed = clean.join(broadcast(rates), "source")
-        .withColumn("__mh",
-          ((col("doc_id") % lit(2147483647L)) * lit(1103515245L)
-            + lit(12345L)) % lit(2147483647L))
-        .filter(col("__mh") < floor(col("rate") * lit(2147483647.0)).cast("long"))
-      mixed
-        .withColumn("__sh",
-          Shuffle.decisionHash(col("doc_id"), 48271L, 11213L))
-        .withColumn("split",
-          when(col("__sh") < lit(1717986917L), lit("train"))
-            .when(col("__sh") < lit(1932735282L), lit("valid"))
-            .otherwise(lit("test")))
-        .groupBy("source", "split")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).cast("bigint").as("sum_tokens"),
-          round(avg(col("quality")), 4).as("avg_quality"))
-        .orderBy(col("source").asc, col("split").asc)
-    }),
+    "cur24_pipeline" -> ((s, dir) =>
+      // see pipelineIntegration — the single-lazy-plan form
+      pipelineIntegration(s, dir, materialize = false)),
+
+    "cur24b_pipeline_persisted" -> ((s, dir) =>
+      // cur24 with the USAGE-documented production persist points
+      // applied: every multi-consumer frame (exact-dedup output, near-
+      // dedup survivors, decontaminated frame) materializes once via
+      // localCheckpoint, so the score→dedup subtrees execute once
+      // instead of re-running through each downstream consumer.
+      // Row-identical to cur24 BY CONTRACT (same oracle hash): a
+      // checkpoint materializes exact rows and every stage is
+      // deterministic, so the only difference is the physical
+      // recompute — whose cost delta the bench pins (cur24 is the
+      // suite's most expensive query; this is the txt13/dd14 two-
+      // routes discipline applied to the integration pipeline)
+      pipelineIntegration(s, dir, materialize = true)),
 
     "txt25_gopher" -> ((s, dir) => {
       // the PUBLISHED hard quality heuristics (Rae et al. 2021,
@@ -3064,7 +3093,11 @@ object SparkEntry {
     val m = oracleSqlBase
     // dd14 = dd9 through the persisted signature index: same inputs,
     // same parameters, same contract — one oracle, two physical paths
-    m + ("dd14_index_dedup" -> m("dd9_cross_dedup"))
+    m + ("dd14_index_dedup" -> m("dd9_cross_dedup")) +
+      // cur24b = cur24 with the production persist points applied:
+      // a localCheckpoint materializes exact rows, so the persisted
+      // route must hash-match the one-lazy-plan route bit-for-bit
+      ("cur24b_pipeline_persisted" -> m("cur24_pipeline"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -117,6 +117,19 @@ class UsageSpec extends AnyFunSuite {
       r.getLong(r.fieldIndex("doc_id")))))
   }
 
+  test("cur24b persisted pipeline is row-identical to the lazy-plan cur24") {
+    // the localCheckpoint points materialize exact rows, so the two
+    // physical routes must agree value-for-value — the oracle pins
+    // this at sf0.01 against DuckDB; this pins it engine-internally
+    // at the spec fixture scale too
+    val lazyRows = SparkEntry.queries("cur24_pipeline")(spark, sfDir)
+      .collect().map(_.toSeq)
+    val persisted = SparkEntry.queries("cur24b_pipeline_persisted")(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(lazyRows.nonEmpty)
+    assert(lazyRows.toSeq == persisted.toSeq)
+  }
+
   test("usage §5 gopher rules snippet") {
     val docs = Tables.load(spark, sfDir, "documents")
     val gated = docs.select(col("doc_id"),
