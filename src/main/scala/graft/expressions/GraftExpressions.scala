@@ -402,6 +402,39 @@ case class SortedContains(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** sorted_intersect(array<bigint>, array<bigint>) → array<bigint>:
+  * two-pointer intersection of ASC-sorted distinct long arrays (the
+  * q64 adjacency-intersection kernel). `array_intersect` allocates a
+  * boxed hash set per ROW; this is O(|a|+|b|) on primitive slots.
+  * Caller owns the sorted+distinct contract on both inputs; output is
+  * ASC-sorted, set-equal to array_intersect's. */
+case class SortedIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sorted_intersect"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<bigint>, array<bigint>), " +
+            s"got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.sortedIntersectL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.Kernels.sortedIntersectL($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Column-level API + SQL registration for the native expressions. */
 object GraftFunctions {
 
@@ -457,6 +490,11 @@ object GraftFunctions {
     Bridge.column(SortedRank(
       Bridge.expression(sortedArr.cast("array<double>")),
       Bridge.expression(v.cast("double"))))
+
+  def graft_sorted_intersect(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersect(
+      Bridge.expression(a.cast("array<bigint>")),
+      Bridge.expression(b.cast("array<bigint>"))))
 
   /** One-pass exact Gram/moment aggregate over quantized vectors —
     * see [[GramMatrix]]. The input is NOT auto-cast: a raw

