@@ -1256,31 +1256,27 @@ object Dedup {
   }
 
   /** Sliding windows of `w` normalized words as (id, start, digest
-    * pair): one scan-side projection — the split array never leaves
-    * the scan stage, the window string exists only inside the hash
-    * evaluation. Docs shorter than `w` words produce no windows. */
+    * pair): one scan-side projection through the fused
+    * `graft_window_digests` kernel — words are segmented once and each
+    * window combines precomputed dual word-hashes, instead of the
+    * composed split/sequence/slice/concat_ws/xxhash64 chain that
+    * re-built every window STRING (the document's chars copied w times
+    * over; measured ~2× on the dd12/txt18/txt22 shapes). Equal window
+    * texts still get equal digests and unequal ones collide at ~2^-128
+    * (dual independent 64-bit streams — Kernels.windowDigestPairs),
+    * the same standard the previous two-seed xxhash64 pair carried;
+    * the consumers' oracles group on raw window TEXT, so digest-vs-
+    * text agreement stays pinned per run. Docs shorter than `w` words
+    * produce no windows. */
   private[graft] def windowDigests(docs: DataFrame, idCol: String,
-                                   textCol: String, w: Int): DataFrame = {
-    val words = split(textfns.normalizeText(col(textCol)), " ")
+                                   textCol: String, w: Int): DataFrame =
     docs
       .filter(col(textCol).isNotNull)
-      .select(col(idCol), words.as("__w"))
-      // guard the short-doc arm explicitly: Spark's sequence(a, b)
-      // DESCENDS when b < a, so a doc under w words would otherwise
-      // explode into negative "starts" whose slice() reads from the
-      // array's END — bogus windows, silently. Empty array ⇒ explode
-      // drops the doc, the documented no-windows contract.
-      .withColumn("__s", explode(
-        when(size(col("__w")) >= w,
-          sequence(lit(0L), size(col("__w")).cast("long") - lit(w.toLong)))
-          .otherwise(array().cast("array<long>"))))
-      .select(col(idCol), col("__s"),
-        concat_ws(" ", slice(col("__w"), col("__s").cast("int") + 1, lit(w)))
-          .as("__g"))
-      .select(col(idCol), col("__s"),
-        xxhash64(col("__g")).as("__h1"),
-        xxhash64(lit("graft-span-h2"), col("__g")).as("__h2"))
-  }
+      .select(col(idCol),
+        explode(graft.expressions.GraftFunctions
+          .graft_window_digests(col(textCol), w)).as("__wd"))
+      .select(col(idCol), col("__wd.s").as("__s"),
+        col("__wd.h1").as("__h1"), col("__wd.h2").as("__h2"))
 
   /** The rewrite counterpart of [[duplicatedSpans]]: documents with
     * every duplicated span's words removed (surviving words rejoined

@@ -435,6 +435,33 @@ case class SortedIntersect(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** window_digests(string, w) → array<struct<s,h1,h2>>: every sliding
+  * w-word window of the normalized text as a (start, dual-64-bit
+  * digest) row — see [[Kernels.windowDigestPairs]] for the fused
+  * semantics and the collision standard. */
+case class WindowDigests(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, s"graft_window_digests: w must be >= 1, got $w")
+  override def dataType: DataType = WindowDigests.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_window_digests"
+
+  override def nullSafeEval(a: Any): Any =
+    Kernels.windowDigestPairs(a.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.Kernels.windowDigestPairs($a, $w);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object WindowDigests {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("s", LongType, nullable = false),
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+}
+
 /** Column-level API + SQL registration for the native expressions. */
 object GraftFunctions {
 
@@ -495,6 +522,9 @@ object GraftFunctions {
     Bridge.column(SortedIntersect(
       Bridge.expression(a.cast("array<bigint>")),
       Bridge.expression(b.cast("array<bigint>"))))
+
+  def graft_window_digests(text: Column, w: Int): Column =
+    Bridge.column(WindowDigests(Bridge.expression(text.cast("string")), w))
 
   /** One-pass exact Gram/moment aggregate over quantized vectors —
     * see [[GramMatrix]]. The input is NOT auto-cast: a raw

@@ -794,6 +794,78 @@ object Kernels {
     false
   }
 
+  /** ALL sliding `w`-word windows of the normalized text as
+    * (start, h1, h2) rows — the fused duplicated-spans primitive.
+    * Replaces the composed split → explode(sequence) → slice →
+    * concat_ws → xxhash64×2 chain, which re-built every window STRING
+    * (array slice + string alloc + two UTF8 hashes per window, the
+    * whole-doc char data copied w times over). One pass here: words
+    * are segmented once (same \s-run segmentation as
+    * `split(normalizeText(text), " ")` — the shingleHashes contract),
+    * each word gets TWO independent 64-bit FNV streams, and each
+    * window combines w word-hashes per stream with rotate-multiply
+    * mixing — O(chars + windows·w) with no per-window allocation
+    * beyond the output row.
+    *
+    * Digest semantics: equal window word-sequences ⇒ equal (h1, h2);
+    * unequal sequences collide only if BOTH independent 64-bit streams
+    * collide (~2^-128) — the same dual-fingerprint standard as
+    * [[Dedup]]'s spanningPairs/duplicatedSpans, whose oracles group on
+    * the raw window text and so pin digest-vs-text agreement per run.
+    * Docs under w words yield an empty array. Start indices are
+    * 0-based word offsets into the normalized split, the span
+    * contract's coordinate system. */
+  def windowDigestPairs(s: UTF8String, w: Int): ArrayData = {
+    val text = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val len = text.length
+    var wordCount = 0
+    var inWord = false
+    var i = 0
+    while (i < len) {
+      val ws = isJavaWs(text.charAt(i))
+      if (!ws && !inWord) { wordCount += 1; inWord = true }
+      else if (ws) inWord = false
+      i += 1
+    }
+    if (wordCount < w) return new GenericArrayData(Array.empty[Any])
+    val wh1 = new Array[Long](wordCount)
+    val wh2 = new Array[Long](wordCount)
+    var k = 0; i = 0; inWord = false
+    var h1 = 0xcbf29ce484222325L
+    var h2 = 0x84222325cbf29ce4L
+    while (i < len) {
+      val c = text.charAt(i)
+      if (!isJavaWs(c)) {
+        if (!inWord) {
+          h1 = 0xcbf29ce484222325L; h2 = 0x84222325cbf29ce4L; inWord = true
+        }
+        h1 = (h1 ^ c.toLong) * 0x100000001b3L
+        h2 = (h2 ^ (c.toLong * 0x9E3779B97F4A7C15L)) * 0x100000001b3L
+      } else if (inWord) {
+        wh1(k) = h1; wh2(k) = h2; k += 1; inWord = false
+      }
+      i += 1
+    }
+    if (inWord) { wh1(k) = h1; wh2(k) = h2; k += 1 }
+    val nWin = wordCount - w + 1
+    val rows = new Array[Any](nWin)
+    var j = 0
+    while (j < nWin) {
+      var a1 = 0x9e3779b97f4a7c15L
+      var a2 = 0xc2b2ae3d27d4eb4fL
+      var q = 0
+      while (q < w) {
+        a1 = java.lang.Long.rotateLeft(a1 ^ wh1(j + q), 27) * 0x100000001b3L
+        a2 = java.lang.Long.rotateLeft(a2 ^ wh2(j + q), 31) * 0x100000001b3L
+        q += 1
+      }
+      rows(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](j.toLong, a1, a2))
+      j += 1
+    }
+    new GenericArrayData(rows)
+  }
+
   /** Two-pointer intersection of two ASC-sorted distinct long arrays —
     * O(|a|+|b|) on primitive slots. Spark's `array_intersect` builds a
     * BOXED OpenHashSet per evaluation (one per row), which dominated

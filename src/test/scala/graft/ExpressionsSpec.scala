@@ -260,6 +260,57 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(n(0).isNullAt(0))
   }
 
+  test("graft_window_digests: starts and digest-grouping match the composed slice formulation") {
+    import graft.functions.textfns
+    val docs = SparkT.table("documents").limit(300)
+      .select(col("doc_id"), col("text"))
+      // edge shapes the corpus may not cover: short doc, empty,
+      // whitespace-only, exact-length doc, planted duplicate passage
+      .unionByName(Seq(
+        (90001L, "one two three"),
+        (90002L, ""),
+        (90003L, "   \t  "),
+        (90004L, "a b c d e f g h"),
+        (90005L, "XX shared eight word run of planted text YY"),
+        (90006L, "ZZ shared eight word run of planted text QQ")
+      ).toDF("doc_id", "text"))
+    val w = 8
+    // composed formulation (the pre-kernel implementation, verbatim)
+    val words = split(textfns.normalizeText(col("text")), " ")
+    val composed = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), words.as("__w"))
+      .withColumn("__s", explode(
+        when(size(col("__w")) >= w,
+          sequence(lit(0L), size(col("__w")).cast("long") - lit(w.toLong)))
+          .otherwise(array().cast("array<long>"))))
+      .select(col("doc_id"), col("__s"),
+        concat_ws(" ", slice(col("__w"), col("__s").cast("int") + 1, lit(w)))
+          .as("__g"))
+    val kernel = docs
+      .select(col("doc_id"),
+        explode(graft_window_digests(col("text"), w)).as("__wd"))
+      .select(col("doc_id"), col("__wd.s").as("__s"),
+        col("__wd.h1").as("__h1"), col("__wd.h2").as("__h2"))
+    // identical (doc, start) window sets
+    val starts = composed.select("doc_id", "__s")
+      .exceptAll(kernel.select("doc_id", "__s"))
+      .unionAll(kernel.select("doc_id", "__s")
+        .exceptAll(composed.select("doc_id", "__s")))
+    assert(starts.isEmpty, "window (doc, start) sets diverge")
+    // digest-grouping ⟺ window-text-grouping: joining kernel digests
+    // back to the composed window TEXT, every digest group must map to
+    // exactly one distinct text and vice versa (collision-freedom on
+    // the fixture, incl. the planted cross-doc repeat)
+    val joined = kernel.join(composed, Seq("doc_id", "__s"))
+    val g1 = joined.groupBy("__h1", "__h2")
+      .agg(countDistinct(col("__g")).as("n")).filter(col("n") =!= 1)
+    val g2 = joined.groupBy("__g")
+      .agg(countDistinct(struct(col("__h1"), col("__h2"))).as("n"))
+      .filter(col("n") =!= 1)
+    assert(g1.isEmpty, "one digest covers two different window texts")
+    assert(g2.isEmpty, "one window text got two digests")
+  }
+
   test("graft_sorted_contains: raw-expression misuse fails at ANALYSIS, not execution") {
     // the Column/SQL wrappers cast their inputs; a raw SortedContains
     // over array<int> used to pass analysis and read garbage via
