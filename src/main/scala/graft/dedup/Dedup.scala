@@ -880,7 +880,9 @@ object Dedup {
       while (c < cs.length) {
         var d = 0.0; var i = 0
         val cv = cs(c)
-        while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        // early exit: the winner's sum always completes, so (best, bestD)
+        // are bit-identical (the lloydKMeans d2 discipline)
+        while (i < v.length && d < bestD) { val t = v(i) - cv(i); d += t * t; i += 1 }
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
@@ -979,7 +981,9 @@ object Dedup {
       while (c < cs.length) {
         var d = 0.0; var i = 0
         val cv = cs(c)
-        while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        // early exit: the winner's sum always completes, so (best, bestD)
+        // are bit-identical (the lloydKMeans d2 discipline)
+        while (i < v.length && d < bestD) { val t = v(i) - cv(i); d += t * t; i += 1 }
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }

@@ -508,7 +508,10 @@ object Ann {
       while (c < cs.length) {
         var d = 0.0; var i = 0
         val cv = cs(c)
-        while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        // early exit: non-negative terms, so a partial sum at bestD can
+        // never win — the winner's sum always runs to completion, so the
+        // chosen cell is bit-identical (the lloydKMeans d2 discipline)
+        while (i < v.length && d < bestD) { val t = v(i) - cv(i); d += t * t; i += 1 }
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
@@ -762,7 +765,7 @@ object Ann {
         while (c < cbj.length) {
           var d = 0.0; var i = 0
           val cv = cbj(c)
-          while (i < sub) { val t = v(j * sub + i) - cv(i); d += t * t; i += 1 }
+          while (i < sub && d < bestD) { val t = v(j * sub + i) - cv(i); d += t * t; i += 1 }
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
@@ -890,7 +893,7 @@ object Ann {
       while (c < centers.length) {
         var d = 0.0; var i = 0
         val cv = centers(c)
-        while (i < dim) { val t = v(i).toDouble - cv(i); d += t * t; i += 1 }
+        while (i < dim && d < bestD) { val t = v(i).toDouble - cv(i); d += t * t; i += 1 }
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
@@ -938,7 +941,7 @@ object Ann {
       while (c < cs.length) {
         var d = 0.0; var i = 0
         val cv = cs(c)
-        while (i < vv.length) { val t = vv(i) - cv(i); d += t * t; i += 1 }
+        while (i < vv.length && d < bestD) { val t = vv(i) - cv(i); d += t * t; i += 1 }
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
