@@ -827,11 +827,33 @@ object Streams {
       .withWatermark("__ts_t", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
     val qn = "graft_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // Explicit checkpoint on tmpfs when the host has one: the engine's
+    // temp checkpoint lands under java.io.tmpdir on DISK, and the
+    // RocksDB provider pays real file I/O there per commit (SST +
+    // changelog uploads — measured 2.77 s → 2.34 s for the ev10 gate
+    // on /dev/shm; the default in-heap store is indifferent). This is
+    // a ONE-SHOT bounded backfill whose checkpoint has no value past
+    // the returned rows, so the gate deletes it after stop; unbounded
+    // production runs must keep the engine default / durable storage —
+    // exactly-once recovery lives in that directory.
+    val shm = new java.io.File("/dev/shm")
+    val ckptDir: Option[java.nio.file.Path] =
+      if (shm.isDirectory && shm.canWrite)
+        Some(java.nio.file.Files.createTempDirectory(shm.toPath, "graft_ckpt_"))
+      else None
+    def rmCkpt(): Unit = ckptDir.foreach { p =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }
     withSessionConf(spark, "spark.sql.streaming.stateStore.providerClass", stateStore) {
       withBackfillStatePartitions(spark) {
-        val q = ev.writeStream.format("memory").queryName(qn)
+        val w0 = ev.writeStream.format("memory").queryName(qn)
           .outputMode("append").trigger(Trigger.AvailableNow())
-          .start()
+        val q = ckptDir.fold(w0)(p =>
+          w0.option("checkpointLocation", p.toString)).start()
         try {
           q.awaitTermination()
           // the requested provider must have actually RUN, not been
@@ -850,7 +872,7 @@ object Streams {
                 "custom metrics appeared in any progress event — the provider " +
                 "did not take effect")
           }
-        } finally if (q.isActive) q.stop()
+        } finally { if (q.isActive) q.stop(); rmCkpt() }
       }
     }
     detachedTable(spark, qn)
