@@ -154,11 +154,9 @@ object Streams {
     val qn = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val src = spark.readStream.schema(schema).parquet(inputPath)
     withBackfillStatePartitions(spark) {
-      val q = sessionWindowAgg(src, gapMinutes)
+      runGate(sessionWindowAgg(src, gapMinutes)
         .writeStream.format("memory").queryName(qn)
-        .outputMode("complete").trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally if (q.isActive) q.stop()
+        .outputMode("complete").trigger(Trigger.AvailableNow()))(_.awaitTermination())
     }
     detachedTable(spark, qn)
   }
@@ -269,11 +267,9 @@ object Streams {
     val qn = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val src = spark.readStream.schema(schema).parquet(inputPath)
     withBackfillStatePartitions(spark) {
-      val q = tumblingAgg(src, windowLen)
+      runGate(tumblingAgg(src, windowLen)
         .writeStream.format("memory").queryName(qn)
-        .outputMode("complete").trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally if (q.isActive) q.stop()
+        .outputMode("complete").trigger(Trigger.AvailableNow()))(_.awaitTermination())
     }
     detachedTable(spark, qn)
   }
@@ -294,11 +290,9 @@ object Streams {
     val qn = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val src = spark.readStream.schema(schema).parquet(inputPath)
     withBackfillStatePartitions(spark) {
-      val q = hoppingAgg(src, windowLen, slide)
+      runGate(hoppingAgg(src, windowLen, slide)
         .writeStream.format("memory").queryName(qn)
-        .outputMode("complete").trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally if (q.isActive) q.stop()
+        .outputMode("complete").trigger(Trigger.AvailableNow()))(_.awaitTermination())
     }
     detachedTable(spark, qn)
   }
@@ -334,10 +328,8 @@ object Streams {
       .groupBy(col(joinKey))
       .agg(aggs.head, aggs.tail: _*)
     withBackfillStatePartitions(spark) {
-      val q = joined.writeStream.format("memory").queryName(qn)
-        .outputMode("complete").trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally if (q.isActive) q.stop()
+      runGate(joined.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").trigger(Trigger.AvailableNow()))(_.awaitTermination())
     }
     detachedTable(spark, qn)
   }
@@ -394,17 +386,15 @@ object Streams {
       col("l_value").as("left_value"), col("r_value").as("right_value"))
     val qn = "graft_ssjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
     withBackfillStatePartitions(spark) {
-      val q = out.writeStream.format("memory").queryName(qn)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start()
-      try {
+      runGate(out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow())) { q =>
         q.awaitTermination()
         val plan = org.apache.spark.sql.graftbridge.Bridge
           .lastStreamingExecutedPlan(q).map(_.toString).getOrElse("")
         require(plan.contains("StreamingSymmetricHashJoin"),
           "intervalJoinStreamOnce: engine did not plan a stateful " +
             s"stream-stream join — state bounds unverifiable:\n$plan")
-      } finally if (q.isActive) q.stop()
+      }
     }
     detachedTable(spark, qn)
   }
@@ -475,6 +465,38 @@ object Streams {
         }
       }
     }
+
+  /** Start a one-shot gate query with its checkpoint on tmpfs when the
+    * host has one, run `body`, then stop the query and delete the
+    * checkpoint. The engine's temp checkpoint lands under
+    * java.io.tmpdir on DISK, and every stateful gate pays per-commit
+    * file I/O there (state-store delta files; RocksDB SST + changelog
+    * uploads — measured 2.77 s → 1.97 s for the ev10 gate on
+    * /dev/shm). These are BOUNDED backfills whose checkpoint has no
+    * value past the returned rows, so deleting it is correct; the
+    * unbounded production forms keep the engine default / durable
+    * checkpoint storage — exactly-once recovery lives there. Hosts
+    * without a writable /dev/shm fall back to the engine's temp
+    * checkpoint unchanged. */
+  private def runGate[T, R](w: org.apache.spark.sql.streaming.DataStreamWriter[T])
+                           (body: org.apache.spark.sql.streaming.StreamingQuery => R): R = {
+    val shm = new java.io.File("/dev/shm")
+    val ckptDir =
+      if (shm.isDirectory && shm.canWrite)
+        Some(java.nio.file.Files.createTempDirectory(shm.toPath, "graft_ckpt_"))
+      else None
+    val q = ckptDir.fold(w)(p => w.option("checkpointLocation", p.toString)).start()
+    try body(q) finally {
+      if (q.isActive) q.stop()
+      ckptDir.foreach { p =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(rm)
+          f.delete(); ()
+        }
+        rm(p.toFile)
+      }
+    }
+  }
 
   /** Wrap a single parquet FILE in a temp dir (symlink) so the file
     * streaming source — which monitors a DIRECTORY — has a valid
@@ -578,11 +600,9 @@ object Streams {
       eventTsMs(raw, "ts").as("ts_ms"), col("value"))
     val qn = "graft_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
     withBackfillStatePartitions(spark) {
-      val q = sessionizeStatefulDs(ev, gapMinutes)
+      runGate(sessionizeStatefulDs(ev, gapMinutes)
         .writeStream.format("memory").queryName(qn)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally if (q.isActive) q.stop()
+        .outputMode("append").trigger(Trigger.AvailableNow()))(_.awaitTermination())
     }
     detachedTable(spark, qn)
   }
@@ -654,10 +674,8 @@ object Streams {
       .select(col("window_start"), col("t.event_type").as("event_type"),
         col("t.n").as("n_events"), col("window_total"))
     withBackfillStatePartitions(spark) {
-      val q = out.writeStream.format("memory").queryName(qn)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start()
-      try {
+      runGate(out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow())) { q =>
         q.awaitTermination()
         val plan = org.apache.spark.sql.graftbridge.Bridge
           .lastStreamingExecutedPlan(q).map(_.toString).getOrElse("")
@@ -666,7 +684,7 @@ object Streams {
         require("StateStoreSave".r.findAllIn(plan).length >= 2,
           "trendingStreamOnce: engine did not plan two chained stateful " +
             s"aggregates:\n${plan.take(1500)}")
-      } finally if (q.isActive) q.stop()
+      }
     }
     detachedTable(spark, qn)
   }
@@ -767,17 +785,15 @@ object Streams {
         round(pb, 6).as("p_base"), round(pc, 6).as("p_cur"),
         round(term, 6).as("jsd_term"))
     withBackfillStatePartitions(spark) {
-      val q = out.writeStream.format("memory").queryName(qn)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start()
-      try {
+      runGate(out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow())) { q =>
         q.awaitTermination()
         val plan = org.apache.spark.sql.graftbridge.Bridge
           .lastStreamingExecutedPlan(q).map(_.toString).getOrElse("")
         require("StateStoreSave".r.findAllIn(plan).length >= 2,
           "categoricalDriftStreamOnce: engine did not plan two chained " +
             s"stateful aggregates:\n${plan.take(1500)}")
-      } finally if (q.isActive) q.stop()
+      }
     }
     detachedTable(spark, qn)
   }
@@ -827,34 +843,10 @@ object Streams {
       .withWatermark("__ts_t", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
     val qn = "graft_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // Explicit checkpoint on tmpfs when the host has one: the engine's
-    // temp checkpoint lands under java.io.tmpdir on DISK, and the
-    // RocksDB provider pays real file I/O there per commit (SST +
-    // changelog uploads — measured 2.77 s → 2.34 s for the ev10 gate
-    // on /dev/shm; the default in-heap store is indifferent). This is
-    // a ONE-SHOT bounded backfill whose checkpoint has no value past
-    // the returned rows, so the gate deletes it after stop; unbounded
-    // production runs must keep the engine default / durable storage —
-    // exactly-once recovery lives in that directory.
-    val shm = new java.io.File("/dev/shm")
-    val ckptDir: Option[java.nio.file.Path] =
-      if (shm.isDirectory && shm.canWrite)
-        Some(java.nio.file.Files.createTempDirectory(shm.toPath, "graft_ckpt_"))
-      else None
-    def rmCkpt(): Unit = ckptDir.foreach { p =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(rm)
-        f.delete(); ()
-      }
-      rm(p.toFile)
-    }
     withSessionConf(spark, "spark.sql.streaming.stateStore.providerClass", stateStore) {
       withBackfillStatePartitions(spark) {
-        val w0 = ev.writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow())
-        val q = ckptDir.fold(w0)(p =>
-          w0.option("checkpointLocation", p.toString)).start()
-        try {
+        runGate(ev.writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow())) { q =>
           q.awaitTermination()
           // the requested provider must have actually RUN, not been
           // silently ignored: RocksDB surfaces its own custom state
@@ -872,7 +864,7 @@ object Streams {
                 "custom metrics appeared in any progress event — the provider " +
                 "did not take effect")
           }
-        } finally { if (q.isActive) q.stop(); rmCkpt() }
+        }
       }
     }
     detachedTable(spark, qn)
@@ -933,10 +925,8 @@ object Streams {
       .dropDuplicatesWithinWatermark("__sig")
     val qn = "graft_neardedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
     withBackfillStatePartitions(spark) {
-      val q = ev.writeStream.format("memory").queryName(qn)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally if (q.isActive) q.stop()
+      runGate(ev.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()))(_.awaitTermination())
     }
     detachedTable(spark, qn)
   }
