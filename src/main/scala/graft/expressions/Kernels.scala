@@ -814,9 +814,19 @@ object Kernels {
     * the raw window text and so pin digest-vs-text agreement per run.
     * Docs under w words yield an empty array. Start indices are
     * 0-based word offsets into the normalized split, the span
-    * contract's coordinate system. */
+    * contract's coordinate system.
+    *
+    * Lowercasing goes through UTF8String.toLowerCase — the exact code
+    * path of Spark's `lower()`, which the composed formulation this
+    * kernel replaces (and the window-TEXT oracle replay the span
+    * consumers group on) uses. Neither a bare `String.toLowerCase`
+    * (JVM default locale) nor `Locale.ROOT` matches it for every
+    * non-ASCII string (e.g. U+0130 İ expands to "i"+combining-dot
+    * under the java.lang.String 1:N mapping), and kernel-digest vs
+    * lower()-text normalizations must agree byte-for-byte — the
+    * [[graft.operators.Bpe.encode]] discipline. */
   def windowDigestPairs(s: UTF8String, w: Int): ArrayData = {
-    val text = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val text = s.toLowerCase.toString
     val len = text.length
     var wordCount = 0
     var inWord = false

@@ -480,23 +480,52 @@ object Streams {
     * checkpoint unchanged. */
   private def runGate[T, R](w: org.apache.spark.sql.streaming.DataStreamWriter[T])
                            (body: org.apache.spark.sql.streaming.StreamingQuery => R): R = {
-    val shm = new java.io.File("/dev/shm")
-    val ckptDir =
-      if (shm.isDirectory && shm.canWrite)
-        Some(java.nio.file.Files.createTempDirectory(shm.toPath, "graft_ckpt_"))
-      else None
-    val q = ckptDir.fold(w)(p => w.option("checkpointLocation", p.toString)).start()
-    try body(q) finally {
-      if (q.isActive) q.stop()
-      ckptDir.foreach { p =>
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(rm)
-          f.delete(); ()
-        }
-        rm(p.toFile)
+    val master = org.apache.spark.sql.SparkSession.active
+      .sparkContext.master
+    val ckptDir = gateCheckpointDir(master, new java.io.File("/dev/shm"))
+    def rmTree(p: java.nio.file.Path): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(rm)
+        f.delete(); ()
       }
+      rm(p.toFile)
+    }
+    // start() inside the try: a start-time failure must not leak the
+    // freshly created RAM-backed checkpoint dir
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = ckptDir.fold(w)(p => w.option("checkpointLocation", p.toString)).start()
+      body(q)
+    } finally {
+      if (q != null && q.isActive) q.stop()
+      ckptDir.foreach(rmTree)
     }
   }
+
+  /** Where a ONE-SHOT gate's checkpoint goes: tmpfs when that is sound,
+    * else None (= the engine's default temp checkpoint on disk).
+    *
+    * Tmpfs is only sound when the whole query runs in ONE JVM: a
+    * `checkpointLocation` on a non-shared local path "works" on a
+    * cluster too, but state-store files then land on each executor's
+    * OWN tmpfs, and any cross-batch partition migration or executor
+    * loss during a multi-batch AvailableNow backfill reads MISSING
+    * state — the bounded-backfill argument covers recovery-value, not
+    * cross-executor visibility. So the fast path is gated on
+    * `spark.master` being local[*].
+    *
+    * Capacity guard: containers commonly mount /dev/shm at 64 MB;
+    * RocksDB SST/changelog uploads and HDFS-provider deltas filling it
+    * would fail gates that succeed on disk. Require 256 MB usable —
+    * an order of magnitude above any gate's observed state — and fall
+    * back to the engine default below it. Exposed package-private for
+    * the StreamsSpec fallback cases. */
+  private[graft] def gateCheckpointDir(
+      master: String, shm: java.io.File): Option[java.nio.file.Path] =
+    if (master.startsWith("local") && shm.isDirectory && shm.canWrite
+        && shm.getUsableSpace >= 256L * 1024 * 1024)
+      Some(java.nio.file.Files.createTempDirectory(shm.toPath, "graft_ckpt_"))
+    else None
 
   /** Wrap a single parquet FILE in a temp dir (symlink) so the file
     * streaming source — which monitors a DIRECTORY — has a valid

@@ -272,7 +272,16 @@ class ExpressionsSpec extends AnyFunSuite {
         (90003L, "   \t  "),
         (90004L, "a b c d e f g h"),
         (90005L, "XX shared eight word run of planted text YY"),
-        (90006L, "ZZ shared eight word run of planted text QQ")
+        (90006L, "ZZ shared eight word run of planted text QQ"),
+        // non-ASCII lowercase parity: U+0130 İ (1:N mapping under
+        // java.lang.String), Greek final-sigma Σ (position-dependent),
+        // ẞ (U+1E9E). The kernel must normalize through the SAME code
+        // path as lower() (UTF8String.toLowerCase) — a Locale.ROOT
+        // String.toLowerCase diverges on such bytes and silently breaks
+        // digest-vs-window-text grouping parity
+        (90007L, "İstanbul ŞİŞLİ Kİ İİ gets eight word runs here today"),
+        (90008L, "ΣΟΦΟΣ ΟΔΥΣΣΕΥΣ gets eight word runs here today also"),
+        (90009L, "STRASSE ẞoft gets eight word runs here today as well")
       ).toDF("doc_id", "text"))
     val w = 8
     // composed formulation (the pre-kernel implementation, verbatim)

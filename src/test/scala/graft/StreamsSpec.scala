@@ -438,4 +438,36 @@ class StreamsSpec extends AnyFunSuite {
         topK = 0)
     }
   }
+
+  test("gateCheckpointDir: tmpfs only for single-JVM masters with capacity") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shm_test").toFile
+    try {
+      // non-local master: NEVER tmpfs, regardless of the dir — a local
+      // checkpoint path on a cluster scatters state-store files across
+      // executors' own filesystems (cross-executor visibility breaks)
+      assert(graft.streaming.Streams.gateCheckpointDir("yarn", tmp).isEmpty)
+      assert(graft.streaming.Streams.gateCheckpointDir(
+        "spark://host:7077", tmp).isEmpty)
+      assert(graft.streaming.Streams.gateCheckpointDir("k8s://api", tmp).isEmpty)
+      // missing / unusable dir: engine default
+      assert(graft.streaming.Streams.gateCheckpointDir(
+        "local[4]", new java.io.File(tmp, "nope")).isEmpty)
+      // local master + real dir with capacity: tmpfs chosen, dir created
+      val chosen = graft.streaming.Streams.gateCheckpointDir("local[4]", tmp)
+      // (skip the positive assertion if the host tmp fs is under the
+      // 256 MB capacity floor — the floor itself is then what's tested)
+      if (tmp.getUsableSpace >= 256L * 1024 * 1024) {
+        assert(chosen.nonEmpty)
+        assert(chosen.get.toFile.getParentFile.getCanonicalPath ==
+          tmp.getCanonicalPath)
+        chosen.foreach(p => p.toFile.delete())
+      } else assert(chosen.isEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(rm)
+        f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
 }
